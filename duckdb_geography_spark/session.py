@@ -1,0 +1,60 @@
+"""SparkSession helpers: tuned builder + worker-side package shipping."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_PKG_NAME = os.path.basename(_PKG_DIR)
+
+
+def get_spark(app_name: str = "duckdb_geography_spark", cpus: str | int = "*",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Local-mode session with the configuration this engine assumes.
+
+    AQE on (runtime re-planning / skew joins), Arrow on (pandas UDF
+    transfer). ``shuffle_partitions`` defaults to the core count —
+    at cluster scale you would size it to data volume instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    )
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    attach(spark)
+    return spark
+
+
+def attach(spark: SparkSession) -> SparkSession:
+    """Make this package importable on executor Python workers.
+
+    Driver-side ``sys.path`` edits do not propagate to the forked
+    worker processes, so ship the package as a zip via ``addPyFile``
+    (idempotent per session). Call this when using an externally
+    created SparkSession.
+    """
+    marker = "_duckdb_geography_spark_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return spark
+    zpath = os.path.join(tempfile.mkdtemp(prefix="dgs_pkg_"), f"{_PKG_NAME}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(_PKG_NAME, os.path.relpath(full, _PKG_DIR))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    setattr(sc, marker, True)
+    return spark
