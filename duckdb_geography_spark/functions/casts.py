@@ -1,0 +1,239 @@
+"""Cast-graph equivalents (reference: src/s2_cell_ops.cpp:1019-1067).
+
+Spark has no user cast registry, so each DuckDB cast becomes an
+explicit helper (SURVEY.md S2.3). Cell ids are LongType; GEOGRAPHY is
+our tagged binary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, LongType
+
+from ..geo.geography import (
+    KIND_MULTIPOLYGON,
+    KIND_POINT,
+    KIND_POLYGON,
+    Geography,
+    from_wkb,
+)
+from ..s2 import cellmath as cm
+from ..s2.coverer import normalize_cell_union
+from . import geoudfs as U
+
+__all__ = [
+    "s2_cell_center_to_geography",
+    "s2_geography_to_cell_center",
+    "s2_cell_to_geography",
+    "s2_cell_union_to_geography",
+    "s2_cell_union_normalize",
+    "s2_cell_to_cell_union",
+    "s2_cellfromwkb",
+    "s2_arbitrarycellfromwkb",
+    "s2_cell_vertex",
+]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+@F.pandas_udf(BinaryType())
+def _cell_center_to_geography_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        cid = np.uint64(np.int64(v))
+        if cm.is_valid(np.array([cid]))[0]:
+            out.append(Geography.cell_center(cid).encode())
+        else:
+            out.append(Geography(KIND_POINT).encode())  # POINT EMPTY
+    return pd.Series(out, dtype=object)
+
+
+def s2_cell_center_to_geography(cell) -> Column:
+    """S2_CELL_CENTER -> snapped point GEOGRAPHY; invalid -> POINT EMPTY
+    (src/s2_cell_ops.cpp:514-551)."""
+    return _cell_center_to_geography_udf(_c(cell))
+
+
+@F.pandas_udf(LongType())
+def _geography_to_cell_center_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+            continue
+        g = U.decode_cached(bytes(b))
+        if g.is_empty():
+            out.append(-1)  # sentinel bit pattern
+            continue
+        p = g.single_point()
+        if p is None or g.all_lines() or g.all_polygons():
+            raise ValueError(
+                "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER"
+            )
+        cid = cm.lonlat_to_cellid([p[0]], [p[1]])[0]
+        out.append(int(cm.to_signed(np.array([cid]))[0]))
+    return pd.Series(out, dtype=np.int64)
+
+
+def s2_geography_to_cell_center(geog) -> Column:
+    """GEOGRAPHY -> S2_CELL_CENTER (lossy <=2 cm); errors on non-point
+    input (src/s2_cell_ops.cpp:20-68)."""
+    return _geography_to_cell_center_udf(_c(geog))
+
+
+def _cell_polygon(cid: np.uint64) -> Geography:
+    lons, lats = cm.cell_vertex_lonlat(np.array([cid] * 4, dtype=np.uint64), np.arange(4))
+    ring = np.stack([lons, lats], axis=1)
+    return Geography(KIND_POLYGON, polygons=[[ring]])
+
+
+@F.pandas_udf(BinaryType())
+def _cell_to_geography_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        cid = np.uint64(np.int64(v))
+        if not cm.is_valid(np.array([cid]))[0]:
+            out.append(Geography(KIND_POLYGON).encode())
+        else:
+            out.append(_cell_polygon(cid).encode())
+    return pd.Series(out, dtype=object)
+
+
+def s2_cell_to_geography(cell) -> Column:
+    """S2_CELL -> 4-vertex spherical polygon (src/s2_cell_ops.cpp:553-576)."""
+    return _cell_to_geography_udf(_c(cell))
+
+
+@F.pandas_udf(BinaryType())
+def _cell_union_to_geography_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for arr in s:
+        if arr is None:
+            out.append(None)
+            continue
+        cells = normalize_cell_union(np.array(arr, dtype=np.int64).view(np.uint64))
+        if len(cells) == 0:
+            out.append(Geography(KIND_POLYGON).encode())
+        elif len(cells) == 1:
+            out.append(_cell_polygon(cells[0]).encode())
+        else:
+            polys = []
+            for cid in cells:
+                polys.append(_cell_polygon(cid).polygons[0])
+            out.append(Geography(KIND_MULTIPOLYGON, polygons=polys).encode())
+    return pd.Series(out, dtype=object)
+
+
+def s2_cell_union_to_geography(cells) -> Column:
+    """S2_CELL_UNION -> polygon geography. v1 emits one quad per cell
+    (MULTIPOLYGON) rather than the dissolved union border the
+    reference builds via InitToCellUnionBorder
+    (src/s2_cell_ops.cpp:134-169) — single-cell unions match exactly."""
+    return _cell_union_to_geography_udf(_c(cells))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _cell_union_normalize_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for arr in s:
+        if arr is None:
+            out.append(None)
+            continue
+        cells = normalize_cell_union(np.array(arr, dtype=np.int64).view(np.uint64))
+        out.append([int(v) for v in cells.view(np.int64)])
+    return pd.Series(out, dtype=object)
+
+
+def s2_cell_union_normalize(cells) -> Column:
+    """Sort (unsigned), dedupe, merge sibling groups
+    (src/s2_cell_ops.cpp:95-132)."""
+    return _cell_union_normalize_udf(_c(cells))
+
+
+def s2_cell_to_cell_union(cell) -> Column:
+    """S2_CELL -> singleton union; invalid -> empty array — a pure
+    column expression (src/s2_cell_ops.cpp:70-92)."""
+    from .cells import s2_cell_is_valid
+
+    c = _c(cell)
+    return F.when(s2_cell_is_valid(c), F.array(c)).otherwise(
+        F.array().cast(ArrayType(LongType()))
+    )
+
+
+def _wkb_to_cell(b: bytes, arbitrary: bool) -> int:
+    g = from_wkb(b, validate=False)
+    if g.is_empty():
+        return -1  # sentinel bit pattern
+    if arbitrary:
+        p = g.first_point()
+        if p is None:
+            return -1
+    else:
+        if g.all_lines() or g.all_polygons():
+            raise ValueError("Can't parse WKB with non-point input to S2_CELL_CENTER")
+        pts = g.all_points()
+        if len(pts) != 1:
+            raise ValueError("Can't parse WKB with more than one point to S2_CELL_CENTER")
+        p = pts[0]
+    cid = cm.lonlat_to_cellid([p[0]], [p[1]])[0]
+    return int(cm.to_signed(np.array([cid]))[0])
+
+
+@F.pandas_udf(LongType())
+def _cellfromwkb_udf(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb_to_cell(bytes(b), False) for b in s], dtype=np.int64
+    )
+
+
+@F.pandas_udf(LongType())
+def _arbitrarycellfromwkb_udf(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb_to_cell(bytes(b), True) for b in s], dtype=np.int64
+    )
+
+
+def s2_cellfromwkb(wkb) -> Column:
+    """WKB point -> cell center; errors on non-point input, sentinel on
+    empties (src/s2_cell_ops.cpp:174-285; cell_ops.test:92-161)."""
+    return _cellfromwkb_udf(_c(wkb))
+
+
+def s2_arbitrarycellfromwkb(wkb) -> Column:
+    """First coordinate of any WKB -> cell center (partition/sort keys;
+    src/s2_cell_ops.cpp:207-308)."""
+    return _arbitrarycellfromwkb_udf(_c(wkb))
+
+
+@F.pandas_udf(BinaryType())
+def _cell_vertex_udf(s: pd.Series, k: pd.Series) -> pd.Series:
+    out = []
+    for v, kk in zip(s, k):
+        if v is None or kk is None:
+            out.append(None)
+            continue
+        cid = np.uint64(np.int64(v))
+        if not cm.is_valid(np.array([cid]))[0] or not (0 <= kk <= 3):
+            out.append(Geography(KIND_POINT).encode())
+            continue
+        lon, lat = cm.cell_vertex_lonlat(np.array([cid]), np.array([int(kk)]))
+        out.append(Geography(KIND_POINT, points=np.array([[lon[0], lat[0]]])).encode())
+    return pd.Series(out, dtype=object)
+
+
+def s2_cell_vertex(cell, vertex_id) -> Column:
+    """k-th cell corner as a point GEOGRAPHY (src/s2_cell_ops.cpp:578-627)."""
+    k = _c(vertex_id) if isinstance(vertex_id, (Column, str)) else F.lit(int(vertex_id))
+    return _cell_vertex_udf(_c(cell), k.cast("long"))

@@ -189,14 +189,18 @@ def _cellfromlonlat_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def _cell_center_lon_udf(cell: pd.Series) -> pd.Series:
+    from . import geoudfs as U
+
     lon, _ = cm.cellid_to_lonlat(cm.to_unsigned(cell.to_numpy(np.int64, na_value=-1)))
-    return pd.Series(lon)
+    return U.float_series(lon)
 
 
 @F.pandas_udf(DoubleType())
 def _cell_center_lat_udf(cell: pd.Series) -> pd.Series:
+    from . import geoudfs as U
+
     _, lat = cm.cellid_to_lonlat(cm.to_unsigned(cell.to_numpy(np.int64, na_value=-1)))
-    return pd.Series(lat)
+    return U.float_series(lat)
 
 
 @F.pandas_udf(StringType())

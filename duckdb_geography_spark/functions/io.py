@@ -1,0 +1,170 @@
+"""Conversion / IO functions (reference: src/s2_functions_io.cpp).
+
+WKT/WKB in and out, fixed-precision formatting, prepare. All are
+Arrow-batched pandas UDFs over the binary GEOGRAPHY encoding.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+from ..geo.geography import KIND_PREPARED, Geography, from_wkb, from_wkt
+from . import geoudfs as U
+
+__all__ = [
+    "s2_geogfromtext",
+    "s2_geogfromtext_novalidate",
+    "s2_astext",
+    "s2_format",
+    "s2_geogfromwkb",
+    "s2_geogfromwkb_novalidate",
+    "s2_aswkb",
+    "s2_prepare",
+]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _fromtext_series(s: pd.Series, validate: bool) -> pd.Series:
+    out = []
+    for t in s:
+        if t is None:
+            out.append(None)
+        else:
+            out.append(from_wkt(t, validate=validate).encode())
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(BinaryType())
+def _geogfromtext_udf(s: pd.Series) -> pd.Series:
+    return _fromtext_series(s, True)
+
+
+@F.pandas_udf(BinaryType())
+def _geogfromtext_novalidate_udf(s: pd.Series) -> pd.Series:
+    return _fromtext_series(s, False)
+
+
+def s2_geogfromtext(wkt) -> Column:
+    """WKT -> GEOGRAPHY, validating (src/s2_functions_io.cpp:22-101)."""
+    return _geogfromtext_udf(_c(wkt))
+
+
+def s2_geogfromtext_novalidate(wkt) -> Column:
+    """WKT -> GEOGRAPHY without validation (src/s2_functions_io.cpp:48-83)."""
+    return _geogfromtext_novalidate_udf(_c(wkt))
+
+
+@F.pandas_udf(StringType())
+def _astext_udf(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [U.decode_cached(bytes(b)).to_wkt(None) if b is not None else None for b in s],
+        dtype=object,
+    )
+
+
+def s2_astext(geog) -> Column:
+    """GEOGRAPHY -> lossless WKT; prepared prints <S2ShapeIndex N b>
+    (src/s2_functions_io.cpp:104-131)."""
+    return _astext_udf(_c(geog))
+
+
+def s2_format(geog, precision: int) -> Column:
+    """WKT with fixed precision; precision must be a Python literal,
+    mirroring the reference's constant-argument rule
+    (src/s2_functions_io.cpp:133-172)."""
+    if not isinstance(precision, int):
+        raise ValueError("s2_format(): precision must be a constant integer")
+    p = int(precision)
+
+    @F.pandas_udf(StringType())
+    def _format_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [U.decode_cached(bytes(b)).to_wkt(p) if b is not None else None for b in s],
+            dtype=object,
+        )
+
+    return _format_udf(_c(geog))
+
+
+def _fromwkb_series(s: pd.Series, validate: bool) -> pd.Series:
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+        else:
+            out.append(from_wkb(bytes(b), validate=validate).encode())
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(BinaryType())
+def _geogfromwkb_udf(s: pd.Series) -> pd.Series:
+    return _fromwkb_series(s, True)
+
+
+@F.pandas_udf(BinaryType())
+def _geogfromwkb_novalidate_udf(s: pd.Series) -> pd.Series:
+    return _fromwkb_series(s, False)
+
+
+def s2_geogfromwkb(wkb) -> Column:
+    """WKB -> GEOGRAPHY (lon/lat, spherical edges assumed;
+    src/s2_functions_io.cpp:200-273)."""
+    return _geogfromwkb_udf(_c(wkb))
+
+
+def s2_geogfromwkb_novalidate(wkb) -> Column:
+    return _geogfromwkb_novalidate_udf(_c(wkb))
+
+
+@F.pandas_udf(BinaryType())
+def _aswkb_udf(s: pd.Series) -> pd.Series:
+    from ..geo.geography import to_wkb
+
+    return pd.Series(
+        [to_wkb(U.decode_cached(bytes(b))) if b is not None else None for b in s],
+        dtype=object,
+    )
+
+
+def s2_aswkb(geog) -> Column:
+    """GEOGRAPHY -> ISO WKB (src/s2_functions_io.cpp:276-318)."""
+    return _aswkb_udf(_c(geog))
+
+
+#: below this many encoded bytes s2_prepare is a passthrough
+PREPARE_THRESHOLD_BYTES = 64
+
+
+@F.pandas_udf(BinaryType())
+def _prepare_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+            continue
+        raw = bytes(b)
+        if len(raw) < PREPARE_THRESHOLD_BYTES or raw[0] == KIND_PREPARED:
+            out.append(raw)  # passthrough, same rule as the reference
+            continue
+        g = U.decode_cached(raw)
+        prepared = Geography(KIND_PREPARED, geoms=[g], prepared_size=len(raw))
+        out.append(prepared.encode())
+    return pd.Series(out, dtype=object)
+
+
+def s2_prepare(geog) -> Column:
+    """Mark a geography as prepared for repeated predicate probes.
+
+    The reference serializes an S2ShapeIndex (src/s2_functions_io.cpp:
+    321-386, 64-byte threshold at :373-379). In this engine the
+    executor-side LRU over encoded bytes plays the index-reuse role
+    (see functions/geoudfs.py), so prepare is a semantic marker with
+    the same passthrough rules.
+    """
+    return _prepare_udf(_c(geog))

@@ -1,0 +1,239 @@
+"""Binary predicates, distances, overlays
+(reference: src/s2_binary_index_ops.cpp).
+
+Every binary op runs the reference's two machinery pieces
+(SURVEY.md S2.5): a covering pre-filter straight off the encoded
+prefix (no geometry decode for definite misses) and cached decoded
+parts for repeated operands (broadcast-join friendly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType
+
+from ..geo import ops
+from ..s2 import cellmath as cm
+from . import geoudfs as U
+
+__all__ = [
+    "s2_mayintersect",
+    "s2_intersects",
+    "s2_contains",
+    "s2_equals",
+    "s2_intersection",
+    "s2_difference",
+    "s2_union",
+    "s2_dwithin",
+    "s2_distance",
+    "s2_max_distance",
+]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _prefilter(b1, b2):
+    """(skip, value): covering pre-filter from encoded prefixes only.
+
+    Mirrors ExecutePredicate's early-outs
+    (src/s2_binary_index_ops.cpp:287-312, CoveringMayIntersect
+    :450-461): empty -> definite false; disjoint coverings ->
+    definite false.
+    """
+    if b1 is None or b2 is None:
+        return True, None
+    if (b1[1] & 1) or (b2[1] & 1):
+        return True, False
+    c1 = U.tag_covering(b1)
+    c2 = U.tag_covering(b2)
+    if len(c1) and len(c2) and not ops.coverings_overlap(c1, c2):
+        return True, False
+    return False, None
+
+
+def _binary_bool_udf(exact_fn):
+    @F.pandas_udf(BooleanType())
+    def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = []
+        for b1, b2 in zip(s1, s2):
+            b1 = bytes(b1) if b1 is not None else None
+            b2 = bytes(b2) if b2 is not None else None
+            skip, val = _prefilter(b1, b2)
+            if skip:
+                out.append(val)
+            else:
+                out.append(exact_fn(U.decode_cached(b1), U.decode_cached(b2)))
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
+@F.pandas_udf(BooleanType())
+def _mayintersect_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2 in zip(s1, s2):
+        if b1 is None or b2 is None:
+            out.append(None)
+            continue
+        b1, b2 = bytes(b1), bytes(b2)
+        if (b1[1] & 1) or (b2[1] & 1):
+            out.append(False)
+            continue
+        out.append(bool(ops.coverings_overlap(U.tag_covering(b1), U.tag_covering(b2))))
+    return pd.Series(out, dtype=object)
+
+
+_intersects_udf = _binary_bool_udf(ops.intersects)
+_contains_udf = _binary_bool_udf(ops.contains)
+_equals_udf = _binary_bool_udf(ops.equals)
+
+
+def s2_mayintersect(geog1, geog2) -> Column:
+    """Covering-overlap test straight off the binary prefix — never
+    decodes geometry (src/s2_binary_index_ops.cpp:54-83)."""
+    return _mayintersect_udf(_c(geog1), _c(geog2))
+
+
+def s2_intersects(geog1, geog2) -> Column:
+    """Exact intersection (CLOSED models), covering-prefiltered
+    (src/s2_binary_index_ops.cpp:85-106)."""
+    return _intersects_udf(_c(geog1), _c(geog2))
+
+
+def s2_contains(geog1, geog2) -> Column:
+    """geog1 contains geog2 (src/s2_binary_index_ops.cpp:108-131)."""
+    return _contains_udf(_c(geog1), _c(geog2))
+
+
+def s2_equals(geog1, geog2) -> Column:
+    """Geometric equality (src/s2_binary_index_ops.cpp:133-155)."""
+    return _equals_udf(_c(geog1), _c(geog2))
+
+
+def _overlay_udf(fn):
+    @F.pandas_udf(BinaryType())
+    def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = []
+        for b1, b2 in zip(s1, s2):
+            if b1 is None or b2 is None:
+                out.append(None)
+                continue
+            g = fn(U.decode_cached(bytes(b1)), U.decode_cached(bytes(b2)))
+            out.append(g.encode())
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
+_intersection_udf = _overlay_udf(ops.intersection)
+_difference_udf = _overlay_udf(ops.difference)
+_union_udf = _overlay_udf(ops.union)
+
+
+def s2_intersection(geog1, geog2) -> Column:
+    """Overlay A^B with the reference's empty-arg quirk (empty side ->
+    returns the other side; src/s2_binary_index_ops.cpp:328-368)."""
+    return _intersection_udf(_c(geog1), _c(geog2))
+
+
+def s2_difference(geog1, geog2) -> Column:
+    """Overlay A\\B (src/s2_binary_index_ops.cpp:370-411)."""
+    return _difference_udf(_c(geog1), _c(geog2))
+
+
+def s2_union(geog1, geog2) -> Column:
+    """Binary overlay AvB (src/s2_binary_index_ops.cpp:413-448)."""
+    return _union_udf(_c(geog1), _c(geog2))
+
+
+def _cell_center_pair(b1, b2):
+    """Fast path: both operands are snapped cell centers
+    (src/s2_binary_index_ops.cpp:521-528, :633-640)."""
+    from ..geo.geography import KIND_CELL_CENTER
+
+    if b1[0] == KIND_CELL_CENTER and b2[0] == KIND_CELL_CENTER:
+        c1 = U.tag_covering(b1)
+        c2 = U.tag_covering(b2)
+        if len(c1) == 1 and len(c2) == 1:
+            x1 = np.stack(cm.cellid_to_center_xyz(c1), axis=1)
+            x2 = np.stack(cm.cellid_to_center_xyz(c2), axis=1)
+            from ..geo import geodesy as gd
+
+            return float(gd.angle(x1, x2)[0]) * gd.EARTH_RADIUS_METERS
+    return None
+
+
+@F.pandas_udf(DoubleType())
+def _distance_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2 in zip(s1, s2):
+        if b1 is None or b2 is None:
+            out.append(None)
+            continue
+        b1, b2 = bytes(b1), bytes(b2)
+        if (b1[1] & 1) or (b2[1] & 1):
+            out.append(float("inf"))
+            continue
+        fast = _cell_center_pair(b1, b2)
+        if fast is not None:
+            out.append(fast)
+        else:
+            out.append(ops.distance(U.decode_cached(b1), U.decode_cached(b2)))
+    return U.float_series(out)
+
+
+@F.pandas_udf(DoubleType())
+def _max_distance_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2 in zip(s1, s2):
+        if b1 is None or b2 is None:
+            out.append(None)
+            continue
+        b1, b2 = bytes(b1), bytes(b2)
+        if (b1[1] & 1) or (b2[1] & 1):
+            out.append(float("inf"))
+            continue
+        out.append(ops.max_distance(U.decode_cached(b1), U.decode_cached(b2)))
+    return U.float_series(out)
+
+
+def s2_distance(geog1, geog2) -> Column:
+    """Min geodesic distance in meters; empty -> inf
+    (src/s2_binary_index_ops.cpp:546-569)."""
+    return _distance_udf(_c(geog1), _c(geog2))
+
+
+def s2_max_distance(geog1, geog2) -> Column:
+    """Max geodesic distance in meters (src/s2_binary_index_ops.cpp:571-592)."""
+    return _max_distance_udf(_c(geog1), _c(geog2))
+
+
+@F.pandas_udf(BooleanType())
+def _dwithin_udf(s1: pd.Series, s2: pd.Series, dist: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2, d in zip(s1, s2, dist):
+        if b1 is None or b2 is None or d is None:
+            out.append(None)
+            continue
+        b1, b2 = bytes(b1), bytes(b2)
+        if (b1[1] & 1) or (b2[1] & 1):
+            out.append(False)  # empties false even for d=inf
+            continue
+        fast = _cell_center_pair(b1, b2)
+        if fast is not None:
+            out.append(fast <= d)
+        else:
+            out.append(ops.dwithin(U.decode_cached(b1), U.decode_cached(b2), float(d)))
+    return pd.Series(out, dtype=object)
+
+
+def s2_dwithin(geog1, geog2, distance) -> Column:
+    """distance(g1, g2) <= meters; empties -> false
+    (src/s2_binary_index_ops.cpp:464-543)."""
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    return _dwithin_udf(_c(geog1), _c(geog2), d.cast(DoubleType()))

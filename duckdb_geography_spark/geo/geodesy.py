@@ -1,0 +1,221 @@
+"""Spherical geometry primitives (numpy), matching S2 semantics.
+
+Clean-room implementations of the standard spherical algorithms the
+reference gets from s2geometry: geodesic angle/distance, point-to-
+segment distance, edge crossings, point-in-loop, spherical polygon
+area (Van Oosterom & Strackee solid-angle fan sum).
+
+Distances are returned in **radians**; multiply by
+:data:`EARTH_RADIUS_METERS` (S2Earth's mean radius) for meters
+(reference: src/s2_binary_index_ops.cpp:601-603 scales the same way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: S2Earth::RadiusMeters() — mean earth radius used by the reference
+EARTH_RADIUS_METERS = 6371010.0
+
+
+def lonlat_deg_to_xyz(coords: np.ndarray) -> np.ndarray:
+    """(n,2) lon/lat degrees -> (n,3) unit vectors."""
+    lon = np.radians(coords[:, 0])
+    lat = np.radians(coords[:, 1])
+    cos_lat = np.cos(lat)
+    return np.stack([cos_lat * np.cos(lon), cos_lat * np.sin(lon), np.sin(lat)], axis=1)
+
+
+def xyz_to_lonlat_deg(pts: np.ndarray) -> np.ndarray:
+    """(n,3) unit vectors -> (n,2) lon/lat degrees (snapped values)."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    return np.stack([lon, lat], axis=1)
+
+
+def angle(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Angle between unit vectors in radians, via the chord formula
+    (2*asin(|a-b|/2)) — S1ChordAngle's conversion, numerically stable
+    for small angles and what S2 distance queries produce."""
+    d = a - b
+    chord2 = np.sum(d * d, axis=-1)
+    return 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(chord2)))
+
+
+def max_angle(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Angle via the antipodal chord (for furthest-distance queries)."""
+    d = a + b
+    chord2 = np.sum(d * d, axis=-1)
+    return np.pi - 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(chord2)))
+
+
+def polyline_length(vertices_xyz: np.ndarray) -> float:
+    """Sum of geodesic edge lengths, radians."""
+    if len(vertices_xyz) < 2:
+        return 0.0
+    return float(np.sum(angle(vertices_xyz[:-1], vertices_xyz[1:])))
+
+
+def ring_perimeter(ring_xyz: np.ndarray) -> float:
+    """Perimeter of a closed ring (closing edge included), radians."""
+    if len(ring_xyz) < 2:
+        return 0.0
+    nxt = np.roll(ring_xyz, -1, axis=0)
+    return float(np.sum(angle(ring_xyz, nxt)))
+
+
+def ring_signed_area(ring_xyz: np.ndarray) -> float:
+    """Signed spherical area of a ring (steradians), CCW positive.
+
+    Fan of spherical triangles from vertex 0, each measured with the
+    Van Oosterom & Strackee solid-angle formula
+    (tan(E/2) = v0.(v1 x v2) / (1 + v0.v1 + v1.v2 + v2.v0)).
+    """
+    n = len(ring_xyz)
+    if n < 3:
+        return 0.0
+    v0 = ring_xyz[0]
+    v1 = ring_xyz[1:-1]
+    v2 = ring_xyz[2:]
+    triple = np.einsum("ij,ij->i", np.cross(np.broadcast_to(v0, v1.shape), v1), v2)
+    denom = 1.0 + v1 @ v0 + np.einsum("ij,ij->i", v1, v2) + v2 @ v0
+    return float(np.sum(2.0 * np.arctan2(triple, denom)))
+
+
+def ring_area(ring_xyz: np.ndarray) -> float:
+    """Unsigned ring area normalized like an S2 loop: the enclosed
+    region is the smaller-area side (<= 2*pi steradians)."""
+    a = abs(ring_signed_area(ring_xyz))
+    return min(a, 4.0 * np.pi - a)
+
+
+def point_segment_distance(x, a, b) -> np.ndarray:
+    """Min angle from point(s) x to geodesic segment(s) a-b, radians.
+
+    Fully broadcastable over leading dimensions of (..., 3) inputs.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x, a, b = np.broadcast_arrays(x, a, b)
+    n = np.cross(a, b)
+    nn = np.einsum("...i,...i->...", n, n)
+    end_min = np.minimum(angle(x, a), angle(x, b))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.einsum("...i,...i->...", x, n) / np.where(nn > 0, nn, 1.0)
+        p = x - t[..., None] * n
+        pn = np.sqrt(np.einsum("...i,...i->...", p, p))
+        pu = p / np.where(pn > 0, pn, 1.0)[..., None]
+    within = (np.einsum("...i,...i->...", np.cross(a, pu), n) >= 0) & (
+        np.einsum("...i,...i->...", np.cross(pu, b), n) >= 0
+    )
+    ok = (nn > 1e-30) & (pn > 1e-30) & within
+    return np.where(ok, angle(x, pu), end_min)
+
+
+def _det3(a, b, c) -> np.ndarray:
+    return np.einsum("...i,...i->...", np.cross(a, b), c)
+
+
+def segments_cross(a0, a1, b0, b1) -> np.ndarray:
+    """Proper-crossing test for geodesic segments (broadcastable).
+
+    True when the interiors cross; boundary touches count as crossing
+    (CLOSED-model friendly, matching the reference's configured
+    polygon/polyline models, src/include/global_options.hpp:11-14).
+    """
+    d1 = _det3(a0, a1, b0)
+    d2 = _det3(a0, a1, b1)
+    d3 = _det3(b0, b1, a0)
+    d4 = _det3(b0, b1, a1)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    # the two candidate crossing points are +-(n1 x n2); require one of
+    # them to lie on both arcs (rules out antipodal false positives)
+    touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+    cross = proper & _same_hemisphere(a0, a1, b0, b1)
+    return cross | (touch & _touch_on_arc(a0, a1, b0, b1))
+
+
+def _same_hemisphere(a0, a1, b0, b1) -> np.ndarray:
+    mid_a = a0 + a1
+    mid_b = b0 + b1
+    return np.einsum("...i,...i->...", mid_a, mid_b) > 0
+
+
+def _touch_on_arc(a0, a1, b0, b1) -> np.ndarray:
+    """Endpoint-on-segment check used for the degenerate touch cases."""
+    eps = 1e-15
+    out = point_segment_distance(b0, a0, a1) <= eps
+    out |= point_segment_distance(b1, a0, a1) <= eps
+    out |= point_segment_distance(a0, b0, b1) <= eps
+    out |= point_segment_distance(a1, b0, b1) <= eps
+    return out
+
+
+def point_on_segment(x, a, b, eps=1e-15) -> np.ndarray:
+    """True when x lies on the geodesic segment a-b (within eps rad)."""
+    return point_segment_distance(x, a, b) <= eps
+
+
+def winding_number(x: np.ndarray, ring_xyz: np.ndarray) -> int:
+    """Winding of a closed ring around point x (tangent-plane angles).
+
+    +-1 when x is enclosed, 0 outside. Points very near the boundary
+    are resolved by :func:`point_on_segment` in callers.
+    """
+    # tangent-plane directions of each vertex as seen from x
+    d = ring_xyz - np.outer(ring_xyz @ x, x)
+    norms = np.linalg.norm(d, axis=1)
+    if np.any(norms < 1e-14):
+        return 1  # a vertex coincides with x -> treat as contained (CLOSED)
+    d = d / norms[:, None]
+    d_next = np.roll(d, -1, axis=0)
+    cosang = np.clip(np.einsum("ij,ij->i", d, d_next), -1.0, 1.0)
+    sinang = np.einsum("ij,ij->i", np.cross(d, d_next), np.broadcast_to(x, d.shape))
+    total = np.sum(np.arctan2(sinang, cosang))
+    return int(np.round(total / (2.0 * np.pi)))
+
+
+def ring_contains_point(ring_xyz: np.ndarray, x: np.ndarray, closed: bool = True) -> bool:
+    """Point-in-ring with CLOSED boundary semantics (boundary counts)."""
+    if len(ring_xyz) < 3:
+        return False
+    if closed:
+        nxt = np.roll(ring_xyz, -1, axis=0)
+        for i in range(len(ring_xyz)):
+            if point_segment_distance(x[None, :], ring_xyz[i], nxt[i])[0] <= 1e-15:
+                return True
+    return winding_number(x, ring_xyz) != 0
+
+
+def min_distance_point_to_ring_edges(x: np.ndarray, ring_xyz: np.ndarray) -> float:
+    nxt = np.roll(ring_xyz, -1, axis=0)
+    best = np.inf
+    for i in range(len(ring_xyz)):
+        best = min(best, float(point_segment_distance(x[None, :], ring_xyz[i], nxt[i])[0]))
+    return best
+
+
+def min_distance_point_to_polyline(x: np.ndarray, line_xyz: np.ndarray) -> float:
+    if len(line_xyz) == 0:
+        return np.inf
+    if len(line_xyz) == 1:
+        return float(angle(x[None, :], line_xyz[:1])[0])
+    best = np.inf
+    for i in range(len(line_xyz) - 1):
+        best = min(best, float(point_segment_distance(x[None, :], line_xyz[i], line_xyz[i + 1])[0]))
+    return best
+
+
+def segment_segment_min_distance(a0, a1, b0, b1) -> float:
+    """Min angle between two geodesic segments."""
+    if segments_cross(a0[None, :], a1[None, :], b0[None, :], b1[None, :])[0]:
+        return 0.0
+    cands = [
+        point_segment_distance(a0[None, :], b0, b1)[0],
+        point_segment_distance(a1[None, :], b0, b1)[0],
+        point_segment_distance(b0[None, :], a0, a1)[0],
+        point_segment_distance(b1[None, :], a0, a1)[0],
+    ]
+    return float(min(cands))

@@ -1,0 +1,563 @@
+"""Geometry operations over decoded :class:`Geography` values.
+
+Semantics follow the reference's contracts (CLOSED polygon/polyline
+models, src/include/global_options.hpp:11-14; empty-input behaviors
+from src/s2_binary_index_ops.cpp and src/s2_accessors.cpp — see each
+function).
+
+Overlay status (v1): empty/disjoint/containment cases implement the
+reference's documented quirks exactly; the general partial-overlap
+polygon clip is not yet implemented and raises ``NotImplementedError``
+(tracked gap; the reference gets this from S2BooleanOperation).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..s2 import cellmath as cm
+from . import geodesy as gd
+from .geography import (
+    KIND_CELL_CENTER,
+    KIND_COLLECTION,
+    KIND_LINESTRING,
+    KIND_MULTILINESTRING,
+    KIND_MULTIPOINT,
+    KIND_MULTIPOLYGON,
+    KIND_POINT,
+    KIND_POLYGON,
+    KIND_PREPARED,
+    Geography,
+)
+
+R = gd.EARTH_RADIUS_METERS
+INF = float("inf")
+
+# ---------------------------------------------------------------------------
+# accessors
+# ---------------------------------------------------------------------------
+
+
+def area(g: Geography) -> float:
+    """Spherical area in m^2; 0 for dim < 2 (src/s2_accessors.cpp:152-208)."""
+    total = 0.0
+    for rings in g.all_polygons():
+        for i, r in enumerate(rings):
+            if len(r) < 3:
+                continue
+            a = gd.ring_area(gd.lonlat_deg_to_xyz(r))
+            total += a if i == 0 else -a
+    return total * R * R
+
+
+def perimeter(g: Geography) -> float:
+    """Sum of polygon ring lengths in m; 0 for non-polygons
+    (src/s2_accessors.cpp:210-267)."""
+    total = 0.0
+    for rings in g.all_polygons():
+        for r in rings:
+            if len(r) >= 2:
+                total += gd.ring_perimeter(gd.lonlat_deg_to_xyz(r))
+    return total * R
+
+
+def length(g: Geography) -> float:
+    """Sum of polyline lengths in m; 0 otherwise
+    (src/s2_accessors.cpp:269-323)."""
+    total = 0.0
+    for l in g.all_lines():
+        total += gd.polyline_length(gd.lonlat_deg_to_xyz(l))
+    return total * R
+
+
+def x_coord(g: Geography) -> float:
+    """Longitude of a single point; NaN otherwise
+    (src/s2_accessors.cpp:325-409)."""
+    p = _lonlat_of_single_point(g)
+    return p[0] if p is not None else math.nan
+
+
+def y_coord(g: Geography) -> float:
+    p = _lonlat_of_single_point(g)
+    return p[1] if p is not None else math.nan
+
+
+def _lonlat_of_single_point(g: Geography):
+    if g.dimension() != 0 and g.kind not in (KIND_COLLECTION, KIND_PREPARED):
+        return None
+    if g.all_lines() or g.all_polygons():
+        return None
+    pts = g.all_points()
+    if len(pts) != 1:
+        return None
+    return pts[0]
+
+
+# ---------------------------------------------------------------------------
+# component extraction shared by predicates/distances
+# ---------------------------------------------------------------------------
+
+
+class _Parts:
+    """Unit-vector components of a geography, computed once."""
+
+    def __init__(self, g: Geography):
+        self.g = g
+        self.points = g.points_xyz()
+        self.lines = [gd.lonlat_deg_to_xyz(l) for l in g.all_lines() if len(l)]
+        self.polygons = [
+            [gd.lonlat_deg_to_xyz(r) for r in rings if len(r) >= 3]
+            for rings in g.all_polygons()
+        ]
+        self.polygons = [p for p in self.polygons if p]
+
+    def poly_contains(self, x: np.ndarray) -> bool:
+        """CLOSED-model containment in any polygon (shell minus holes)."""
+        for rings in self.polygons:
+            shell = rings[0]
+            on_boundary = any(
+                _point_on_ring_boundary(x, r) for r in rings
+            )
+            if on_boundary:
+                return True
+            if gd.winding_number(x, shell) != 0:
+                holes = rings[1:]
+                if all(gd.winding_number(x, h) == 0 for h in holes):
+                    return True
+        return False
+
+    def edges(self) -> List[Tuple[np.ndarray, np.ndarray]]:
+        out = []
+        for l in self.lines:
+            if len(l) >= 2:
+                out.append((l[:-1], l[1:]))
+        for rings in self.polygons:
+            for r in rings:
+                out.append((r, np.roll(r, -1, axis=0)))
+        return out
+
+
+def _point_on_ring_boundary(x, ring) -> bool:
+    nxt = np.roll(ring, -1, axis=0)
+    for i in range(len(ring)):
+        if gd.point_segment_distance(x[None, :], ring[i], nxt[i])[0] <= 1e-15:
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
+
+
+def intersects(g1: Geography, g2: Geography) -> bool:
+    """Exact intersection test; empties -> false
+    (src/s2_binary_index_ops.cpp:85-106, :287-312)."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    a, b = _Parts(g1), _Parts(g2)
+    return _parts_intersect(a, b)
+
+
+def _parts_intersect(a: "_Parts", b: "_Parts") -> bool:
+    # point vs point: exact shared location (snapped points compare equal)
+    if len(a.points) and len(b.points):
+        d = gd.angle(a.points[:, None, :], b.points[None, :, :])
+        if np.any(d <= 1e-15):
+            return True
+    # point vs line/polygon
+    for pts, other in ((a.points, b), (b.points, a)):
+        for i in range(len(pts)):
+            x = pts[i]
+            if other.poly_contains(x):
+                return True
+            for l in other.lines:
+                if gd.min_distance_point_to_polyline(x, l) <= 1e-15:
+                    return True
+    # line/ring edge crossings
+    ea, eb = a.edges(), b.edges()
+    for a0, a1 in ea:
+        for b0, b1 in eb:
+            A0 = a0[:, None, :]
+            A1 = a1[:, None, :]
+            B0 = b0[None, :, :]
+            B1 = b1[None, :, :]
+            if np.any(gd.segments_cross(A0, A1, B0, B1)):
+                return True
+    # containment without boundary touch (one inside the other)
+    for src, dst in ((a, b), (b, a)):
+        probe = None
+        if len(src.points):
+            probe = src.points[0]
+        elif src.lines:
+            probe = src.lines[0][0]
+        elif src.polygons:
+            probe = src.polygons[0][0][0]
+        if probe is not None and dst.poly_contains(probe):
+            return True
+    return False
+
+
+def contains(g1: Geography, g2: Geography) -> bool:
+    """g1 fully contains g2 (CLOSED model); empties -> false
+    (src/s2_binary_index_ops.cpp:108-131)."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    a, b = _Parts(g1), _Parts(g2)
+    if b.polygons and not a.polygons:
+        return False
+    if b.lines and not (a.polygons or a.lines):
+        return False
+    # every point of g2 must be covered
+    for i in range(len(b.points)):
+        if not _covers_point(a, b.points[i]):
+            return False
+    for l in b.lines:
+        for i in range(len(l)):
+            if not _covers_point(a, l[i]):
+                return False
+        if a.polygons and _crosses_boundary_transversally(a, l):
+            return False
+    for rings in b.polygons:
+        for r in rings:
+            for i in range(len(r)):
+                if not _covers_point(a, r[i]):
+                    return False
+            if a.polygons and _crosses_boundary_transversally(a, r, ring=True):
+                return False
+    return True
+
+
+def _covers_point(parts: "_Parts", x: np.ndarray) -> bool:
+    if parts.poly_contains(x):
+        return True
+    for l in parts.lines:
+        if gd.min_distance_point_to_polyline(x, l) <= 1e-15:
+            return True
+    if len(parts.points):
+        if np.any(gd.angle(parts.points, np.broadcast_to(x, parts.points.shape)) <= 1e-15):
+            return True
+    return False
+
+
+def _crosses_boundary_transversally(a: "_Parts", chain: np.ndarray, ring=False) -> bool:
+    if len(chain) < 2:
+        return False
+    c0 = chain if ring else chain[:-1]
+    c1 = np.roll(chain, -1, axis=0) if ring else chain[1:]
+    for rings in a.polygons:
+        for r in rings:
+            r1 = np.roll(r, -1, axis=0)
+            d1 = np.einsum("aij,aij->ai", np.cross(c0[:, None, :], c1[:, None, :]), np.broadcast_to(r[None, :, :], (len(c0), len(r), 3)))
+            # proper crossing test, strict (boundary touching allowed in CLOSED model)
+            A0, A1 = c0[:, None, :], c1[:, None, :]
+            B0, B1 = r[None, :, :], r1[None, :, :]
+            da = gd._det3(A0, A1, B0)
+            db = gd._det3(A0, A1, B1)
+            dc = gd._det3(B0, B1, A0)
+            dd = gd._det3(B0, B1, A1)
+            if np.any((da * db < 0) & (dc * dd < 0) & gd._same_hemisphere(A0, A1, B0, B1)):
+                return True
+    return False
+
+
+def equals(g1: Geography, g2: Geography) -> bool:
+    """Geometric equality via mutual containment
+    (src/s2_binary_index_ops.cpp:133-155)."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    return contains(g1, g2) and contains(g2, g1)
+
+
+def may_intersect(g1: Geography, g2: Geography) -> bool:
+    """Covering-overlap prefilter; false negatives impossible
+    (src/s2_binary_index_ops.cpp:54-83, :450-461)."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    from ..s2.coverer import covering_of_geography
+
+    c1 = covering_of_geography(g1)
+    c2 = covering_of_geography(g2)
+    return coverings_overlap(c1, c2)
+
+
+def coverings_overlap(c1: np.ndarray, c2: np.ndarray) -> bool:
+    if not len(c1) or not len(c2):
+        return False
+    lo1, hi1 = cm.range_min(c1), cm.range_max(c1)
+    lo2, hi2 = cm.range_min(c2), cm.range_max(c2)
+    return bool(np.any((lo1[:, None] <= hi2[None, :]) & (lo2[None, :] <= hi1[:, None])))
+
+
+# ---------------------------------------------------------------------------
+# distances
+# ---------------------------------------------------------------------------
+
+
+def distance(g1: Geography, g2: Geography) -> float:
+    """Min geodesic distance in meters; empty -> inf
+    (src/s2_binary_index_ops.cpp:546-569, :617-648)."""
+    if g1.is_empty() or g2.is_empty():
+        return INF
+    a, b = _Parts(g1), _Parts(g2)
+    if _parts_intersect(a, b):
+        return 0.0
+    best = INF
+    if len(a.points) and len(b.points):
+        best = min(best, float(np.min(gd.angle(a.points[:, None, :], b.points[None, :, :]))))
+    for pts, other in ((a.points, b), (b.points, a)):
+        for i in range(len(pts)):
+            for l in other.lines:
+                best = min(best, gd.min_distance_point_to_polyline(pts[i], l))
+            for rings in other.polygons:
+                for r in rings:
+                    best = min(best, gd.min_distance_point_to_ring_edges(pts[i], r))
+    for a0, a1 in a.edges():
+        for b0, b1 in b.edges():
+            for i in range(len(a0)):
+                for j in range(len(b0)):
+                    best = min(best, gd.segment_segment_min_distance(a0[i], a1[i], b0[j], b1[j]))
+    return best * R
+
+
+def max_distance(g1: Geography, g2: Geography) -> float:
+    """Max geodesic distance in meters; empty -> inf
+    (src/s2_binary_index_ops.cpp:571-615). v1 evaluates vertex pairs
+    (edge-interior maxima near antipodes not yet handled)."""
+    if g1.is_empty() or g2.is_empty():
+        return INF
+    a, b = _Parts(g1), _Parts(g2)
+    va = _all_vertices(a)
+    vb = _all_vertices(b)
+    if not len(va) or not len(vb):
+        return INF
+    d = gd.angle(va[:, None, :], vb[None, :, :])
+    return float(np.max(d)) * R
+
+
+def _all_vertices(parts: "_Parts") -> np.ndarray:
+    chunks = [parts.points] if len(parts.points) else []
+    chunks += parts.lines
+    for rings in parts.polygons:
+        chunks += rings
+    return np.concatenate(chunks) if chunks else np.empty((0, 3))
+
+
+def dwithin(g1: Geography, g2: Geography, meters: float) -> bool:
+    """distance <= meters; empties -> false even for inf
+    (src/s2_binary_index_ops.cpp:464-543)."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    return distance(g1, g2) <= meters
+
+
+# ---------------------------------------------------------------------------
+# overlays
+# ---------------------------------------------------------------------------
+
+
+def _point_set_result(coords: np.ndarray) -> Geography:
+    if len(coords) == 0:
+        return Geography(KIND_COLLECTION)  # GEOMETRYCOLLECTION EMPTY
+    if len(coords) == 1:
+        return Geography(KIND_POINT, points=coords)
+    return Geography(KIND_MULTIPOINT, points=coords)
+
+
+def _is_pointy(g: Geography) -> bool:
+    return not g.all_lines() and not g.all_polygons() and len(g.all_points()) > 0
+
+
+def intersection(g1: Geography, g2: Geography) -> Geography:
+    """A ^ B with the reference's empty-argument quirk: if either side
+    is EMPTY the *other* side is returned
+    (src/s2_binary_index_ops.cpp:341-356; binary_index_ops.test:70-80)."""
+    if g1.is_empty():
+        return g2
+    if g2.is_empty():
+        return g1
+    if not may_intersect(g1, g2) or not intersects(g1, g2):
+        return Geography(KIND_COLLECTION)
+    if _is_pointy(g1) or _is_pointy(g2):
+        pointy, other = (g1, g2) if _is_pointy(g1) else (g2, g1)
+        op = _Parts(other)
+        pts = pointy.all_points()
+        xyz = gd.lonlat_deg_to_xyz(pts)
+        keep = [i for i in range(len(pts)) if _covers_point(op, xyz[i])]
+        return _point_set_result(pts[keep])
+    if contains(g1, g2):
+        return g2
+    if contains(g2, g1):
+        return g1
+    raise NotImplementedError(
+        "general polygon/polyline overlay intersection is not implemented yet"
+    )
+
+
+def union(g1: Geography, g2: Geography) -> Geography:
+    """A v B; empty short-circuits (src/s2_binary_index_ops.cpp:413-448)."""
+    if g1.is_empty():
+        return g2
+    if g2.is_empty():
+        return g1
+    if _is_pointy(g1) and _is_pointy(g2):
+        pts = np.concatenate([g1.all_points(), g2.all_points()])
+        # dedupe exact duplicates, preserving order
+        seen = set()
+        keep = []
+        for i, p in enumerate(pts):
+            key = (float(p[0]), float(p[1]))
+            if key not in seen:
+                seen.add(key)
+                keep.append(i)
+        return _point_set_result(pts[keep])
+    if contains(g1, g2):
+        return g1
+    if contains(g2, g1):
+        return g2
+    if not intersects(g1, g2):
+        polys1, polys2 = g1.all_polygons(), g2.all_polygons()
+        if polys1 and polys2 and not (g1.all_lines() or g2.all_lines() or len(g1.all_points()) or len(g2.all_points())):
+            return Geography(KIND_MULTIPOLYGON, polygons=polys1 + polys2)
+        return Geography(KIND_COLLECTION, geoms=[g1, g2])
+    raise NotImplementedError("general overlay union is not implemented yet")
+
+
+def difference(g1: Geography, g2: Geography) -> Geography:
+    """A \\ B; lhs empty -> EMPTY, rhs empty -> lhs, disjoint -> lhs
+    (src/s2_binary_index_ops.cpp:370-411)."""
+    if g1.is_empty():
+        return Geography(KIND_COLLECTION)
+    if g2.is_empty():
+        return g1
+    if not may_intersect(g1, g2) or not intersects(g1, g2):
+        return g1
+    if _is_pointy(g1):
+        op = _Parts(g2)
+        pts = g1.all_points()
+        xyz = gd.lonlat_deg_to_xyz(pts)
+        keep = [i for i in range(len(pts)) if not _covers_point(op, xyz[i])]
+        return _point_set_result(pts[keep])
+    if contains(g2, g1):
+        return Geography(KIND_COLLECTION)
+    raise NotImplementedError("general overlay difference is not implemented yet")
+
+
+# ---------------------------------------------------------------------------
+# bounds (S2LatLngRect semantics, degrees, antimeridian-aware)
+# ---------------------------------------------------------------------------
+
+#: S2LatLngRect::Empty() in degrees (bounds.test:36-39)
+EMPTY_RECT = (180.0, math.degrees(1.0), -180.0, 0.0)
+
+
+def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) degrees; xmin > xmax crosses the
+    antimeridian (src/s2_bounds.cpp:147-202). Latitudes account for
+    geodesic edge bulge like S2's RectBounder."""
+    if g.is_empty():
+        return EMPTY_RECT
+    parts = _Parts(g)
+    verts = _all_vertices(parts)
+    lat = np.degrees(np.arcsin(np.clip(verts[:, 2], -1, 1)))
+    lat_lo, lat_hi = float(np.min(lat)), float(np.max(lat))
+    lngs = np.degrees(np.arctan2(verts[:, 1], verts[:, 0]))
+    lng_int = _LngInterval.from_point(lngs[0])
+    for v in lngs[1:]:
+        lng_int.add_point(v)
+    # edge bulge: a geodesic edge can reach beyond its endpoint latitudes
+    for a0, a1 in parts.edges():
+        for i in range(len(a0)):
+            lo, hi = _edge_lat_extremes(a0[i], a1[i])
+            lat_lo = min(lat_lo, lo)
+            lat_hi = max(lat_hi, hi)
+    # pole containment -> full rect behavior
+    north = np.array([0.0, 0.0, 1.0])
+    south = np.array([0.0, 0.0, -1.0])
+    if parts.polygons:
+        if parts.poly_contains(north):
+            lat_hi = 90.0
+            lng_int = _LngInterval(-180.0, 180.0)
+        if parts.poly_contains(south):
+            lat_lo = -90.0
+            lng_int = _LngInterval(-180.0, 180.0)
+    return (lng_int.lo, lat_lo, lng_int.hi, lat_hi)
+
+
+def _edge_lat_extremes(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
+    la = math.degrees(math.asin(max(-1.0, min(1.0, a[2]))))
+    lb = math.degrees(math.asin(max(-1.0, min(1.0, b[2]))))
+    lo, hi = min(la, lb), max(la, lb)
+    n = np.cross(a, b)
+    nn = float(np.dot(n, n))
+    if nn < 1e-30:
+        return lo, hi
+    # northernmost point of the great circle
+    z = np.array([0.0, 0.0, 1.0])
+    t = np.cross(n, np.cross(z, n))
+    tn = float(np.linalg.norm(t))
+    if tn < 1e-30:
+        return lo, hi
+    apex = t / tn
+    for cand in (apex, -apex):
+        if _on_arc(cand, a, b, n):
+            lc = math.degrees(math.asin(max(-1.0, min(1.0, cand[2]))))
+            lo, hi = min(lo, lc), max(hi, lc)
+    return lo, hi
+
+
+def _on_arc(x, a, b, n) -> bool:
+    return bool(np.dot(np.cross(a, x), n) >= 0 and np.dot(np.cross(x, b), n) >= 0)
+
+
+class _LngInterval:
+    """S1Interval in degrees: lo > hi means wrapping across +-180."""
+
+    def __init__(self, lo: float, hi: float):
+        self.lo = lo
+        self.hi = hi
+
+    @staticmethod
+    def from_point(p: float) -> "_LngInterval":
+        if p == -180.0:
+            p = 180.0
+        return _LngInterval(p, p)
+
+    def is_full(self) -> bool:
+        return self.lo == -180.0 and self.hi == 180.0
+
+    def contains(self, p: float) -> bool:
+        if p == -180.0:
+            p = 180.0
+        if self.lo <= self.hi:
+            return self.lo <= p <= self.hi
+        return p >= self.lo or p <= self.hi
+
+    def add_point(self, p: float) -> None:
+        """Extend by the shorter side (S1Interval::AddPoint)."""
+        if p == -180.0:
+            p = 180.0
+        if self.is_full() or self.contains(p):
+            return
+        dlo = _pos_angle(self.lo - p)
+        dhi = _pos_angle(p - self.hi)
+        if dlo < dhi:
+            self.lo = p
+        else:
+            self.hi = p
+
+    def union(self, other: "_LngInterval") -> "_LngInterval":
+        out = _LngInterval(self.lo, self.hi)
+        out.add_point(other.lo)
+        out.add_point(other.hi)
+        # ensure the other interval is fully contained; if not, go full
+        if not (out.contains(other.lo) and out.contains(other.hi)):
+            return _LngInterval(-180.0, 180.0)
+        return out
+
+
+def _pos_angle(d: float) -> float:
+    return d % 360.0
