@@ -1,38 +1,809 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship covering-equi-join (customers in
+nation polygons) on sf0.001. ``queries()`` exposes one entry per
+implemented operator family from SURVEY.md S2 plus the LLM-pipeline
+operators; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+
+Oracle design notes (duckdb_geography_spark/synth.py holds the paired
+derivations):
+- lon/lat/cells derive from integer keys with arithmetic that is
+  bit-identical in Spark and DuckDB;
+- s2_cellfromlonlat's oracle is an independent recursive-CTE
+  implementation of the S2 projection + Hilbert curve (validated
+  bit-exact);
+- double aggregations route through integer cents so sums are exact
+  and order-independent in both engines;
+- queries whose semantics a SQL oracle cannot express (coverer
+  internals, minhash/simhash signatures involving xxhash64) are
+  registered without an oracle -> the driver records rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _prep(spark: SparkSession):
+    from duckdb_geography_spark.session import attach
+
+    attach(spark)
+    # the driver's parquet uses TIMESTAMP(NANOS) which Spark rejects;
+    # read them as epoch-nanos longs and convert in _t
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+#: columns stored as TIMESTAMP(NANOS) in the driver's parquet
+_NANO_TS = {"ts", "o_orderdate", "l_shipdate"}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name in _NANO_TS and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+            )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers-in-nation-rectangles via buffered covering equi-join
+    + exact box refine (SURVEY.md S4.3 covering-join recipe)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        synth.cust_lon().alias("lon"),
+        synth.cust_lat().alias("lat"),
+    )
+    pts = cust.withColumn("cell", C.s2_cellfromlonlat("lon", "lat"))
+    nation = _t(spark, sf_dir, "nation")
+    xmin, ymin, xmax, ymax = synth.nation_box()
+    nations = nation.select(
+        "n_nationkey",
+        "n_name",
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        xmax.alias("xmax"),
+        ymax.alias("ymax"),
+    )
+    # covering equi-join: nation polygons (geodesic) covered with a
+    # buffer >= the geodesic-vs-parallel bulge, so the box refine is a
+    # strict filter of a guaranteed superset
+    from duckdb_geography_spark import joins as J
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    geo_nations = nation.select(
+        "n_nationkey", s2_geogfromtext(synth.nation_wkt()).alias("geog")
+    )
+    level = 4
+    r = geo_nations.withColumn(
+        "__cell", F.explode(J._buffered_covering_udf(level, 0.07)(F.col("geog")))
+    ).select("n_nationkey", "__cell")
+    p = pts.withColumn("__cell", C.s2_cell_parent(F.col("cell"), level))
+    cand = p.join(F.broadcast(r), "__cell").drop("__cell")
+    refined = cand.join(F.broadcast(nations), "n_nationkey").where(
+        (F.col("lon") >= F.col("xmin"))
+        & (F.col("lon") <= F.col("xmax"))
+        & (F.col("lat") >= F.col("ymin"))
+        & (F.col("lat") <= F.col("ymax"))
+    )
+    return (
+        refined.groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_nationkey")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+FLAGSHIP_ORACLE = """
+SELECT n.n_nationkey, n.n_name, count(*) AS n_customers
+FROM customer c
+JOIN nation n
+  ON ((c.c_custkey * 2654435761 % 360000) / 1000.0 - 180.0) >= ((n.n_nationkey % 6) * 60.0 - 180.0)
+ AND ((c.c_custkey * 2654435761 % 360000) / 1000.0 - 180.0) <= ((n.n_nationkey % 6) * 60.0 - 180.0) + 55.0
+ AND ((c.c_custkey * 40503 % 180000) / 1000.0 - 90.0) >= (floor(n.n_nationkey / 6) * 30.0 - 60.0)
+ AND ((c.c_custkey * 40503 % 180000) / 1000.0 - 90.0) <= (floor(n.n_nationkey / 6) * 30.0 - 60.0) + 25.0
+GROUP BY n.n_nationkey, n.n_name
+ORDER BY n.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# host-engine analytics (SURVEY.md S2.9 surface)
+# ---------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(cents("l_extendedprice") * cents("l_discount")).alias("sum_disc_cc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_cc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_orders(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"))
+        .agg(F.sum(rev).alias("revenue_cc"))
+        .orderBy(F.desc("revenue_cc"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cc
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+ORDER BY revenue_cc DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _q_events_hourly(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("value_micro"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  count(*) AS n,
+  CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS value_micro
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _q_region_rollup(spark, sf_dir):
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_c"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_REGION_ROLLUP_SQL = """
+SELECT r_name, count(*) AS n_customers,
+  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_c
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# cell operators (SURVEY.md S2.7)
+# ---------------------------------------------------------------------------
+
+
+def _q_cell_bitops(spark, sf_dir):
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    cell = synth.key_cell("c_custkey")
+    return cust.select(
+        "c_custkey",
+        cell.alias("cell"),
+        C.s2_cell_level(cell).alias("level"),
+        C.s2_cell_parent(cell, 5).alias("parent5"),
+        C.s2_cell_range_min(C.s2_cell_parent(cell, 5)).alias("rmin5"),
+        C.s2_cell_range_max(C.s2_cell_parent(cell, 5)).alias("rmax5"),
+        C.s2_cell_token(cell).alias("token"),
+        C.s2_cell_from_token(C.s2_cell_token(cell)).alias("token_rt"),
+        C.s2_cell_contains(C.s2_cell_parent(cell, 5), cell).alias("parent_contains"),
+    ).orderBy("c_custkey")
+
+
+def _cell_bitops_sql():
+    from duckdb_geography_spark import synth
+
+    cell = synth.key_cell_sql_expr("c_custkey")
+    p5 = synth.cell_parent_sql(cell, 5)
+    return f"""
+SELECT c_custkey,
+  {cell} AS cell,
+  {synth.cell_level_sql(cell)} AS level,
+  {p5} AS parent5,
+  {synth.cell_range_min_sql(p5)} AS rmin5,
+  {synth.cell_range_max_sql(p5)} AS rmax5,
+  {synth.cell_token_sql(cell)} AS token,
+  {cell} AS token_rt,
+  ({synth.cell_range_min_sql(p5)} <= {cell} AND {cell} <= {synth.cell_range_max_sql(p5)}) AS parent_contains
+FROM customer ORDER BY c_custkey
+"""
+
+
+def _q_cellfromlonlat(spark, sf_dir):
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", synth.cust_lon().alias("lon"), synth.cust_lat().alias("lat")
+    )
+    leaf = C.s2_cellfromlonlat("lon", "lat")
+    return cust.select(
+        "c_custkey",
+        leaf.alias("cell"),
+        C.s2_cell_token(C.s2_cell_parent(leaf, 10)).alias("token10"),
+    ).orderBy("c_custkey")
+
+
+def _cellfromlonlat_sql():
+    from duckdb_geography_spark import synth
+
+    pts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, {synth.CUST_LAT_SQL} AS lat "
+        "FROM customer"
+    )
+    p10 = synth.cell_parent_sql("cell", 10)
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(pts)}
+SELECT k AS c_custkey, cell,
+  {synth.cell_token_sql(p10)} AS token10
+FROM cellids ORDER BY k
+"""
+
+
+def _q_cell_containment(spark, sf_dir):
+    """Range-containment join: customer leaf cells inside each
+    nation's synthetic level-2 cell (pure-Column range predicates)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", synth.cust_lon().alias("lon"), synth.cust_lat().alias("lat")
+    )
+    pts = cust.select("c_custkey", C.s2_cellfromlonlat("lon", "lat").alias("cell"))
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", C.s2_cell_parent(synth.key_cell("n_nationkey"), 2).alias("ncell")
+    )
+    joined = pts.join(
+        F.broadcast(nation),
+        C.s2_cell_contains(F.col("ncell"), F.col("cell")),
+    )
+    return (
+        joined.groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_inside"))
+        .orderBy("n_nationkey")
+    )
+
+
+def _cell_containment_sql():
+    from duckdb_geography_spark import synth
+
+    pts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, {synth.CUST_LAT_SQL} AS lat "
+        "FROM customer"
+    )
+    ncell = synth.cell_parent_sql(synth.key_cell_sql_expr("n_nationkey"), 2)
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(pts)}
+SELECT n.n_nationkey, count(*) AS n_inside
+FROM cellids c JOIN nation n
+  ON {synth.cell_range_min_sql(ncell)} <= c.cell
+ AND c.cell <= {synth.cell_range_max_sql(ncell)}
+GROUP BY n.n_nationkey ORDER BY n.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# geography operators
+# ---------------------------------------------------------------------------
+
+
+def _q_pip_join(spark, sf_dir):
+    return _flagship(spark, sf_dir)
+
+
+def _q_wkt_roundtrip(spark, sf_dir):
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.io import s2_format, s2_geogfromtext
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", synth.cust_ilon().alias("ilon"), synth.cust_ilat().alias("ilat")
+    )
+    wkt = F.format_string("POINT (%d %d)", F.col("ilon"), F.col("ilat"))
+    return cust.select(
+        "c_custkey", s2_format(s2_geogfromtext(wkt), 6).alias("wkt6")
+    ).orderBy("c_custkey")
+
+
+def _wkt_roundtrip_sql():
+    from duckdb_geography_spark import synth
+
+    return f"""
+SELECT c_custkey,
+  'POINT (' || {synth.CUST_ILON_SQL}
+  || ' ' || {synth.CUST_ILAT_SQL} || ')' AS wkt6
+FROM customer ORDER BY c_custkey
+"""
+
+
+def _q_rect_measures(spark, sf_dir):
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.accessors import s2_area, s2_perimeter
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation")
+    g = s2_geogfromtext(synth.nation_wkt())
+    return nation.select(
+        "n_nationkey",
+        F.round(s2_area(g)).cast("long").alias("area_m2"),
+        F.round(s2_perimeter(g)).cast("long").alias("perimeter_m"),
+    ).orderBy("n_nationkey")
+
+
+def _rect_measures_sql():
+    from duckdb_geography_spark import synth
+
+    # Van Oosterom-Strackee fan over the rect's two triangles, plus
+    # chord-angle perimeter — the same math the engine runs in numpy.
+    return f"""
+WITH corners AS (
+  SELECT n_nationkey,
+    radians({synth.NATION_XMIN_SQL}) AS lx, radians({synth.NATION_YMIN_SQL}) AS ly,
+    radians({synth.NATION_XMAX_SQL}) AS hx, radians({synth.NATION_YMAX_SQL}) AS hy
+  FROM nation),
+v AS (
+  SELECT n_nationkey,
+    cos(ly)*cos(lx) AS x0, cos(ly)*sin(lx) AS y0, sin(ly) AS z0,
+    cos(ly)*cos(hx) AS x1, cos(ly)*sin(hx) AS y1, sin(ly) AS z1,
+    cos(hy)*cos(hx) AS x2, cos(hy)*sin(hx) AS y2, sin(hy) AS z2,
+    cos(hy)*cos(lx) AS x3, cos(hy)*sin(lx) AS y3, sin(hy) AS z3
+  FROM corners),
+tri AS (
+  SELECT n_nationkey,
+    2*atan2(
+      x0*(y1*z2 - z1*y2) - y0*(x1*z2 - z1*x2) + z0*(x1*y2 - y1*x2),
+      1 + (x0*x1+y0*y1+z0*z1) + (x1*x2+y1*y2+z1*z2) + (x2*x0+y2*y0+z2*z0)
+    ) AS e1,
+    2*atan2(
+      x0*(y2*z3 - z2*y3) - y0*(x2*z3 - z2*x3) + z0*(x2*y3 - y2*x3),
+      1 + (x0*x2+y0*y2+z0*z2) + (x2*x3+y2*y3+z2*z3) + (x3*x0+y3*y0+z3*z0)
+    ) AS e2,
+    2*asin(least(1.0, 0.5*sqrt((x0-x1)*(x0-x1)+(y0-y1)*(y0-y1)+(z0-z1)*(z0-z1)))) AS s01,
+    2*asin(least(1.0, 0.5*sqrt((x1-x2)*(x1-x2)+(y1-y2)*(y1-y2)+(z1-z2)*(z1-z2)))) AS s12,
+    2*asin(least(1.0, 0.5*sqrt((x2-x3)*(x2-x3)+(y2-y3)*(y2-y3)+(z2-z3)*(z2-z3)))) AS s23,
+    2*asin(least(1.0, 0.5*sqrt((x3-x0)*(x3-x0)+(y3-y0)*(y3-y0)+(z3-z0)*(z3-z0)))) AS s30
+  FROM v)
+SELECT n_nationkey,
+  CAST(round(abs(e1+e2) * 6371010.0 * 6371010.0) AS BIGINT) AS area_m2,
+  CAST(round((s01+s12+s23+s30) * 6371010.0) AS BIGINT) AS perimeter_m
+FROM tri ORDER BY n_nationkey
+"""
+
+
+def _q_haversine_pairs(spark, sf_dir):
+    """Distance join customer x supplier within 2,000 km — pure-Column
+    great-circle math (the pointwise fast path of s2_distance)."""
+    from duckdb_geography_spark import synth
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", synth.cust_lon().alias("clon"), synth.cust_lat().alias("clat")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", synth.supp_lon().alias("slon"), synth.supp_lat().alias("slat")
+    )
+    p1, l1 = F.radians("clat"), F.radians("clon")
+    p2, l2 = F.radians("slat"), F.radians("slon")
+    h = (
+        F.sin((p2 - p1) / 2) ** 2
+        + F.cos(p1) * F.cos(p2) * F.sin((l2 - l1) / 2) ** 2
+    )
+    dist = F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.sqrt(h))) * F.lit(6371010.0)
+    return (
+        cust.crossJoin(F.broadcast(supp))
+        .where(dist <= 2_000_000)
+        .select("c_custkey", "s_suppkey", F.round(dist).cast("long").alias("dist_m"))
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+_HAVERSINE_PAIRS_SQL = """
+WITH c AS (SELECT c_custkey,
+    radians((c_custkey * 40503 % 180000) / 1000.0 - 90.0) AS p1,
+    radians((c_custkey * 2654435761 % 360000) / 1000.0 - 180.0) AS l1
+  FROM customer),
+s AS (SELECT s_suppkey,
+    radians((s_suppkey * 20261 % 180000) / 1000.0 - 90.0) AS p2,
+    radians((s_suppkey * 1327217885 % 360000) / 1000.0 - 180.0) AS l2
+  FROM supplier),
+d AS (SELECT c_custkey, s_suppkey,
+    2.0 * asin(least(1.0, sqrt( sin((p2-p1)/2)^2 + cos(p1)*cos(p2)*sin((l2-l1)/2)^2 ))) * 6371010.0 AS dist
+  FROM c CROSS JOIN s)
+SELECT c_custkey, s_suppkey, CAST(round(dist) AS BIGINT) AS dist_m
+FROM d WHERE dist <= 2000000
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+def _q_covering_sizes(spark, sf_dir):
+    """Adaptive coverings of nation polygons (no SQL oracle — coverer
+    internals; rows-only check)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.bounds import s2_covering
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation")
+    g = s2_geogfromtext(synth.nation_wkt())
+    return nation.select(
+        "n_nationkey", F.size(s2_covering(g)).alias("n_cells")
+    ).orderBy("n_nationkey")
+
+
+def _q_bounds_box_agg(spark, sf_dir):
+    """bounds_box_agg over customer points per mktsegment (rows-only:
+    S1Interval union semantics aren't reasonably SQL-expressible)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.bounds import bounds_box_agg_df
+    from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
+    from duckdb_geography_spark.functions import cells as C
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        s2_cell_center_to_geography(
+            C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat())
+        ).alias("geog"),
+    )
+    return bounds_box_agg_df(cust, "geog", ["c_mktsegment"]).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# LLM pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from duckdb_geography_spark.llm.dedup import exact_dedup
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+def _q_text_stats(spark, sf_dir):
+    from duckdb_geography_spark.llm import textstats as T
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_count("text").alias("n_char"),
+        T.token_count("text").alias("n_tok"),
+        T.word_count("text").alias("n_word"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_r"),
+        F.round(T.stopword_ratio("text"), 6).alias("stop_r"),
+        T.fingerprint_md5("text").alias("fp"),
+    ).orderBy("doc_id")
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+  length(text) AS n_char,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_word,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text), 6) END AS punct_r,
+  CASE WHEN length(trim(text)) = 0 THEN 0.0
+       ELSE round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+            w -> list_contains(['the','and','of','to','in','is','that','with','for','was'], w))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\\s+')), 6) END AS stop_r,
+  md5(text) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_langid(spark, sf_dir):
+    from duckdb_geography_spark.llm import textstats as T
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.langid("text").alias("lang_pred")).orderBy("doc_id")
+
+
+def _langid_sql():
+    from duckdb_geography_spark.llm.textstats import STOPWORDS
+
+    hits = {
+        lang: (
+            "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"w -> list_contains({list(words)!r}, w)))".replace("'", "''").replace('"', "'")
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    # build hit-count CTE then fixed-order argmax
+    cols = ", ".join(
+        f"len(list_filter(toks, w -> list_contains({_sql_list(words)}, w))) AS h_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    first = list(STOPWORDS)
+    cond = " ".join(
+        f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'" for lang in first
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+hits AS (
+  SELECT doc_id, {cols} FROM toks),
+best AS (
+  SELECT doc_id, h_en, h_de, h_fr, h_es, greatest(h_en, h_de, h_fr, h_es) AS best FROM hits)
+SELECT doc_id, CASE {cond} ELSE 'und' END AS lang_pred
+FROM best ORDER BY doc_id
+"""
+
+
+def _sql_list(words):
+    inner = ",".join("'" + w + "'" for w in words)
+    return f"[{inner}]"
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from duckdb_geography_spark.llm.dedup import ngram_jaccard_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.30).orderBy("key_a", "key_b")
+
+
+_NGRAM_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
+                  i -> substr(text, CAST(i AS INTEEGER_FIX), 3))) AS grams
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+    CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS uni
+  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT key_a, key_b, round(CASE WHEN uni = 0 THEN 0.0 ELSE inter/uni END, 6) AS jaccard
+FROM p WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE inter/uni END) >= 0.30
+ORDER BY key_a, key_b
+""".replace("CAST(i AS INTEEGER_FIX)", "CAST(i AS INTEGER)")
+
+
+def _q_rolling_fingerprint(spark, sf_dir):
+    from duckdb_geography_spark.llm.textstats import rolling_fingerprint
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("rfp")
+    ).orderBy("doc_id")
+
+
+_ROLLING_FP_SQL = """
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(regexp_split_to_array(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 144115188075855859) AS rfp
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_embedding_pairs(spark, sf_dir):
+    from duckdb_geography_spark.llm.dedup import embedding_neardup_pairs
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.30).select(
+        "key_a", "key_b", F.round("cosine", 4).alias("cos4")
+    ).orderBy("key_a", "key_b")
+
+
+_EMBEDDING_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT key_a, key_b, round(cosine, 4) AS cos4
+FROM p WHERE cosine >= 0.30
+ORDER BY key_a, key_b
+"""
+
+
+def _q_embedding_topk(spark, sf_dir):
+    from duckdb_geography_spark.llm.similarity import cosine_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10)
+
+
+_EMBEDDING_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_minhash_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (xxhash64-based signatures have
+    no DuckDB twin -> rows-only check)."""
+    from duckdb_geography_spark.llm.dedup import minhash_lsh_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_perm=32, bands=16).orderBy("key_a", "key_b")
+
+
+def _q_simhash(spark, sf_dir):
+    from duckdb_geography_spark.llm.dedup import simhash
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("sig")).orderBy("doc_id")
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from duckdb_geography_spark.llm.similarity import lsh_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(
+        emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10, n_planes=12
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing over documents-as-binary (stub decode kernel
+    -> rows-only)."""
+    from duckdb_geography_spark.llm import multimodal as mm
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    media = mm.attach_media(docs.select(F.encode("text", "utf-8").alias("payload")), "payload")
+    return mm.decode_image_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_pricing_summary": _q_pricing_summary,
+        "tpch_top_orders": _q_top_orders,
+        "events_hourly": _q_events_hourly,
+        "region_rollup": _q_region_rollup,
+        "cell_bitops": _q_cell_bitops,
+        "cellfromlonlat": _q_cellfromlonlat,
+        "cell_containment_join": _q_cell_containment,
+        "pip_covering_join": _q_pip_join,
+        "wkt_roundtrip": _q_wkt_roundtrip,
+        "rect_measures": _q_rect_measures,
+        "haversine_pairs": _q_haversine_pairs,
+        "covering_sizes": _q_covering_sizes,
+        "bounds_box_agg": _q_bounds_box_agg,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "langid": _q_langid,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "embedding_sim_pairs": _q_embedding_pairs,
+        "embedding_topk": _q_embedding_topk,
+        "minhash_lsh_candidates": _q_minhash_candidates,
+        "simhash_signatures": _q_simhash,
+        "lsh_topk": _q_lsh_topk,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_pricing_summary": _PRICING_SUMMARY_SQL,
+        "tpch_top_orders": _TOP_ORDERS_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "region_rollup": _REGION_ROLLUP_SQL,
+        "cell_bitops": _cell_bitops_sql(),
+        "cellfromlonlat": _cellfromlonlat_sql(),
+        "cell_containment_join": _cell_containment_sql(),
+        "pip_covering_join": FLAGSHIP_ORACLE,
+        "wkt_roundtrip": _wkt_roundtrip_sql(),
+        "rect_measures": _rect_measures_sql(),
+        "haversine_pairs": _HAVERSINE_PAIRS_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "langid": _langid_sql(),
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "rolling_fingerprint": _ROLLING_FP_SQL,
+        "embedding_sim_pairs": _EMBEDDING_PAIRS_SQL,
+        "embedding_topk": _EMBEDDING_TOPK_SQL,
+        # covering_sizes, bounds_box_agg, minhash_lsh_candidates,
+        # simhash_signatures, lsh_topk, multimodal_features: rows-only
+    }

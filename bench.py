@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headliners cover each engine layer: the covering spatial join, pure-
+Column cell ops, a geography-UDF pipeline, TPC-H-ish analytics, and
+the LLM operators (minhash LSH, simhash, cosine top-k, text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from duckdb_geography_spark.session import get_spark
+
+    spark = get_spark(cpus=CPUS, shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = e.queries()
+    bench_queries = [
+        "pip_covering_join",
+        "cell_bitops",
+        "cellfromlonlat",
+        "cell_containment_join",
+        "tpch_pricing_summary",
+        "tpch_top_orders",
+        "events_hourly",
+        "wkt_roundtrip",
+        "rect_measures",
+        "haversine_pairs",
+        "dedup_exact",
+        "text_stats",
+        "langid",
+        "minhash_lsh_candidates",
+        "simhash_signatures",
+        "embedding_topk",
+        "lsh_topk",
+    ]
+    # warm up the JVM + python workers once (not timed)
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings = {}
+    total = 0.0
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        n = qs[name](spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Spatial join recipes — the Spark-native physical strategies
+(SURVEY.md S4.3).
+
+The reference can only express a spatial join as a nested-loop
+predicate join (README.md:14-19 runs ``ON s2_intersects(...)`` as a
+blockwise NL join). On Spark at 100 TB that shape is fatal, so this
+module restructures every spatial join as a **covering equi-join**:
+
+    explode(covering(geog, level)) on both sides
+      -> shuffle hash join on the cell id           (equi-join!)
+      -> dropDuplicates on the pair keys
+      -> exact predicate refine (Arrow-batched UDF)
+
+Properties at scale: the join is a plain equi-join (AQE can re-plan
+it, skew-split it, or broadcast the small side); the refine UDF only
+sees candidate pairs (covering prefilter parity with the reference's
+CoveringMayIntersect, src/s2_binary_index_ops.cpp:450-461); the
+point side of containment joins uses pure-Column cell parents (zero
+Python).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .functions import cells as C
+from .functions import predicates as P
+from .functions.bounds import s2_covering_fixed_level
+from .functions import geoudfs as U
+from .s2.coverer import covering_of_geography
+from .geo import geodesy as gd
+
+__all__ = [
+    "covering_join",
+    "cell_containment_join",
+    "distance_join",
+    "broadcast_spatial_join",
+    "level_for_radius_meters",
+]
+
+_PREDICATES = {
+    "intersects": P.s2_intersects,
+    "contains": P.s2_contains,
+    "mayintersect": None,  # covering overlap only, no refine
+}
+
+
+def level_for_radius_meters(meters: float) -> int:
+    """Coarsest S2 level whose cells are at least ~2x the radius wide
+    (so a buffered covering stays small)."""
+    if meters <= 0:
+        return 30
+    radians = meters / gd.EARTH_RADIUS_METERS
+    # average cell edge at level L is ~ 0.85 / 2^L radians
+    lev = int(math.floor(math.log2(0.85 / max(radians, 1e-12)))) - 1
+    return max(0, min(30, lev))
+
+
+def _with_key(df: DataFrame, key: Optional[str], name: str):
+    if key is not None:
+        return df, key, False
+    # deterministic synthetic key: hash of all columns is unstable for
+    # duplicates, so use monotonically_increasing_id materialized once
+    return df.withColumn(name, F.monotonically_increasing_id()), name, True
+
+
+def covering_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    level: int = 8,
+    left_geog: str = "geog",
+    right_geog: str = "geog",
+    left_key: Optional[str] = None,
+    right_key: Optional[str] = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """General geography-x-geography spatial join via fixed-level
+    covering equi-join + exact refine.
+
+    Returns left columns + right columns (right geog renamed
+    ``<right_geog>_r`` if it collides). ``broadcast_right`` hints the
+    planner when the right side is a small dimension table.
+    """
+    refine = _PREDICATES[predicate] if predicate != "mayintersect" else None
+
+    lk_df, lk, lk_synth = _with_key(left, left_key, "__lkey")
+    rk_df, rk, rk_synth = _with_key(right, right_key, "__rkey")
+
+    rgeog_out = right_geog if right_geog != left_geog else right_geog + "_r"
+    r_renamed = rk_df.withColumnRenamed(right_geog, rgeog_out)
+    overlap = set(lk_df.columns) & set(r_renamed.columns)
+    for col in overlap:
+        r_renamed = r_renamed.withColumnRenamed(col, col + "_r")
+        if rk == col:
+            rk = col + "_r"
+        if rgeog_out == col:
+            rgeog_out = col + "_r"
+
+    l_cells = lk_df.withColumn(
+        "__cell", F.explode(s2_covering_fixed_level(left_geog, level))
+    )
+    r_cells = r_renamed.withColumn(
+        "__cell", F.explode(s2_covering_fixed_level(rgeog_out, level))
+    )
+    if broadcast_right:
+        r_cells = F.broadcast(r_cells)
+
+    pairs = l_cells.join(r_cells, "__cell").drop("__cell")
+    pairs = pairs.dropDuplicates([lk, rk])
+    if refine is not None:
+        pairs = pairs.where(refine(F.col(left_geog), F.col(rgeog_out)))
+    drop = [c for c, synth in ((lk, lk_synth), (rk, rk_synth)) if synth]
+    return pairs.drop(*drop)
+
+
+def cell_containment_join(
+    points: DataFrame,
+    regions: DataFrame,
+    point_cell: str = "cell",
+    region_geog: str = "geog",
+    level: int = 8,
+    refine: bool = True,
+    broadcast_regions: bool = False,
+) -> DataFrame:
+    """Point-in-region join where the point side is a LongType cell id
+    column — the 100 TB shape.
+
+    The point side never runs Python: the join key is
+    ``s2_cell_parent(cell, level)``, a pure bit expression that stays
+    in WholeStageCodegen. Only the (small) region side pays the
+    covering UDF, and only candidate pairs pay the exact refine.
+    Refinement tests leaf-cell containment in the region covering
+    (``s2_cell_contains``, also pure columns) and optionally the exact
+    polygon predicate.
+    """
+    r = regions.withColumn(
+        "__cell", F.explode(s2_covering_fixed_level(region_geog, level))
+    )
+    if broadcast_regions:
+        r = F.broadcast(r)
+    p = points.withColumn("__cell", C.s2_cell_parent(F.col(point_cell), level))
+    joined = p.join(r, "__cell").drop("__cell")
+    if refine:
+        from .functions.casts import s2_cell_center_to_geography
+
+        joined = joined.where(
+            P.s2_intersects(
+                s2_cell_center_to_geography(F.col(point_cell)), F.col(region_geog)
+            )
+        )
+    return joined
+
+
+def _buffered_covering_udf(level: int, radians: float):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+                continue
+            cells = covering_of_geography(
+                U.decode_cached(bytes(b)), fixed_level=level, buffer_radians=radians
+            )
+            out.append([int(v) for v in cells.view(np.int64)])
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    meters: float,
+    level: Optional[int] = None,
+    left_geog: str = "geog",
+    right_geog: str = "geog",
+    left_key: Optional[str] = None,
+    right_key: Optional[str] = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """s2_dwithin join: the right side's covering is buffered by the
+    radius (cap-expanded covering, SURVEY.md S4.3), then the same
+    covering equi-join + s2_dwithin refine."""
+    if level is None:
+        level = min(10, level_for_radius_meters(meters))
+    radians = meters / gd.EARTH_RADIUS_METERS
+
+    lk_df, lk, lk_synth = _with_key(left, left_key, "__lkey")
+    rk_df, rk, rk_synth = _with_key(right, right_key, "__rkey")
+
+    rgeog_out = right_geog if right_geog != left_geog else right_geog + "_r"
+    r_renamed = rk_df.withColumnRenamed(right_geog, rgeog_out)
+    overlap = set(lk_df.columns) & set(r_renamed.columns)
+    for col in overlap:
+        r_renamed = r_renamed.withColumnRenamed(col, col + "_r")
+        if rk == col:
+            rk = col + "_r"
+
+    l_cells = lk_df.withColumn(
+        "__cell", F.explode(s2_covering_fixed_level(left_geog, level))
+    )
+    r_cells = r_renamed.withColumn(
+        "__cell", F.explode(_buffered_covering_udf(level, radians)(F.col(rgeog_out)))
+    )
+    if broadcast_right:
+        r_cells = F.broadcast(r_cells)
+    pairs = l_cells.join(r_cells, "__cell").drop("__cell").dropDuplicates([lk, rk])
+    pairs = pairs.where(P.s2_dwithin(F.col(left_geog), F.col(rgeog_out), float(meters)))
+    drop = [c for c, synth in ((lk, lk_synth), (rk, rk_synth)) if synth]
+    return pairs.drop(*drop)
+
+
+def broadcast_spatial_join(
+    big: DataFrame,
+    small: DataFrame,
+    predicate_col: Column,
+) -> DataFrame:
+    """Broadcast nested-loop spatial join for small dimension sides
+    (mirrors the reference's prepared-geography pattern,
+    docs/function-reference.md:1416-1433): the executor-side LRU in
+    geoudfs decodes each broadcast geography once per worker."""
+    return big.join(F.broadcast(small), predicate_col, "inner")

@@ -1,0 +1,330 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each designed around its 100 TB shape:
+
+- **exact**: md5 groupBy — one shuffle on a 128-bit key, map-side
+  combinable, fully JVM-side.
+- **n-gram Jaccard**: exact pairwise similarity for modest candidate
+  sets; SQL-expressible for the oracle gate.
+- **MinHash + LSH**: banded minhash signatures -> bucket equi-join;
+  the only all-pairs-free near-dup join shape that scales.
+- **SimHash**: 64-bit signature, hamming-bucket join.
+- **embedding near-dup**: cosine over `array<float>` with a random
+  hyperplane LSH variant as the scale path (see similarity.py).
+
+All signature math uses Spark built-ins (xxhash64, aggregate,
+transform) — no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "ngram_set",
+    "ngram_jaccard",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "simhash",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min key) per distinct text. Single hash-shuffle on
+    md5(text); survives 100 TB because the shuffle key is 32 bytes no
+    matter how big the documents are."""
+    h = F.md5(_c(text_col))
+    winners = (
+        df.select(h.alias("__h"), F.col(key_col))
+        .groupBy("__h")
+        .agg(F.min(key_col).alias(key_col))
+    )
+    return df.join(winners, key_col, "left_semi").dropDuplicates([key_col])
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_set(text, n: int = 3) -> Column:
+    """Distinct character n-grams of a string (array<string>)."""
+    t = _c(text)
+    count = F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), count), lambda i: t.substr(i, F.lit(n)))
+    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def ngram_jaccard(a, b, n: int = 3) -> Column:
+    """Exact Jaccard similarity of two strings' n-gram sets."""
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= threshold (key_a < key_b).
+
+    Exact all-pairs comparison — only for candidate sets that fit a
+    shuffle (use :func:`minhash_lsh_pairs` to generate candidates at
+    scale, then refine with :func:`ngram_jaccard`).
+
+    Gram sets are materialized per document *before* the pair join
+    (not per pair), and the probe side is repartitioned so the
+    nested-loop join parallelizes instead of running on one task."""
+    sc = df.sparkSession.sparkContext
+    grams = df.select(F.col(key_col).alias("__k"), ngram_set(text_col, n).alias("__g"))
+    a = grams.select(F.col("__k").alias("key_a"), F.col("__g").alias("ga")).repartition(
+        max(sc.defaultParallelism, 4)
+    )
+    b = grams.select(F.col("__k").alias("key_b"), F.col("__g").alias("gb"))
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    sim = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        pairs.select("key_a", "key_b", F.round(sim, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42):
+    # 31-bit coefficients over a 31-bit hash domain: a*h < 2^62, so the
+    # permutation never overflows Spark's ANSI-checked 64-bit multiply
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 31) - 1, num_perm, dtype=np.int64)
+    b = rng.integers(0, (1 << 31) - 1, num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(
+    text, n: int = 5, num_perm: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long>, length num_perm) over character
+    n-gram shingles. shingle hash = xxhash64 (JVM); permutation k =
+    (a_k*h + b_k) mod 2^61-1 — all Column math, map-side only."""
+    shingles = ngram_set(text, n)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)))
+    a, b = _perm_coeffs(num_perm, seed)
+
+    def perm(ai: int, bi: int):
+        return lambda h: (h * F.lit(ai) + F.lit(bi)) % F.lit(_MERSENNE61)
+
+    mins = [
+        F.array_min(F.transform(hashes, perm(int(a[k]), int(b[k]))))
+        for k in range(num_perm)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: equal band-slice of the
+    minhash signature -> same bucket. One explode + one equi-join; no
+    all-pairs stage anywhere (the 100 TB shape).
+
+    Returns (key_a, key_b) candidates, key_a < key_b, deduped.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(key_col).alias("__key"),
+        minhash_signature(text_col, n, num_perm, seed).alias("__sig"),
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice("__sig", b * rows + 1, rows)).alias("h"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("__key", F.explode(band_keys).alias("__bucket"))
+    a = buckets.select(F.col("__key").alias("key_a"), "__bucket")
+    b = buckets.select(F.col("__key").alias("key_b"), "__bucket")
+    pairs = (
+        a.join(b, "__bucket")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates -> exact n-gram Jaccard refine
+    -> keep the min-key representative of every connected pair.
+
+    (Greedy single-hop: a row survives unless it pairs with a smaller
+    key. Full connected components would need iteration — this is the
+    standard one-pass approximation.)"""
+    cands = minhash_lsh_pairs(df, text_col, key_col, n, num_perm, bands, seed)
+    texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
+    texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))
+    verified = (
+        cands.join(texts_a, "key_a")
+        .join(texts_b, "key_b")
+        .where(ngram_jaccard("text_a", "text_b", n) >= threshold)
+        .select("key_a", "key_b")
+    )
+    losers = verified.select(F.col("key_b").alias(key_col)).distinct()
+    return df.join(losers, key_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text, n_bits: int = 64) -> Column:
+    """SimHash of whitespace tokens: per-bit majority vote of token
+    xxhash64s, pure Column math (aggregate over a 64-slot weight
+    array)."""
+    tokens = F.filter(F.split(F.trim(_c(text)), "\\s+"), lambda t: F.length(t) > 0)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    weights = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda i: F.when(
+                    F.call_function("shiftrightunsigned", h, i.cast("int")).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda i: F.when(F.element_at(weights, i.cast("int") + 1) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(n_bits - 1)), lambda b, i: F.struct(b.alias("b"), i.alias("i"))),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc.bitwiseOR(
+            F.call_function("shiftleft", s["b"].cast("long"), s["i"].cast("int"))
+        ),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup candidates with hamming(simhash) <= max_hamming.
+
+    Scale shape: split the 64-bit signature into ``blocks`` chunks; by
+    pigeonhole any pair within hamming distance < blocks shares at
+    least one exact chunk -> equi-join on (block_idx, chunk), then
+    refine with the true hamming distance (bit_count(xor)). ``blocks``
+    is raised automatically to keep that recall guarantee."""
+    while blocks <= max_hamming and blocks < 64:
+        blocks *= 2
+    sig = df.select(F.col(key_col).alias("__key"), simhash(text_col).alias("__sig"))
+    width = 64 // blocks
+    chunk_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned("__sig", i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    buckets = sig.select("__key", "__sig", F.explode(chunk_keys).alias("__b"))
+    a = buckets.select(F.col("__key").alias("key_a"), F.col("__sig").alias("sig_a"), "__b")
+    b = buckets.select(F.col("__key").alias("key_b"), F.col("__sig").alias("sig_b"), "__b")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, "__b")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (key_a < key_b). Brute-force; use
+    similarity.lsh_buckets for candidate generation at scale."""
+    from .similarity import cosine_sim
+
+    a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    return pairs.select(
+        "key_a", "key_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane
+LSH bucketing is the scale path (candidate generation without the
+all-pairs cross join). Dot products are pure Column expressions
+(zip_with + aggregate) — JVM-side, no Python per row.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "dot",
+    "norm",
+    "cosine_sim",
+    "cosine_topk",
+    "cosine_topk_all",
+    "lsh_signature",
+    "lsh_topk",
+]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array columns (double)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a, b) -> Column:
+    """Cosine similarity; 0 when either norm is 0."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+def _query_lit(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    Map-side score + global top-k (orderBy+limit is a TakeOrdered — no
+    full sort shuffle). Ties break on key for determinism.
+    """
+    scored = df.select(
+        F.col(key_col), F.round(cosine_sim(vec_col, _query_lit(query_vec)), 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.col(key_col)).limit(k)
+
+
+def cosine_topk_all(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    other: Optional[DataFrame] = None,
+) -> DataFrame:
+    """For every row, its exact top-k nearest neighbors (brute force):
+    cross join + window rank. Quadratic — the correctness baseline the
+    LSH path is validated against."""
+    other = other if other is not None else df
+    a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
+    b = other.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("key_a") != F.col("key_b"))
+    scored = pairs.select(
+        "key_a", "key_b", F.round(cosine_sim("va", "vb"), 6).alias("score")
+    )
+    w = Window.partitionBy("key_a").orderBy(F.desc("score"), F.col("key_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(
+    vec_col,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 7,
+) -> Column:
+    """Random-hyperplane signature: bit i = sign(v . h_i). Returns a
+    long (n_planes <= 63). Deterministic via fixed seed; pure Columns."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bits.append(
+            F.when(dot(vec_col, plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: probe only rows whose hyperplane signature is
+    within ``max_hamming`` of the query's, then exact-rank the bucket.
+
+    At scale the signature column is precomputed and partition-pruned;
+    here it demonstrates the bucketed shape (bit_count(xor) filter is
+    pure JVM)."""
+    dim = len(query_vec)
+    sig = lsh_signature(vec_col, dim, n_planes, seed)
+    qsig_val = None  # computed below via a literal fold
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig_val = 0
+    for i in range(n_planes):
+        if float(planes[i] @ q) >= 0:
+            qsig_val |= 1 << i
+    cand = df.withColumn("__sig", sig).where(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig_val))) <= max_hamming
+    )
+    return cosine_topk(cand.drop("__sig"), query_vec, k, vec_col, key_col)

@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path functions are **pure Spark Column expressions** (JVM,
+codegen, no Python) so they hold up on 100 TB of documents, and each
+is written so a DuckDB oracle can express the identical semantics
+(the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "char_count",
+    "word_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "langid",
+    "fingerprint_md5",
+    "rolling_fingerprint",
+    "STOPWORDS",
+]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+#: small per-language stopword lists for the n-gram/stopword language
+#: heuristic — deterministic and SQL-expressible on purpose
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "por", "con", "para"],
+}
+
+
+def char_count(text) -> Column:
+    return F.length(_c(text))
+
+
+def _words(text) -> Column:
+    # split on whitespace runs; empty string -> no tokens
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def token_count(text) -> Column:
+    """Whitespace token count (empty -> 0)."""
+    return F.size(_words(text))
+
+
+def word_count(text) -> Column:
+    """BPE-ish word-piece count: runs of letters/digits or single
+    punctuation marks — a cheap token-count proxy for budget planning."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), 0))
+
+
+def punct_ratio(text) -> Column:
+    """Punctuation chars / total chars (0 for empty docs).
+
+    Uses an explicit character class so Java and RE2 regex agree.
+    """
+    t = _c(text)
+    n = F.length(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, "[.,!?;:'\"()\\[\\]-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def _stopword_hits(text, lang: str) -> Column:
+    words = F.transform(_words(text), lambda w: F.lower(w))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    """Stopword tokens / all tokens (0 for empty docs)."""
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        _stopword_hits(text, lang).cast("double") / n.cast("double")
+    )
+
+
+def quality_score(text) -> Column:
+    """Deterministic document-quality heuristic in [0, 1]:
+    length band + moderate punctuation + stopword presence.
+
+    The exact weights are arbitrary but stable — they form part of the
+    oracle contract, not a learned model.
+    """
+    n = char_count(text).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    p = punct_ratio(text)
+    punct_score = F.when(p > 0.3, F.lit(0.0)).otherwise(F.lit(1.0) - p / F.lit(0.3))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * sw_score, 6
+    )
+
+
+def langid(text) -> Column:
+    """Stopword-vote language id over {en, de, fr, es}; 'und' when no
+    votes. Ties break in fixed key order — same rule the oracle SQL
+    implements."""
+    hits = {lang: _stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier keys win ties
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(text) -> Column:
+    """128-bit content fingerprint (md5 hex) — exact-dup key with a
+    byte-identical DuckDB oracle."""
+    return F.md5(_c(text).cast("string"))
+
+
+def rolling_fingerprint(text, mod: int = 144115188075855859) -> Column:
+    """Polynomial rolling hash over characters (acc*31 + code mod a
+    ~2^57 prime — small enough that acc*31 never overflows a checked
+    64-bit multiply in Spark ANSI mode or DuckDB). Pure Column via
+    aggregate over the char array."""
+    chars = F.split(_c(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(mod),
+    )

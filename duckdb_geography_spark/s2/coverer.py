@@ -131,12 +131,16 @@ class _GeogRegion:
         return gd.lonlat_deg_to_xyz(np.stack([lon, lat], axis=1))
 
     def _within_buffer(self, cell, corners) -> bool:
-        """Conservative: min over corners/vertices of geodesic distance
-        minus the cell's circumradius must be <= buffer."""
+        """Conservative: cell center inside a polygon, or min geodesic
+        distance from the center to the boundary minus the cell's
+        circumradius within the buffer."""
         if not self.vertex_xyz.size:
             return False
         center_lon, center_lat = cm.cellid_to_lonlat(np.array([cell], dtype=np.uint64))
         center = gd.lonlat_deg_to_xyz(np.stack([center_lon, center_lat], axis=1))[0]
+        for ring in self.rings_xyz:
+            if gd.ring_contains_point(ring, center, closed=False):
+                return True
         circum = float(np.max(gd.angle(np.broadcast_to(center, corners.shape), corners)))
         dmin = np.inf
         for a, b in self.edges or [(self.vertex_xyz, self.vertex_xyz)]:

@@ -1,0 +1,171 @@
+"""Structured Streaming recipes over the events stream table.
+
+The reference has no streaming surface (SURVEY.md S2.9 explicitly
+lists it out of scope for the extension); these are the beyond-
+reference operators a continuously-ingesting training-data pipeline
+needs: watermark + windowed aggregation, cell-bucketed geo rollups,
+and a stateful sessionizer via applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "cell_rollup_stream",
+    "sessionize",
+]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet directory (each file
+    is one micro-batch under Trigger.AvailableNow — test- and
+    backfill-friendly)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Late-data-tolerant windowed counts per event_type: watermark
+    bounds state; partial aggregation happens map-side before the
+    shuffle, so state size tracks (windows x types), not rows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
+
+
+def cell_rollup_stream(events: DataFrame, level: int = 4) -> DataFrame:
+    """Geo rollup: derive a deterministic lon/lat from user_id (the
+    driver's synthetic recipe, FIXTURES.md S7), bucket into S2 cells
+    at ``level`` with pure-Column parents, count per cell+window.
+
+    At scale the cell id is also the natural partition key for the
+    sink (write.partitionBy on the cell token prunes reads)."""
+    from ..functions import cells as C
+
+    lon = (F.col("user_id") * 2654435761 % 360000) / 1000.0 - 180.0
+    lat = (F.col("user_id") * 40503 % 180000) / 1000.0 - 90.0
+    cell = C.s2_cell_parent(C.s2_cellfromlonlat(lon, lat), level)
+    return (
+        events.withWatermark("ts", "2 hours")
+        .withColumn("cell", cell)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "cell")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "cell", "n")
+    )
+
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start", DoubleType()),
+        StructField("end", DoubleType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user session windows with a
+    ``gap_minutes`` inactivity timeout, via applyInPandasWithState —
+    the Spark-native equivalent of a hand-written stateful stream
+    operator. Emits one row per closed session."""
+    gap = gap_minutes * 60.0
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (start, end, n, total) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(end, unit="s")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows["ts"].astype("int64") / 1e9
+        lo, hi = float(ts.min()), float(ts.max())
+        n_new = int(len(rows))
+        v_new = float(rows["value"].sum())
+        closed = []
+        if state.exists:
+            (start, end, n, total) = state.get
+            if lo - end > gap:
+                closed.append((start, end, n, total))
+                start, end, n, total = lo, hi, n_new, v_new
+            else:
+                start, end = min(start, lo), max(end, hi)
+                n, total = n + n_new, total + v_new
+        else:
+            start, end, n, total = lo, hi, n_new, v_new
+        state.update((start, end, n, total))
+        state.setTimeoutDuration(int(gap * 1000))
+        for (s, e, cn, ct) in closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(s, unit="s")],
+                    "session_end": [pd.Timestamp(e, unit="s")],
+                    "n_events": [cn],
+                    "total_value": [ct],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,219 @@
+"""Deterministic geo-augmentation of the driver's synthetic tables
+(FIXTURES.md S7) with *paired* Spark-Column and DuckDB-SQL
+definitions.
+
+Every derivation here exists twice — as a Spark Column expression and
+as a SQL fragment — with bit-identical double semantics, so the
+driver's DuckDB oracle can verify geography queries end-to-end. Keep
+the two in sync; tests assert equality row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# multipliers are arbitrary odd constants; integer modular arithmetic
+# is exact in both engines, and x/1000.0 rounds identically (IEEE754)
+
+# -- continuous lon/lat points per customer/supplier ----------------------
+
+
+def cust_lon(col="c_custkey") -> Column:
+    return (F.col(col) * 2654435761 % 360000) / 1000.0 - 180.0
+
+
+def cust_lat(col="c_custkey") -> Column:
+    return (F.col(col) * 40503 % 180000) / 1000.0 - 90.0
+
+
+CUST_LON_SQL = "(c_custkey * 2654435761 % 360000) / 1000.0 - 180.0"
+CUST_LAT_SQL = "(c_custkey * 40503 % 180000) / 1000.0 - 90.0"
+
+
+def supp_lon(col="s_suppkey") -> Column:
+    return (F.col(col) * 1327217885 % 360000) / 1000.0 - 180.0
+
+
+def supp_lat(col="s_suppkey") -> Column:
+    return (F.col(col) * 20261 % 180000) / 1000.0 - 90.0
+
+
+SUPP_LON_SQL = "(s_suppkey * 1327217885 % 360000) / 1000.0 - 180.0"
+SUPP_LAT_SQL = "(s_suppkey * 20261 % 180000) / 1000.0 - 90.0"
+
+# -- integer lon/lat (snap-proof: cell-center snapping moves a point by
+#    <2e-7 degrees, so 6-decimal formatting always recovers the integer)
+
+
+def cust_ilon(col="c_custkey") -> Column:
+    # range [-179, 179]: +-180 is excluded because a snapped cell
+    # center can land on either side of the antimeridian
+    return (F.col(col) * 7 % 359 - 179).cast("int")
+
+
+def cust_ilat(col="c_custkey") -> Column:
+    return (F.col(col) * 11 % 160 - 80).cast("int")
+
+
+CUST_ILON_SQL = "CAST(c_custkey * 7 % 359 - 179 AS INTEGER)"
+CUST_ILAT_SQL = "CAST(c_custkey * 11 % 160 - 80 AS INTEGER)"
+
+# -- nation rectangles: a 6x5 grid of 55-deg x 25-deg boxes ---------------
+
+
+def nation_box(col="n_nationkey"):
+    """(xmin, ymin, xmax, ymax) Columns for a nation's rectangle."""
+    xmin = (F.col(col) % 6) * 60.0 - 180.0
+    ymin = F.floor(F.col(col) / 6) * 30.0 - 60.0
+    return xmin, ymin, xmin + 55.0, ymin + 25.0
+
+
+NATION_XMIN_SQL = "(n_nationkey % 6) * 60.0 - 180.0"
+NATION_YMIN_SQL = "floor(n_nationkey / 6) * 30.0 - 60.0"
+NATION_XMAX_SQL = f"({NATION_XMIN_SQL}) + 55.0"
+NATION_YMAX_SQL = f"({NATION_YMIN_SQL}) + 25.0"
+
+
+def nation_wkt(col="n_nationkey") -> Column:
+    """Rectangle polygon WKT per nation (integer-valued corners)."""
+    xmin, ymin, xmax, ymax = nation_box(col)
+    return F.format_string(
+        "POLYGON ((%.0f %.0f, %.0f %.0f, %.0f %.0f, %.0f %.0f, %.0f %.0f))",
+        xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin,
+    )
+
+
+# -- synthetic-but-valid cell ids from integer keys (pure arithmetic, so
+#    the oracle can build the identical 64-bit pattern in SQL HUGEINT)
+
+
+def key_cell(col) -> Column:
+    """A valid leaf cell id derived from an integer key: face = key%6,
+    position = key*2654435761 mod 2^60. Wraps to signed like Spark
+    longs do natively."""
+    face = F.col(col) % 6
+    pos = (F.col(col) * 2654435761) % F.lit(1 << 60)
+    return F.call_function("shiftleft", face.cast("long"), F.lit(61)) + pos * 2 + 1
+
+
+def key_cell_sql_expr(key_expr: str) -> str:
+    """key_cell as a single scalar SQL expression (no subquery)."""
+    h = (
+        f"(CAST(({key_expr}) % 6 AS HUGEINT) * 2305843009213693952"
+        f" + (CAST(({key_expr}) AS HUGEINT) * 2654435761 % 1152921504606846976) * 2 + 1)"
+    )
+    return (
+        f"CAST(CASE WHEN {h} >= CAST(9223372036854775808 AS HUGEINT) "
+        f"THEN {h} - CAST(18446744073709551616 AS HUGEINT) ELSE {h} END AS BIGINT)"
+    )
+
+
+# -- SQL twins of the pure-Column cell bit ops (for oracle queries) -------
+
+def _uns(e: str) -> str:
+    """signed BIGINT expr -> unsigned HUGEINT."""
+    return f"(CAST({e} AS HUGEINT) + CASE WHEN {e} < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)"
+
+
+def _sgn(e: str) -> str:
+    """unsigned HUGEINT expr -> signed BIGINT."""
+    return (
+        f"CAST(CASE WHEN {e} >= CAST(9223372036854775808 AS HUGEINT) "
+        f"THEN {e} - CAST(18446744073709551616 AS HUGEINT) ELSE {e} END AS BIGINT)"
+    )
+
+
+def cell_lsb_sql(cell: str) -> str:
+    return f"({cell} & -{cell})"
+
+
+def cell_level_sql(cell: str) -> str:
+    """level = 30 - bit_count(lsb-1)/2 (valid ids assumed)."""
+    return f"(30 - bit_count({cell_lsb_sql(cell)} - 1) // 2)"
+
+
+def cell_parent_sql(cell: str, level: int) -> str:
+    new_lsb = 1 << (2 * (30 - level))
+    mask = ~(2 * new_lsb - 1) & 0xFFFFFFFFFFFFFFFF
+    smask = mask - (1 << 64) if mask >= (1 << 63) else mask
+    return f"(({cell} & CAST({smask} AS BIGINT)) | {new_lsb})"
+
+
+def cell_range_min_sql(cell: str) -> str:
+    return f"({cell} - ({cell_lsb_sql(cell)} - 1))"
+
+
+def cell_range_max_sql(cell: str) -> str:
+    return f"({cell} + ({cell_lsb_sql(cell)} - 1))"
+
+
+def cellfromlonlat_cte(points_sql: str) -> str:
+    """DuckDB CTE chain computing the S2 leaf cell id for rows of
+    ``(k, lon, lat)`` produced by ``points_sql`` — an *independent*
+    SQL implementation of the S2 quadratic projection + Hilbert
+    traversal, used as the oracle for s2_cellfromlonlat.
+
+    Returns SQL defining a relation ``cellids(k, cell)`` (signed
+    BIGINT cell). Embed as: ``WITH <this> SELECT ... FROM cellids``.
+    """
+    from .s2.cellmath import IJ_TO_POS, POS_TO_ORIENT
+
+    lut_rows = ",".join(
+        "({},{},{},{})".format(
+            o, ij, int(IJ_TO_POS[o][ij]), o ^ int(POS_TO_ORIENT[int(IJ_TO_POS[o][ij])])
+        )
+        for o in range(4)
+        for ij in range(4)
+    )
+    return f"""
+  pts AS ({points_sql}),
+  xyz AS (
+    SELECT k,
+      cos(radians(lat))*cos(radians(lon)) AS x,
+      cos(radians(lat))*sin(radians(lon)) AS y,
+      sin(radians(lat)) AS z
+    FROM pts),
+  fc AS (
+    SELECT k, x, y, z,
+      CASE WHEN abs(z) >= abs(x) AND abs(z) >= abs(y) THEN CASE WHEN z < 0 THEN 5 ELSE 2 END
+           WHEN abs(y) >= abs(x) THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+           ELSE CASE WHEN x < 0 THEN 3 ELSE 0 END END AS f
+    FROM xyz),
+  uv AS (
+    SELECT k, f,
+      CASE f WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+             WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+      CASE f WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+             WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+    FROM fc),
+  st AS (
+    SELECT k, f,
+      CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+      CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
+    FROM st_in_disguise_nope_use_uv) ,
+  lut(o, ij, d, no) AS (VALUES {lut_rows}),
+  hil AS (
+    SELECT k, f,
+      CAST(least(1073741823, greatest(0, floor(s*1073741824))) AS BIGINT) AS i,
+      CAST(least(1073741823, greatest(0, floor(t*1073741824))) AS BIGINT) AS j,
+      29 AS lev, CAST(0 AS BIGINT) AS pos, f % 2 AS o
+    FROM st
+    UNION ALL
+    SELECT h.k, h.f, h.i, h.j, h.lev - 1, h.pos*4 + l.d, l.no
+    FROM hil h JOIN lut l
+      ON l.o = h.o AND l.ij = ((h.i >> h.lev) & 1)*2 + ((h.j >> h.lev) & 1)
+    WHERE h.lev >= 0),
+  cellids AS (
+    SELECT k, {_sgn("(CAST(f AS HUGEINT) * 2305843009213693952 + CAST(pos AS HUGEINT)*2 + 1)")} AS cell
+    FROM hil WHERE lev = -1)
+""".replace("st_in_disguise_nope_use_uv", "uv")
+
+
+def cell_token_sql(cell: str) -> str:
+    """hex token with trailing zeros stripped ('X' for 0)."""
+    u = _uns(cell)
+    return (
+        f"CASE WHEN {cell} = 0 THEN 'X' ELSE "
+        f"regexp_replace(lpad(lower(hex({u})), 16, '0'), '0+$', '') END"
+    )

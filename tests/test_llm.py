@@ -1,0 +1,196 @@
+"""LLM-pipeline operators over the driver's documents/embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_geography_spark.llm import dedup, similarity, textstats
+from duckdb_geography_spark.llm import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestTextStats:
+    def test_counts_match_python(self, docs):
+        got = docs.select(
+            "doc_id",
+            "text",
+            textstats.token_count("text").alias("tc"),
+            textstats.char_count("text").alias("cc"),
+            textstats.punct_ratio("text").alias("pr"),
+        ).collect()
+        for r in got:
+            assert r.cc == len(r.text)
+            assert r.tc == len(r.text.split())
+            punct = sum(ch in ".,!?;:'\"()[]-" for ch in r.text)
+            assert abs(r.pr - (punct / len(r.text) if r.text else 0.0)) < 1e-12
+
+    def test_quality_and_lang(self, docs):
+        got = docs.select(
+            textstats.quality_score("text").alias("q"),
+            textstats.langid("text").alias("lang"),
+        ).collect()
+        assert all(0.0 <= r.q <= 1.0 for r in got)
+        langs = {r.lang for r in got}
+        assert langs <= {"en", "de", "fr", "es", "und"}
+        assert "en" in langs  # synthetic docs are English-ish
+
+    def test_fingerprints(self, docs):
+        got = docs.select(
+            textstats.fingerprint_md5("text").alias("m"),
+            textstats.rolling_fingerprint("text").alias("r"),
+        ).collect()
+        assert all(len(r.m) == 32 for r in got)
+        assert len({r.r for r in got}) > 400  # distinct docs -> distinct hashes
+
+    def test_stays_jvm_side(self, docs):
+        plan = (
+            docs.select(
+                textstats.token_count("text"),
+                textstats.quality_score("text"),
+                textstats.langid("text"),
+                textstats.rolling_fingerprint("text"),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        copies = docs.limit(20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+        dup = docs.limit(50).union(copies)  # 20 exact text dups, fresh ids
+        out = dedup.exact_dedup(dup)
+        assert out.count() == 50
+        # the kept representative is the min doc_id
+        assert out.where(F.col("doc_id") >= 100000).count() == 0
+
+    def test_ngram_jaccard_identical(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "totally different words")],
+            "doc_id long, text string",
+        )
+        pairs = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+        assert [(p.key_a, p.key_b) for p in pairs] == [(1, 2)]
+        assert pairs[0].jaccard == 1.0
+
+    def test_minhash_lsh_finds_near_dups(self, spark, docs):
+        base = docs.limit(40)
+        # create near-duplicates by appending a token
+        near = base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        both = base.select("doc_id", "text").union(near)
+        cands = dedup.minhash_lsh_pairs(both, num_perm=32, bands=8)
+        got = {(r.key_a, r.key_b) for r in cands.collect()}
+        planted = {(i, i + 100000) for i in [r.doc_id for r in base.collect()]}
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.9, f"LSH recall too low: {recall}"
+        out = dedup.minhash_dedup(both, num_perm=32, bands=8, threshold=0.7)
+        assert out.count() <= both.count() - 0.9 * len(planted)
+
+    def test_simhash_near_dups(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight nine ten"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = df.select(dedup.simhash("text").alias("s")).collect()
+        assert len({r.s for r in sigs}) == 3
+        pairs = dedup.simhash_pairs(df, max_hamming=15).collect()
+        keys = {(p.key_a, p.key_b) for p in pairs}
+        assert (1, 2) in keys and (1, 3) not in keys
+
+    def test_embedding_neardup(self, spark, emb):
+        planted = emb.limit(10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+        both = emb.limit(50).union(planted)
+        pairs = dedup.embedding_neardup_pairs(both, threshold=0.999)
+        got = {(r.key_a, r.key_b) for r in pairs.collect()}
+        assert all((i, i + 100000) in got for i in range(10))
+
+
+class TestSimilarity:
+    def test_topk_matches_numpy(self, spark, emb):
+        rows = emb.collect()
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        ids = np.array([r.vec_id for r in rows])
+        q = mat[0]
+        sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, -np.round(sims, 6)))[:10]
+        want = list(ids[order])
+        got = [
+            r.vec_id
+            for r in similarity.cosine_topk(emb, [float(x) for x in q], k=10).collect()
+        ]
+        assert got == want
+
+    def test_lsh_topk_recall(self, spark, emb):
+        rows = emb.collect()
+        q = [float(x) for x in rows[3].embedding]
+        exact = {r.vec_id for r in similarity.cosine_topk(emb, q, k=5).collect()}
+        approx = {
+            r.vec_id
+            for r in similarity.lsh_topk(emb, q, k=5, n_planes=10, max_hamming=3).collect()
+        }
+        assert len(exact & approx) >= 3  # recall >= 0.6 on tiny sample
+
+    def test_topk_all_shape(self, spark, emb):
+        out = similarity.cosine_topk_all(emb.limit(30), k=3)
+        rows = out.collect()
+        assert len(rows) == 90
+        assert all(r.key_a != r.key_b for r in rows)
+
+
+class TestMultimodal:
+    def test_image_decode_plumbing(self, spark, docs):
+        media = mm.attach_media(
+            docs.limit(20).select(F.encode("text", "utf-8").alias("payload")), "payload"
+        )
+        feats = mm.decode_image_features(media).collect()
+        assert len(feats) == 20
+        assert all(len(r.features) == 8 for r in feats)
+        assert all(1 <= r.width <= 64 and r.channels == 3 for r in feats)
+        # deterministic
+        again = mm.decode_image_features(
+            mm.attach_media(
+                docs.limit(20).select(F.encode("text", "utf-8").alias("payload")),
+                "payload",
+            )
+        ).collect()
+        assert {(r.media_id, tuple(r.features)) for r in feats} == {
+            (r.media_id, tuple(r.features)) for r in again
+        }
+
+    def test_video_frame_sampling(self, spark, docs):
+        media = mm.attach_media(
+            docs.limit(5).select(F.encode("text", "utf-8").alias("payload")), "payload", "video"
+        )
+        frames = mm.sample_video_frames(media, every_n=4).collect()
+        assert len(frames) >= 5 * 4
+        by_media = {}
+        for r in frames:
+            by_media.setdefault(r.media_id, []).append(r)
+        for mid, fr in by_media.items():
+            assert [f.frame_idx for f in sorted(fr, key=lambda f: f.frame_idx)] == list(
+                range(len(fr))
+            )
