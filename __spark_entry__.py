@@ -92,7 +92,7 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     geo_nations = nation.select(
         "n_nationkey", s2_geogfromtext(synth.nation_wkt()).alias("geog")
-    )
+    ).repartition(32)  # coverings are Python-side: spread region rows
     level = 4
     r = geo_nations.withColumn(
         "__cell", F.explode(J._buffered_covering_udf(level, 0.07)(F.col("geog")))

@@ -50,8 +50,16 @@ def main() -> None:
         "embedding_topk",
         "lsh_topk",
     ]
-    # warm up the JVM + python workers once (not timed)
+    # warm up the JVM AND the Python UDF workers once (not timed):
+    # every task slot imports the package + numpy/pandas on first use,
+    # which would otherwise be billed to the first UDF query
+    from duckdb_geography_spark.functions import cells as C
+
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    ncpu = int(CPUS) if str(CPUS).isdigit() else os.cpu_count()
+    spark.range(0, ncpu * 4, 1, ncpu * 4).select(
+        C.s2_cellfromlonlat(F.lit(1.0), F.lit(2.0)).alias("c")
+    ).count()
 
     timings = {}
     total = 0.0

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
 
 from ..geo import ops
 from ..geo.geography import Geography, KIND_MULTIPOLYGON, KIND_POLYGON, to_wkb
-from ..s2.coverer import covering_of_geography
+from ..s2.coverer import covering_of_encoded
 from . import geoudfs as U
 
 __all__ = [
@@ -65,7 +65,7 @@ def _covering_udf(s: pd.Series) -> pd.Series:
         if b is None:
             out.append(None)
             continue
-        cells = covering_of_geography(U.decode_cached(bytes(b)))
+        cells = covering_of_encoded(bytes(b))
         out.append([int(v) for v in cells.view(np.int64)])
     return pd.Series(out, dtype=object)
 
@@ -91,7 +91,7 @@ def s2_covering_fixed_level(geog, fixed_level: int) -> Column:
             if b is None:
                 out.append(None)
                 continue
-            cells = covering_of_geography(U.decode_cached(bytes(b)), fixed_level=lev)
+            cells = covering_of_encoded(bytes(b), fixed_level=lev)
             out.append([int(v) for v in cells.view(np.int64)])
         return pd.Series(out, dtype=object)
 

@@ -1,0 +1,122 @@
+"""SQL-surface registration: ``spark.sql("SELECT s2_...")`` parity.
+
+The reference installs every function into DuckDB's catalog
+(src/function_builder.cpp:6-43); Spark's equivalent is
+``spark.udf.register``. DataFrame users should prefer the Column
+helpers (pure-JVM fast paths); the SQL surface routes everything
+through Arrow-batched pandas UDFs for uniformity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+)
+
+from ..s2 import cellmath as cm
+
+
+def _np_udf(ret, fn):
+    @F.pandas_udf(ret)
+    def _udf(*cols: pd.Series) -> pd.Series:
+        return fn(*cols)
+
+    return _udf
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the s2_* surface for SQL queries (idempotent)."""
+    from . import accessors as A
+    from . import casts as X
+    from . import cells as C
+    from . import io as IO
+    from . import predicates as P
+    from .bounds import _bounds_box_udf, _box_union_udf, _box_wkb_udf, _covering_udf
+
+    r = spark.udf.register
+
+    # cell ops (numpy-backed SQL twins of the pure-Column fast paths)
+    def u(s):
+        return cm.to_unsigned(s.to_numpy(np.int64, na_value=-1))
+
+    r("s2_cellfromlonlat", C._cellfromlonlat_udf)
+    r("s2_cell_token", _np_udf(StringType(), lambda s: pd.Series(cm.token_encode(u(s)))))
+    r("s2_cell_from_token", _np_udf(LongType(), lambda s: pd.Series(cm.to_signed(cm.token_decode(s.to_numpy(object))))))
+    r("s2_cell_level", _np_udf(IntegerType(), lambda s: pd.Series(cm.level(u(s)).astype("int32"))))
+    r("s2_cell_parent", _np_udf(LongType(), lambda s, l: pd.Series(cm.to_signed(cm.parent(u(s), l.to_numpy(np.int64))))))
+    r("s2_cell_child", _np_udf(LongType(), lambda s, k: pd.Series(cm.to_signed(cm.child(u(s), k.to_numpy(np.int64))))))
+    r("s2_cell_range_min", _np_udf(LongType(), lambda s: pd.Series(cm.to_signed(np.where(cm.is_valid(u(s)), cm.range_min(u(s)), cm.SENTINEL)))))
+    r("s2_cell_range_max", _np_udf(LongType(), lambda s: pd.Series(cm.to_signed(np.where(cm.is_valid(u(s)), cm.range_max(u(s)), cm.SENTINEL)))))
+    r("s2_cell_contains", _np_udf(BooleanType(), lambda a, b: pd.Series(cm.contains(u(a), u(b)))))
+    r("s2_cell_intersects", _np_udf(BooleanType(), lambda a, b: pd.Series(cm.intersects(u(a), u(b)))))
+    r("s2_cell_debug_string", C._cell_debug_string_udf)
+    r("s2_cell_from_debug_string", C._cell_from_debug_string_udf)
+    r("s2_cell_edge_neighbor", C._cell_edge_neighbor_udf)
+
+    # io
+    r("s2_geogfromtext", IO._geogfromtext_udf)
+    r("s2_geogfromtext_novalidate", IO._geogfromtext_novalidate_udf)
+    r("s2_astext", IO._astext_udf)
+    r("s2_geogfromwkb", IO._geogfromwkb_udf)
+    r("s2_geogfromwkb_novalidate", IO._geogfromwkb_novalidate_udf)
+    r("s2_aswkb", IO._aswkb_udf)
+    r("s2_prepare", IO._prepare_udf)
+
+    # accessors
+    r("s2_isempty", A._isempty_udf)
+    r("s2_is_valid", A._is_valid_udf)
+    r("s2_is_valid_reason", A._is_valid_reason_udf)
+    r("s2_area", A._area_udf)
+    r("s2_perimeter", A._perimeter_udf)
+    r("s2_length", A._length_udf)
+    r("s2_x", A._x_udf)
+    r("s2_y", A._y_udf)
+    r("s2_dimension", A._dimension_udf)
+    r("s2_num_points", A._num_points_udf)
+
+    # predicates / overlays / distances
+    r("s2_mayintersect", P._mayintersect_udf)
+    r("s2_intersects", P._intersects_udf)
+    r("s2_contains", P._contains_udf)
+    r("s2_equals", P._equals_udf)
+    r("s2_intersection", P._intersection_udf)
+    r("s2_difference", P._difference_udf)
+    r("s2_union", P._union_udf)
+    r("s2_distance", P._distance_udf)
+    r("s2_max_distance", P._max_distance_udf)
+    r("s2_dwithin", P._dwithin_udf)
+
+    # bounds & casts
+    r("s2_covering", _covering_udf)
+    r("s2_bounds_box", _bounds_box_udf)
+    r("s2_box_union", _box_union_udf)
+    r("s2_box_wkb", _box_wkb_udf)
+    r("s2_cell_center_to_geography", X._cell_center_to_geography_udf)
+    r("s2_geography_to_cell_center", X._geography_to_cell_center_udf)
+    r("s2_cell_to_geography", X._cell_to_geography_udf)
+    r("s2_cell_union_to_geography", X._cell_union_to_geography_udf)
+    r("s2_cell_union_normalize", X._cell_union_normalize_udf)
+    r("s2_cellfromwkb", X._cellfromwkb_udf)
+    r("s2_arbitrarycellfromwkb", X._arbitrarycellfromwkb_udf)
+    r("s2_cell_vertex", X._cell_vertex_udf)
+
+    # smoke (reference: src/geography_extension.cpp:18-27)
+    spark.udf.register("s2", lambda: "s2", StringType())
+
+
+def register_sample_data(spark: SparkSession) -> None:
+    """Create temp views for the sample table functions
+    (s2_data_cities / s2_data_countries / s2_dependencies)."""
+    from .data import s2_data_cities, s2_data_countries, s2_dependencies
+
+    s2_data_cities(spark).createOrReplaceTempView("s2_data_cities")
+    s2_data_countries(spark).createOrReplaceTempView("s2_data_countries")
+    s2_dependencies(spark).createOrReplaceTempView("s2_dependencies")

@@ -1,0 +1,71 @@
+"""GeoArrow interop (reference: src/s2_geoarrow.cpp).
+
+The reference tags Arrow WKB columns with the ``geoarrow.wkb``
+extension (spherical edges, OGC:CRS84) on export and accepts them on
+import. Spark-side equivalents:
+
+- :func:`to_geoarrow_table` — DataFrame (geography binary col) ->
+  pyarrow Table whose column carries geoarrow.wkb field metadata;
+- :func:`from_geoarrow_table` — pyarrow Table with a geoarrow.wkb
+  column -> DataFrame with our GEOGRAPHY encoding;
+- :func:`write_geoparquet` / :func:`read_geoparquet` — the same
+  through parquet files (metadata preserved).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.io import s2_aswkb, s2_geogfromwkb
+
+#: Arrow extension metadata the reference emits
+#: (src/s2_geoarrow.cpp:48-84: spherical edges, OGC:CRS84)
+GEOARROW_META = {
+    "ARROW:extension:name": "geoarrow.wkb",
+    "ARROW:extension:metadata": json.dumps({"edges": "spherical", "crs": "OGC:CRS84"}),
+}
+
+
+def to_geoarrow_table(df: DataFrame, geog_col: str = "geog") -> pa.Table:
+    """Export: geography -> WKB column tagged geoarrow.wkb."""
+    wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
+    tbl = pa.Table.from_pandas(wkb_df.toPandas(), preserve_index=False)
+    idx = tbl.schema.get_field_index(geog_col)
+    field = tbl.schema.field(idx).with_metadata(
+        {k.encode(): v.encode() for k, v in GEOARROW_META.items()}
+    )
+    return tbl.set_column(idx, field, tbl.column(idx))
+
+
+def from_geoarrow_table(
+    spark: SparkSession, table: pa.Table, geog_col: str = "geog", strict: bool = True
+) -> DataFrame:
+    """Import: WKB column tagged geoarrow.wkb -> GEOGRAPHY encoding.
+
+    ``strict`` enforces the spherical-edges check the reference
+    performs on ingestion (src/s2_geoarrow.cpp:27-29)."""
+    idx = table.schema.get_field_index(geog_col)
+    meta = table.schema.field(idx).metadata or {}
+    name = meta.get(b"ARROW:extension:name", b"").decode()
+    if strict:
+        if name != "geoarrow.wkb":
+            raise ValueError(f"column {geog_col!r} is not geoarrow.wkb (got {name!r})")
+        ext = json.loads(meta.get(b"ARROW:extension:metadata", b"{}") or b"{}")
+        if ext.get("edges") not in (None, "spherical"):
+            raise ValueError("only spherical-edge geoarrow data is supported")
+    pdf = table.to_pandas()
+    df = spark.createDataFrame(pdf)
+    return df.withColumn(geog_col, s2_geogfromwkb(F.col(geog_col)))
+
+
+def write_geoparquet(df: DataFrame, path: str, geog_col: str = "geog") -> None:
+    pq.write_table(to_geoarrow_table(df, geog_col), path)
+
+
+def read_geoparquet(spark: SparkSession, path: str, geog_col: str = "geog") -> DataFrame:
+    return from_geoarrow_table(spark, pq.read_table(path), geog_col)

@@ -34,7 +34,7 @@ from .functions import cells as C
 from .functions import predicates as P
 from .functions.bounds import s2_covering_fixed_level
 from .functions import geoudfs as U
-from .s2.coverer import covering_of_geography
+from .s2.coverer import covering_of_encoded
 from .geo import geodesy as gd
 
 __all__ = [
@@ -141,7 +141,10 @@ def cell_containment_join(
     (``s2_cell_contains``, also pure columns) and optionally the exact
     polygon predicate.
     """
-    r = regions.withColumn(
+    # spread the covering UDF across workers even when the region
+    # table is tiny (one 25-row partition would serialize the coverer)
+    par = regions.sparkSession.sparkContext.defaultParallelism
+    r = regions.repartition(par).withColumn(
         "__cell", F.explode(s2_covering_fixed_level(region_geog, level))
     )
     if broadcast_regions:
@@ -167,8 +170,8 @@ def _buffered_covering_udf(level: int, radians: float):
             if b is None:
                 out.append(None)
                 continue
-            cells = covering_of_geography(
-                U.decode_cached(bytes(b)), fixed_level=level, buffer_radians=radians
+            cells = covering_of_encoded(
+                bytes(b), fixed_level=level, buffer_radians=radians
             )
             out.append([int(v) for v in cells.view(np.int64)])
         return pd.Series(out, dtype=object)

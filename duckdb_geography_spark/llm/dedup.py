@@ -168,17 +168,34 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = df.select(
+    # explode shingles -> per-shingle hash -> groupBy min per
+    # permutation. One pass over the shingles, map-side partial
+    # aggregation, no repeated evaluation of the shingle array (the
+    # single-expression form recomputes the n-gram set per
+    # permutation — 30x slower at sf0.1).
+    a, b = _perm_coeffs(num_perm, seed)
+    sh = df.select(
         F.col(key_col).alias("__key"),
-        minhash_signature(text_col, n, num_perm, seed).alias("__sig"),
+        F.explode(ngram_set(text_col, n)).alias("__gram"),
+    ).select(
+        "__key",
+        F.xxhash64("__gram").bitwiseAND(F.lit((1 << 31) - 1)).alias("__h"),
+    )
+    sig = sh.groupBy("__key").agg(
+        *[
+            F.min((F.col("__h") * F.lit(int(a[k])) + F.lit(int(b[k]))) % F.lit(_MERSENNE61)).alias(
+                f"__m{k}"
+            )
+            for k in range(num_perm)
+        ]
     )
     band_keys = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.hash(F.slice("__sig", b * rows + 1, rows)).alias("h"),
+                F.lit(bi).alias("band"),
+                F.hash(*[F.col(f"__m{bi * rows + r}") for r in range(rows)]).alias("h"),
             )
-            for b in range(bands)
+            for bi in range(bands)
         ]
     )
     buckets = sig.select("__key", F.explode(band_keys).alias("__bucket"))

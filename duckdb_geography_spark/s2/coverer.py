@@ -60,28 +60,35 @@ def normalize_cell_union(cells) -> np.ndarray:
 
 
 class _GeogRegion:
-    """May-intersect oracle for (cell, geography) with no false negatives."""
+    """May-intersect oracle for (cell, geography) with no false
+    negatives. All tests run **batched over arrays of cells** — the
+    coverer probes whole frontiers in a handful of numpy calls (the
+    per-cell form was the encode-time hotspot at sf0.1)."""
 
     def __init__(self, geog, buffer_radians: float = 0.0):
         self.buffer = buffer_radians
         pts = geog.all_points()
         self.vertex_lonlat = [pts] if len(pts) else []
-        self.edges = []  # (a_xyz (m,3), b_xyz (m,3)) per chain
-        self.rings_xyz = []  # shell rings for corner-in-polygon tests
+        edges_a, edges_b = [], []
+        self.rings_xyz = []  # shell rings for containment tests
         for line in geog.all_lines():
             self.vertex_lonlat.append(line)
             if len(line) >= 2:
                 xyz = gd.lonlat_deg_to_xyz(line)
-                self.edges.append((xyz[:-1], xyz[1:]))
+                edges_a.append(xyz[:-1])
+                edges_b.append(xyz[1:])
         for rings in geog.all_polygons():
             for ri, r in enumerate(rings):
                 if len(r) < 3:
                     continue
                 self.vertex_lonlat.append(r)
                 xyz = gd.lonlat_deg_to_xyz(r)
-                self.edges.append((xyz, np.roll(xyz, -1, axis=0)))
+                edges_a.append(xyz)
+                edges_b.append(np.roll(xyz, -1, axis=0))
                 if ri == 0:
                     self.rings_xyz.append(xyz)
+        self.edge_a = np.concatenate(edges_a) if edges_a else np.empty((0, 3))
+        self.edge_b = np.concatenate(edges_b) if edges_b else np.empty((0, 3))
         if self.vertex_lonlat:
             allv = np.concatenate(self.vertex_lonlat)
             self.vertex_cells = cm.lonlat_to_cellid(allv[:, 0], allv[:, 1])
@@ -90,67 +97,132 @@ class _GeogRegion:
             self.vertex_cells = np.empty(0, dtype=np.uint64)
             self.vertex_xyz = np.empty((0, 3))
 
-    def may_intersect(self, cell: np.uint64) -> bool:
-        carr = np.array([cell], dtype=np.uint64)
-        # 1. any geometry vertex inside the cell (exact, integer compare)
-        if self.vertex_cells.size and bool(
-            np.any(
-                (cm.range_min(carr)[0] <= self.vertex_cells)
-                & (self.vertex_cells <= cm.range_max(carr)[0])
-            )
-        ):
-            return True
-        corners = self._corners(cell)
+    def _cells_corners(self, cells: np.ndarray) -> np.ndarray:
+        """(n,4,3) unit-vector corners for n cells, one batched pass."""
+        n = len(cells)
+        face, i_lo, j_lo, size = cm.cell_ij_bounds(cells)
+        u_lo = cm.st_to_uv(cm.ij_to_st_min(i_lo))
+        u_hi = cm.st_to_uv(cm.ij_to_st_min(i_lo + size))
+        v_lo = cm.st_to_uv(cm.ij_to_st_min(j_lo))
+        v_hi = cm.st_to_uv(cm.ij_to_st_min(j_lo + size))
+        us = np.stack([u_lo, u_hi, u_hi, u_lo], axis=1)  # CCW
+        vs = np.stack([v_lo, v_lo, v_hi, v_hi], axis=1)
+        f4 = np.repeat(face.astype(np.int64), 4)
+        x, y, z = cm.face_uv_to_xyz(f4, us.ravel(), vs.ravel())
+        xyz = np.stack([x, y, z], axis=1)
+        xyz /= np.linalg.norm(xyz, axis=1)[:, None]
+        return xyz.reshape(n, 4, 3)
+
+    def _points_in_shells(self, pts: np.ndarray) -> np.ndarray:
+        """(p,) bool: point inside any polygon shell (batched winding)."""
+        if not self.rings_xyz or not len(pts):
+            return np.zeros(len(pts), dtype=bool)
+        out = np.zeros(len(pts), dtype=bool)
+        for ring in self.rings_xyz:
+            todo = ~out
+            if not np.any(todo):
+                break
+            P = pts[todo]  # (p,3)
+            proj = P @ ring.T  # (p,r)
+            d = ring[None, :, :] - proj[:, :, None] * P[:, None, :]
+            norms = np.linalg.norm(d, axis=2)
+            deg = norms < 1e-14  # a vertex coincides with the point
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d = d / np.where(norms > 0, norms, 1.0)[:, :, None]
+            d_next = np.roll(d, -1, axis=1)
+            cosang = np.clip(np.einsum("pri,pri->pr", d, d_next), -1.0, 1.0)
+            sinang = np.einsum("pri,pi->pr", np.cross(d, d_next), P)
+            total = np.sum(np.arctan2(sinang, cosang), axis=1)
+            inside = (np.abs(total) > np.pi) | deg.any(axis=1)
+            out[np.flatnonzero(todo)[inside]] = True
+        return out
+
+    def may_intersect_batch(self, cells: np.ndarray) -> np.ndarray:
+        cells = np.asarray(cells, dtype=np.uint64)
+        n = len(cells)
+        hit = np.zeros(n, dtype=bool)
+        if self.vertex_cells.size:
+            lo = cm.range_min(cells)[:, None]
+            hi = cm.range_max(cells)[:, None]
+            vc = self.vertex_cells[None, :]
+            hit |= np.any((lo <= vc) & (vc <= hi), axis=1)
+        if np.all(hit):
+            return hit
+        corners = self._cells_corners(cells)  # (n,4,3)
         if self.buffer > 0.0:
-            return self._within_buffer(cell, corners)
-        # 2. any cell corner inside a polygon shell
-        for ring in self.rings_xyz:
-            for k in range(4):
-                if gd.ring_contains_point(ring, corners[k], closed=False):
-                    return True
-        # 3. any cell edge crosses any geometry edge
-        c0 = corners
-        c1 = np.roll(corners, -1, axis=0)
-        for a, b in self.edges:
-            for k in range(4):
-                if np.any(
-                    gd.segments_cross(
-                        np.broadcast_to(c0[k], a.shape),
-                        np.broadcast_to(c1[k], a.shape),
-                        a,
-                        b,
-                    )
-                ):
-                    return True
-        return False
+            return hit | self._within_buffer_batch(cells, corners, ~hit)
+        todo = ~hit
+        if self.rings_xyz and np.any(todo):
+            flat = corners[todo].reshape(-1, 3)
+            inside = self._points_in_shells(flat).reshape(-1, 4).any(axis=1)
+            hit[np.flatnonzero(todo)[inside]] = True
+        todo = ~hit
+        if len(self.edge_a) and np.any(todo):
+            idx = np.flatnonzero(todo)
+            c0 = corners[todo]  # (t,4,3)
+            c1 = np.roll(c0, -1, axis=1)
+            crosses = gd.segments_cross(
+                c0[:, :, None, :],
+                c1[:, :, None, :],
+                self.edge_a[None, None, :, :],
+                self.edge_b[None, None, :, :],
+            )
+            hit[idx[crosses.any(axis=(1, 2))]] = True
+        return hit
 
-    def _corners(self, cell) -> np.ndarray:
-        lon, lat = cm.cell_vertex_lonlat(
-            np.array([cell] * 4, dtype=np.uint64), np.arange(4)
-        )
-        return gd.lonlat_deg_to_xyz(np.stack([lon, lat], axis=1))
-
-    def _within_buffer(self, cell, corners) -> bool:
-        """Conservative: cell center inside a polygon, or min geodesic
-        distance from the center to the boundary minus the cell's
-        circumradius within the buffer."""
+    def _within_buffer_batch(self, cells, corners, todo) -> np.ndarray:
+        """Buffered test: center inside a polygon OR center-to-boundary
+        distance <= buffer + circumradius (conservative superset)."""
+        n = len(cells)
+        out = np.zeros(n, dtype=bool)
         if not self.vertex_xyz.size:
-            return False
-        center_lon, center_lat = cm.cellid_to_lonlat(np.array([cell], dtype=np.uint64))
-        center = gd.lonlat_deg_to_xyz(np.stack([center_lon, center_lat], axis=1))[0]
-        for ring in self.rings_xyz:
-            if gd.ring_contains_point(ring, center, closed=False):
-                return True
-        circum = float(np.max(gd.angle(np.broadcast_to(center, corners.shape), corners)))
-        dmin = np.inf
-        for a, b in self.edges or [(self.vertex_xyz, self.vertex_xyz)]:
-            for i in range(len(a)):
-                dmin = min(dmin, float(gd.point_segment_distance(center[None, :], a[i], b[i])[0]))
-            if dmin <= self.buffer + circum:
-                return True
-        if not self.edges:
-            dmin = float(np.min(gd.angle(np.broadcast_to(center, self.vertex_xyz.shape), self.vertex_xyz)))
-        return dmin <= self.buffer + circum
+            return out
+        cx, cy, cz = cm.cellid_to_center_xyz(cells)
+        centers = np.stack([cx, cy, cz], axis=1)
+        out |= self._points_in_shells(centers) & todo
+        rem = todo & ~out
+        if np.any(rem):
+            idx = np.flatnonzero(rem)
+            C = centers[rem]
+            circum = np.max(gd.angle(C[:, None, :], corners[rem]), axis=1)
+            if len(self.edge_a):
+                d = gd.point_segment_distance(
+                    C[:, None, :], self.edge_a[None, :, :], self.edge_b[None, :, :]
+                )
+                dmin = np.min(d, axis=1)
+            else:
+                dmin = np.min(gd.angle(C[:, None, :], self.vertex_xyz[None, :, :]), axis=1)
+            out[idx[dmin <= self.buffer + circum]] = True
+        return out
+
+    def may_intersect(self, cell) -> bool:
+        return bool(self.may_intersect_batch(np.array([cell], dtype=np.uint64))[0])
+
+
+def covering_of_encoded(
+    buf: bytes,
+    max_cells: int = 8,
+    fixed_level: Optional[int] = None,
+    buffer_radians: float = 0.0,
+) -> np.ndarray:
+    """Memoized covering over the encoded bytes — repeated region rows
+    (broadcast sides, re-evaluated plans) pay the coverer once per
+    executor."""
+    return _covering_cached(buf, max_cells, fixed_level, buffer_radians)
+
+
+def _covering_cached(buf, max_cells, fixed_level, buffer_radians):
+    from functools import lru_cache
+
+    global _covering_cached
+    from ..geo.geography import Geography
+
+    @lru_cache(maxsize=4096)
+    def inner(b, mc, fl, br):
+        return covering_of_geography(Geography.decode(b), mc, fl, br)
+
+    _covering_cached = inner
+    return inner(buf, max_cells, fixed_level, buffer_radians)
 
 
 def covering_of_geography(
@@ -193,38 +265,50 @@ def covering_of_geography(
     return _adaptive_covering(region, max_cells)
 
 
-def _fixed_level_covering(region: _GeogRegion, level: int, cap: int = 4096) -> np.ndarray:
-    """BFS descent keeping only intersecting cells; if the covering
-    would exceed ``cap`` cells the remaining cells stay coarser (cap
-    guards runaway coverings of continent-scale regions at deep
-    levels; coarser cells keep the no-false-negative property)."""
-    frontier = [c for c in _FACE_CELLS if region.may_intersect(c)]
+def _children_batch(cells: np.ndarray) -> np.ndarray:
+    """All 4 children of each cell, flattened (4n,)."""
+    cells = np.repeat(np.asarray(cells, dtype=np.uint64), 4)
+    ks = np.tile(np.arange(4), len(cells) // 4)
+    return cm.child(cells, ks)
+
+
+def _fixed_level_covering(region: _GeogRegion, level: int, cap: int = 16384) -> np.ndarray:
+    """Batched BFS descent keeping only intersecting cells; if the
+    covering would exceed ``cap`` cells the remaining frontier stays
+    coarser (guards continent-scale regions at deep levels; coarser
+    cells keep the no-false-negative property)."""
+    faces = np.array(_FACE_CELLS, dtype=np.uint64)
+    frontier = faces[region.may_intersect_batch(faces)]
+    done: List[np.ndarray] = []
     for _lev in range(0, level):
-        nxt: List[np.uint64] = []
-        overflow = False
-        for c in frontier:
-            if int(cm.level(np.array([c]))[0]) >= level:
-                nxt.append(c)
-                continue
-            kids = [
-                U64(cm.child(np.array([c]), np.array([k]))[0])
-                for k in range(4)
-            ]
-            nxt.extend(k for k in kids if region.may_intersect(k))
-            if len(nxt) > cap:
-                overflow = True
-                break
-        if overflow:
+        if not len(frontier):
             break
-        frontier = nxt
-    arr = np.array(sorted(int(c) for c in frontier), dtype=np.uint64)
-    return arr
+        levels = cm.level(frontier)
+        at_level = frontier[levels >= level]
+        if len(at_level):
+            done.append(at_level)
+        todo = frontier[levels < level]
+        if not len(todo):
+            frontier = np.empty(0, dtype=np.uint64)
+            break
+        kids = _children_batch(todo)
+        if len(kids) + sum(map(len, done)) > cap:
+            done.append(todo)
+            frontier = np.empty(0, dtype=np.uint64)
+            break
+        frontier = kids[region.may_intersect_batch(kids)]
+    if len(frontier):
+        done.append(frontier)
+    if not done:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(done))
 
 
 def _adaptive_covering(region: _GeogRegion, max_cells: int) -> np.ndarray:
-    cells = [c for c in _FACE_CELLS if region.may_intersect(c)]
-    # Greedy: repeatedly split the largest cell while the result still
-    # fits in max_cells.
+    """Greedy subdivision: repeatedly split the largest cell while the
+    result still fits in max_cells (children tested in one batch)."""
+    faces = np.array(_FACE_CELLS, dtype=np.uint64)
+    cells = [U64(c) for c in faces[region.may_intersect_batch(faces)]]
     while True:
         levels = cm.level(np.array(cells, dtype=np.uint64))
         order = np.argsort(levels, kind="stable")
@@ -233,10 +317,10 @@ def _adaptive_covering(region: _GeogRegion, max_cells: int) -> np.ndarray:
             c = cells[idx]
             if levels[idx] >= 30:
                 continue
-            kids = [U64(cm.child(np.array([c]), np.array([k]))[0]) for k in range(4)]
-            kids = [k for k in kids if region.may_intersect(k)]
-            if len(cells) - 1 + len(kids) <= max_cells and kids:
-                cells = [x for i, x in enumerate(cells) if i != idx] + kids
+            kids = _children_batch(np.array([c], dtype=np.uint64))
+            kids = kids[region.may_intersect_batch(kids)]
+            if len(cells) - 1 + len(kids) <= max_cells and len(kids):
+                cells = [x for i, x in enumerate(cells) if i != idx] + [U64(k) for k in kids]
                 split_done = True
                 break
         if not split_done:

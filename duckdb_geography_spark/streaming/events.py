@@ -36,9 +36,20 @@ __all__ = [
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet directory (each file
     is one micro-batch under Trigger.AvailableNow — test- and
-    backfill-friendly)."""
+    backfill-friendly). Handles the driver's TIMESTAMP(NANOS) parquet
+    columns via nanosAsLong + conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    # the file source needs a directory; glob-filter the events file
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for field in schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def windowed_event_counts(

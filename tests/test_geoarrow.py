@@ -1,0 +1,39 @@
+"""GeoArrow interop roundtrips (reference: test/python/test_geoarrow.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+import duckdb_geography_spark.functions as G
+from duckdb_geography_spark import geoarrow as GA
+from duckdb_geography_spark.functions import data as D
+
+
+def test_table_roundtrip(spark):
+    cities = D.s2_data_cities(spark).limit(20)
+    tbl = GA.to_geoarrow_table(cities)
+    meta = tbl.schema.field("geog").metadata
+    assert meta[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    back = GA.from_geoarrow_table(spark, tbl)
+    a = cities.select("name", G.s2_format("geog", 6).alias("t")).collect()
+    b = back.select("name", G.s2_format("geog", 6).alias("t")).collect()
+    assert {(r.name, r.t) for r in a} == {(r.name, r.t) for r in b}
+
+
+def test_strict_rejects_untagged(spark):
+    import pyarrow as pa
+
+    tbl = pa.table({"geog": [b"\x00"], "name": ["x"]})
+    with pytest.raises(ValueError, match="geoarrow.wkb"):
+        GA.from_geoarrow_table(spark, tbl)
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "cities.parquet")
+    cities = D.s2_data_cities(spark).limit(10)
+    GA.write_geoparquet(cities, path)
+    back = GA.read_geoparquet(spark, path)
+    assert back.count() == 10
+    a = cities.select(G.s2_format("geog", 6).alias("t")).collect()
+    b = back.select(G.s2_format("geog", 6).alias("t")).collect()
+    assert {r.t for r in a} == {r.t for r in b}

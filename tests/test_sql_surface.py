@@ -1,0 +1,81 @@
+"""SQL surface parity: the reference's flagship queries as spark.sql."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from duckdb_geography_spark.functions.register import (
+        register_sample_data,
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    register_sample_data(spark)
+
+
+def test_smoke(spark):
+    assert spark.sql("SELECT s2() AS s").collect()[0].s == "s2"
+
+
+def test_readme_flagship_join(spark):
+    """README.md:14-19 — the reference's front-page query, verbatim
+    semantics on the SQL surface."""
+    out = spark.sql(
+        """
+        SELECT countries.name, cities.name AS city, s2_astext(cities.geog) AS wkt
+        FROM s2_data_countries AS countries
+        INNER JOIN s2_data_cities AS cities
+        ON s2_intersects(countries.geog, cities.geog)
+        """
+    )
+    rows = out.collect()
+    pairs = {(r.name, r.city) for r in rows}
+    assert ("Canada", "Toronto") in pairs
+    assert ("Germany", "Berlin") in pairs
+    assert ("Canada", "Chicago") not in pairs
+
+
+def test_cell_pipeline_sql(spark):
+    row = spark.sql(
+        """
+        SELECT s2_cell_token(s2_cellfromlonlat(-64.0d, 45.0d)) AS tok,
+               s2_cell_level(s2_cellfromlonlat(-64.0d, 45.0d)) AS lev,
+               s2_cell_debug_string(s2_cell_parent(s2_cellfromlonlat(-64.0d, 45.0d), 5)) AS p5
+        """
+    ).collect()[0]
+    assert row.tok == "4b59a0cd83b5de49"
+    assert row.lev == 30
+    assert row.p5 == "2/11223"
+
+
+def test_geography_pipeline_sql(spark):
+    row = spark.sql(
+        """
+        SELECT s2_astext(s2_geogfromtext('POINT (30 10)')) AS t,
+               round(s2_distance(s2_geogfromtext('POINT (-123.12359 49.2753624)'),
+                                 s2_geogfromtext('POINT (-79.4219667 43.7019257)'))) AS d,
+               s2_dimension(s2_geogfromtext('LINESTRING (0 0, 1 1)')) AS dim
+        """
+    ).collect()[0]
+    assert row.d == 3354018
+    assert row.dim == 1
+
+
+def test_dependencies_view(spark):
+    deps = {r.dependency for r in spark.sql("SELECT * FROM s2_dependencies").collect()}
+    assert "pyspark" in deps and "duckdb_geography_spark" in deps
+
+
+def test_unnest_covering_sql(spark):
+    """docs/function-reference.md:668-672 analogue: UNNEST(s2_covering)."""
+    out = spark.sql(
+        """
+        SELECT name, explode(s2_covering(geog)) AS cell
+        FROM s2_data_countries WHERE name = 'Fiji'
+        """
+    )
+    rows = out.collect()
+    assert 1 <= len(rows) <= 8
