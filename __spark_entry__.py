@@ -717,7 +717,7 @@ def _q_minhash_candidates(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_perm=32, bands=16).orderBy("key_a", "key_b")
+    return minhash_lsh_pairs(docs, num_perm=64, bands=8).orderBy("key_a", "key_b")
 
 
 def _q_simhash(spark, sf_dir):

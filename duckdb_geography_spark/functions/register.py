@@ -62,6 +62,19 @@ def register_sql_functions(spark: SparkSession) -> None:
     r("s2_cell_edge_neighbor", C._cell_edge_neighbor_udf)
 
     # io
+    @F.pandas_udf(StringType())
+    def _format_sql_udf(s: pd.Series, prec: pd.Series) -> pd.Series:
+        from . import geoudfs as GU
+
+        out = []
+        for b, p in zip(s, prec):
+            if b is None or p is None:
+                out.append(None)
+            else:
+                out.append(GU.decode_cached(bytes(b)).to_wkt(int(p)))
+        return pd.Series(out, dtype=object)
+
+    r("s2_format", _format_sql_udf)
     r("s2_geogfromtext", IO._geogfromtext_udf)
     r("s2_geogfromtext_novalidate", IO._geogfromtext_novalidate_udf)
     r("s2_astext", IO._astext_udf)

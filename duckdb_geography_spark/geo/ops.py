@@ -392,9 +392,7 @@ def intersection(g1: Geography, g2: Geography) -> Geography:
         return g2
     if contains(g2, g1):
         return g1
-    raise NotImplementedError(
-        "general polygon/polyline overlay intersection is not implemented yet"
-    )
+    return _general_overlay(g1, g2, "intersection")
 
 
 def union(g1: Geography, g2: Geography) -> Geography:
@@ -423,7 +421,7 @@ def union(g1: Geography, g2: Geography) -> Geography:
         if polys1 and polys2 and not (g1.all_lines() or g2.all_lines() or len(g1.all_points()) or len(g2.all_points())):
             return Geography(KIND_MULTIPOLYGON, polygons=polys1 + polys2)
         return Geography(KIND_COLLECTION, geoms=[g1, g2])
-    raise NotImplementedError("general overlay union is not implemented yet")
+    return _general_overlay(g1, g2, "union")
 
 
 def difference(g1: Geography, g2: Geography) -> Geography:
@@ -443,7 +441,39 @@ def difference(g1: Geography, g2: Geography) -> Geography:
         return _point_set_result(pts[keep])
     if contains(g2, g1):
         return Geography(KIND_COLLECTION)
-    raise NotImplementedError("general overlay difference is not implemented yet")
+    return _general_overlay(g1, g2, "difference")
+
+
+def _ccw_shell_xyz(ring_lonlat: np.ndarray) -> np.ndarray:
+    xyz = gd.lonlat_deg_to_xyz(ring_lonlat)
+    if gd.ring_signed_area(xyz) < 0:
+        xyz = xyz[::-1]
+    return xyz
+
+
+def _general_overlay(g1: Geography, g2: Geography, op: str) -> Geography:
+    """Polygon x polygon overlay via spherical Greiner-Hormann
+    (geo/overlay.py). Supports shells without holes; other mixes
+    raise NotImplementedError like before."""
+    from . import overlay as ov
+
+    p1, p2 = g1.all_polygons(), g2.all_polygons()
+    pointy_or_liney = (
+        len(g1.all_points()) or len(g2.all_points()) or g1.all_lines() or g2.all_lines()
+    )
+    if not p1 or not p2 or pointy_or_liney:
+        raise NotImplementedError(f"general {op} overlay needs polygon x polygon input")
+    if any(len(rings) > 1 for rings in p1 + p2):
+        raise NotImplementedError(f"general {op} overlay with holes is not supported yet")
+    shells1 = [_ccw_shell_xyz(rings[0]) for rings in p1]
+    shells2 = [_ccw_shell_xyz(rings[0]) for rings in p2]
+    result = ov.overlay_shells(shells1, shells2, op)
+    if not result:
+        return Geography(KIND_COLLECTION)
+    rings_lonlat = [gd.xyz_to_lonlat_deg(r) for r in result]
+    if len(rings_lonlat) == 1:
+        return Geography(KIND_POLYGON, polygons=[[rings_lonlat[0]]])
+    return Geography(KIND_MULTIPOLYGON, polygons=[[r] for r in rings_lonlat])
 
 
 # ---------------------------------------------------------------------------

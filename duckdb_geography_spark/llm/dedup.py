@@ -157,7 +157,7 @@ def minhash_lsh_pairs(
     key_col: str = "doc_id",
     n: int = 5,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the

@@ -1,0 +1,74 @@
+"""Sources & sinks (SURVEY.md S2.1 patterns).
+
+- TSV ingestion with WKT columns (the reference's data.test pattern:
+  ``SELECT ..., geog::GEOGRAPHY FROM 'file.tsv'``);
+- cell-token partitioned parquet sink + partition-pruned reads (the
+  reference's documented COPY ... PARTITION_BY partition_cell recipe,
+  docs/function-reference.md:748-768) — on Spark the token partition
+  column is pruned natively by Catalyst, which is the 100 TB read
+  path: a spatial filter touches only the matching directories.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import cells as C
+from .functions.io import s2_geogfromtext
+
+__all__ = [
+    "read_tsv_geography",
+    "write_partitioned_by_cell",
+    "read_cell_partition",
+    "partition_token",
+]
+
+
+def read_tsv_geography(
+    spark: SparkSession, path: str, wkt_col: str = "geog", validate: bool = True
+) -> DataFrame:
+    """Tab-separated file with a WKT column -> DataFrame with the
+    column parsed to GEOGRAPHY (reference: test/sql/geography/
+    data.test:19-44 loads data/cities.tsv this way)."""
+    from .functions.io import s2_geogfromtext_novalidate
+
+    df = spark.read.csv(path, sep="\t", header=True, inferSchema=True)
+    parse = s2_geogfromtext if validate else s2_geogfromtext_novalidate
+    return df.withColumn(wkt_col, parse(F.col(wkt_col)))
+
+
+def partition_token(cell_col, level: int = 4):
+    """Cell-token partition key: token of the cell's level-``level``
+    ancestor — short, prefix-ordered, filesystem-safe."""
+    return C.s2_cell_token(C.s2_cell_parent(cell_col, level))
+
+
+def write_partitioned_by_cell(
+    df: DataFrame,
+    path: str,
+    cell_col: str = "cell",
+    level: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink keyed by coarse cell token.
+
+    At scale this gives: (1) partition pruning for spatial filters,
+    (2) co-located cell-range joins when both sides share the scheme,
+    (3) bounded file counts (4^level directories max)."""
+    out = df.withColumn("partition_cell", partition_token(F.col(cell_col), level))
+    out.write.partitionBy("partition_cell").mode(mode).parquet(path)
+
+
+def read_cell_partition(
+    spark: SparkSession, path: str, cell_token: Optional[str] = None
+) -> DataFrame:
+    """Read a cell-partitioned dataset; with ``cell_token`` the filter
+    is a partition-column predicate Catalyst prunes at planning time
+    (verify with .explain: PartitionFilters, not PushedFilters)."""
+    df = spark.read.parquet(path)
+    if cell_token is not None:
+        df = df.where(F.col("partition_cell") == cell_token)
+    return df

@@ -1,0 +1,82 @@
+"""General polygon overlays: area conservation + membership sampling
+oracles, plus the reference's docs example pair."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_geography_spark.geo import geodesy as gd
+from duckdb_geography_spark.geo import ops
+from duckdb_geography_spark.geo.geography import from_wkt
+
+SQ_A = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+SQ_B = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+
+
+def _member(g, lon, lat):
+    x = gd.lonlat_deg_to_xyz(np.array([[lon, lat]]))[0]
+    parts = ops._Parts(g)
+    return parts.poly_contains(x)
+
+
+class TestGeneralOverlay:
+    def test_docs_pair_intersection(self):
+        """The overlay pair from docs/function-reference.md:1513-1516."""
+        a, b = from_wkt(SQ_A), from_wkt(SQ_B)
+        inter = ops.intersection(a, b)
+        assert inter.all_polygons()
+        # quarter-ish of A (spherical, not planar, so approximate)
+        frac = ops.area(inter) / ops.area(a)
+        assert 0.2 < frac < 0.3
+
+    def test_area_conservation(self):
+        a, b = from_wkt(SQ_A), from_wkt(SQ_B)
+        ia = ops.area(ops.intersection(a, b))
+        da = ops.area(ops.difference(a, b))
+        ua = ops.area(ops.union(a, b))
+        assert ia + da == pytest.approx(ops.area(a), rel=1e-9)
+        assert ua == pytest.approx(ops.area(a) + ops.area(b) - ia, rel=1e-9)
+
+    def test_membership_sampling(self):
+        a, b = from_wkt(SQ_A), from_wkt(SQ_B)
+        inter = ops.intersection(a, b)
+        diff = ops.difference(a, b)
+        union = ops.union(a, b)
+        rng = np.random.default_rng(11)
+        for lon, lat in zip(rng.uniform(-3, 18, 120), rng.uniform(-3, 18, 120)):
+            in_a, in_b = _member(a, lon, lat), _member(b, lon, lat)
+            assert _member(inter, lon, lat) == (in_a and in_b)
+            assert _member(diff, lon, lat) == (in_a and not in_b)
+            assert _member(union, lon, lat) == (in_a or in_b)
+
+    def test_multi_piece_intersection(self):
+        """A tall rect crossing a U-ish subject twice -> 2 pieces."""
+        subj = from_wkt(
+            "POLYGON ((0 0, 30 0, 30 4, 4 4, 4 16, 30 16, 30 20, 0 20, 0 0))"
+        )
+        clip = from_wkt("POLYGON ((8 -2, 12 -2, 12 22, 8 22, 8 -2))")
+        inter = ops.intersection(subj, clip)
+        assert len(inter.all_polygons()) == 2
+
+    def test_degenerate_raises(self):
+        a = from_wkt(SQ_A)
+        touching = from_wkt("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
+        with pytest.raises(NotImplementedError):
+            ops.intersection(a, touching)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        dx=st.floats(min_value=2.3, max_value=8.7),
+        dy=st.floats(min_value=2.3, max_value=8.7),
+    )
+    def test_property_shifted_squares(self, dx, dy):
+        a = from_wkt(SQ_A)
+        b = from_wkt(
+            f"POLYGON (({dx} {dy}, {dx + 10} {dy}, {dx + 10} {dy + 10}, {dx} {dy + 10}, {dx} {dy}))"
+        )
+        ia = ops.area(ops.intersection(a, b))
+        da = ops.area(ops.difference(a, b))
+        assert ia + da == pytest.approx(ops.area(a), rel=1e-8)
