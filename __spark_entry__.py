@@ -473,8 +473,13 @@ def _q_haversine_pairs(spark, sf_dir):
         + F.cos(p1) * F.cos(p2) * F.sin((l2 - l1) / 2) ** 2
     )
     dist = F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.sqrt(h))) * F.lit(6371010.0)
+    # prefilter: |dlat| deg * (pi/180*R) lower-bounds the distance, so
+    # pairs with dlat > ~18.5 deg can never pass — prunes the cross
+    # join before any trig (superset property keeps the oracle exact)
+    lat_ok = F.abs(F.col("clat") - F.col("slat")) <= F.lit(18.5)
     return (
         cust.crossJoin(F.broadcast(supp))
+        .where(lat_ok)
         .where(dist <= 2_000_000)
         .select("c_custkey", "s_suppkey", F.round(dist).cast("long").alias("dist_m"))
         .orderBy("c_custkey", "s_suppkey")
@@ -739,6 +744,31 @@ def _q_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_overlay_intersection(spark, sf_dir):
+    """General polygon overlay per nation: rect ^ diagonally shifted
+    rect (spherical Greiner-Hormann; no SQL oracle for geodesic
+    clip vertices -> rows-only)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.accessors import s2_area
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+    from duckdb_geography_spark.functions.predicates import s2_intersection
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(16)  # Python overlay per row
+    xmin, ymin, xmax, ymax = synth.nation_box()
+    shifted = F.format_string(
+        "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+        xmin + 10.3, ymin + 5.7, xmax + 10.3, ymin + 5.7,
+        xmax + 10.3, ymax + 5.7, xmin + 10.3, ymax + 5.7, xmin + 10.3, ymin + 5.7,
+    )
+    inter = s2_intersection(
+        s2_geogfromtext(synth.nation_wkt()), s2_geogfromtext(shifted)
+    )
+    return nation.select(
+        "n_nationkey", F.round(s2_area(inter)).cast("long").alias("inter_area_m2")
+    ).orderBy("n_nationkey")
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over documents-as-binary (stub decode kernel
     -> rows-only)."""
@@ -780,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "lsh_topk": _q_lsh_topk,
+        "overlay_intersection": _q_overlay_intersection,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -68,7 +68,7 @@ class GeographyError(ValueError):
 class Geography:
     """Decoded geography value. Coordinates are (n,2) lon/lat degrees."""
 
-    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size")
+    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size", "_cov")
 
     def __init__(self, kind, points=None, lines=None, polygons=None, geoms=None,
                  cell_id=None, prepared_size=None):
@@ -79,6 +79,7 @@ class Geography:
         self.geoms: List[Geography] = geoms or []
         self.cell_id = cell_id
         self.prepared_size = prepared_size
+        self._cov = None  # memoized default covering
 
     # -- constructors -----------------------------------------------------
     @staticmethod
@@ -292,7 +293,12 @@ class Geography:
         if flags & FLAG_EMPTY:
             g = Geography(kind)
             return g
-        return Geography._decode_body(kind, buf, off)
+        g = Geography._decode_body(kind, buf, off)
+        if ncov:
+            # the embedded covering rides with the value — restore it so
+            # predicates never recompute it (SURVEY.md S4.2 #2)
+            g._cov = np.frombuffer(buf, dtype="<u8", count=ncov, offset=4).astype(np.uint64)
+        return g
 
     @staticmethod
     def _decode_body(kind: int, buf: bytes, off: int) -> "Geography":

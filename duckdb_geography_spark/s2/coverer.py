@@ -237,6 +237,9 @@ def covering_of_geography(
     bounds.test:19-27)."""
     from ..geo.geography import KIND_CELL_CENTER
 
+    default_args = max_cells == 8 and fixed_level is None and buffer_radians == 0.0
+    if default_args and getattr(geog, "_cov", None) is not None:
+        return geog._cov
     if geog.is_empty():
         return np.empty(0, dtype=np.uint64)
     if geog.kind == KIND_CELL_CENTER and buffer_radians == 0.0:
@@ -262,7 +265,10 @@ def covering_of_geography(
     region = _GeogRegion(geog, buffer_radians)
     if fixed_level is not None:
         return _fixed_level_covering(region, fixed_level)
-    return _adaptive_covering(region, max_cells)
+    out = _adaptive_covering(region, max_cells)
+    if default_args:
+        geog._cov = out
+    return out
 
 
 def _children_batch(cells: np.ndarray) -> np.ndarray:
