@@ -73,7 +73,6 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth.cust_lon().alias("lon"),
         synth.cust_lat().alias("lat"),
     )
-    pts = cust.withColumn("cell", C.s2_cellfromlonlat("lon", "lat"))
     nation = _t(spark, sf_dir, "nation")
     xmin, ymin, xmax, ymax = synth.nation_box()
     nations = nation.select(
@@ -97,7 +96,15 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = geo_nations.withColumn(
         "__cell", F.explode(J._buffered_covering_udf(level, 0.07)(F.col("geog")))
     ).select("n_nationkey", "__cell")
-    p = pts.withColumn("__cell", C.s2_cell_parent(F.col("cell"), level))
+    # one UDF evaluation on the big side: parent(leaf) composed inline.
+    # cache-mark the projection so Catalyst doesn't re-extract the UDF
+    # for the join key and the carried columns separately
+    p = cust.select(
+        "c_custkey",
+        "lon",
+        "lat",
+        C.s2_cell_parent(C.s2_cellfromlonlat("lon", "lat"), level).alias("__cell"),
+    )
     cand = p.join(F.broadcast(r), "__cell").drop("__cell")
     refined = cand.join(F.broadcast(nations), "n_nationkey").where(
         (F.col("lon") >= F.col("xmin"))

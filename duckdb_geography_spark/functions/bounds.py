@@ -268,27 +268,27 @@ def s2_box_struct(box) -> Column:
 # ---------------------------------------------------------------------------
 
 
-@F.pandas_udf(BOX_SCHEMA)
-def _bounds_box_agg_udf(s: pd.Series) -> pd.DataFrame:  # pragma: no cover
-    raise NotImplementedError  # placeholder; grouped agg uses applyInPandas
+@F.pandas_udf(ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)  # type: ignore[call-overload]
+def _bounds_box_agg_arr(s: pd.Series):
+    rect = ops.EMPTY_RECT
+    for b in s:
+        if b is None:
+            continue
+        rect = _rect_union(rect, ops.bounds_rect(U.decode_cached(bytes(b))))
+    return list(rect)
 
 
 def s2_bounds_box_agg(geog) -> Column:
     """Aggregate: union of bounds over a group
-    (src/s2_bounds.cpp:204-348). Implemented as a GROUPED_AGG pandas
-    UDF over the encoded geography column; Spark's partial aggregation
-    of pandas UDAFs plays the reference's Combine role."""
-
-    @F.pandas_udf(BOX_SCHEMA, F.PandasUDFType.GROUPED_AGG)  # type: ignore[call-overload]
-    def _agg(s: pd.Series):
-        rect = ops.EMPTY_RECT
-        for b in s:
-            if b is None:
-                continue
-            rect = _rect_union(rect, ops.bounds_rect(U.decode_cached(bytes(b))))
-        return {"xmin": rect[0], "ymin": rect[1], "xmax": rect[2], "ymax": rect[3]}
-
-    return _agg(_c(geog))
+    (src/s2_bounds.cpp:204-348). A GROUPED_AGG pandas UDF (grouped
+    aggs can't return structs, so the box travels as array<double>
+    and is re-wrapped); Spark's partial aggregation plays the
+    reference's Combine role. ``bounds_box_agg_df`` is the
+    applyInPandas alternative for whole-DataFrame use."""
+    arr = _bounds_box_agg_arr(_c(geog))
+    return F.struct(
+        arr[0].alias("xmin"), arr[1].alias("ymin"), arr[2].alias("xmax"), arr[3].alias("ymax")
+    )
 
 
 def bounds_box_agg_df(df: DataFrame, geog_col: str, group_cols=None) -> DataFrame:

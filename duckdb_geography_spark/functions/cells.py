@@ -187,6 +187,13 @@ def _cellfromlonlat_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series(cm.to_signed(ids))
 
 
+# deterministic in fact, but marked otherwise so Catalyst doesn't
+# split a pushed-down join-key null guard into a second full
+# evaluation of the UDF over the fact table (observed 2x Python cost
+# in covering joins)
+_cellfromlonlat_udf = _cellfromlonlat_udf.asNondeterministic()
+
+
 @F.pandas_udf(DoubleType())
 def _cell_center_lon_udf(cell: pd.Series) -> pd.Series:
     from . import geoudfs as U

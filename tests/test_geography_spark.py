@@ -403,6 +403,25 @@ class TestData:
 
 
 class TestAgg:
+    def test_bounds_box_agg_column(self, spark):
+        from duckdb_geography_spark.functions.bounds import s2_bounds_box_agg
+
+        df = geo_df(spark, g="MULTIPOINT (0 1, 2 3)")
+        r = one(df.agg(s2_bounds_box_agg("g").alias("box")))
+        assert (r.box.xmin, r.box.ymin, r.box.xmax, r.box.ymax) == (
+            0.0,
+            1.0,
+            1.9999999999999996,
+            3.0000000000000004,
+        )
+        # grouped variant partial-aggregates per group
+        df2 = spark.createDataFrame(
+            [(1, "POINT (0 1)"), (1, "MULTIPOINT (2 3, 4 5)"), (2, "POINT (10 -10)")],
+            ["k", "w"],
+        ).select("k", G.s2_geogfromtext("w").alias("g"))
+        rows = df2.groupBy("k").agg(s2_bounds_box_agg("g").alias("box")).orderBy("k").collect()
+        assert round(rows[0].box.xmax, 6) == 4.0 and round(rows[1].box.ymin, 6) == -10.0
+
     def test_bounds_box_agg_df(self, spark):
         from duckdb_geography_spark.functions.bounds import bounds_box_agg_df
 
