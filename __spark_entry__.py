@@ -751,6 +751,49 @@ def _q_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_box_ops(spark, sf_dir):
+    """S2_BOX family: construct/intersects/union per nation against a
+    diagonally shifted box (overlapping, non-wrapping, so the SQL
+    twin is plain interval logic)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.bounds import (
+        s2_box,
+        s2_box_intersects,
+        s2_box_union,
+    )
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation")
+    xmin, ymin, xmax, ymax = synth.nation_box()
+    # +0.5 keeps xmin off the -180 boundary, where S1Interval's
+    # normalization (lo -> 180) is right but not plain-SQL-expressible
+    b1 = s2_box(xmin + 0.5, ymin, xmax, ymax)
+    b2 = s2_box(xmin + 4.0, ymin + 3.0, xmax + 4.0, ymax + 3.0)
+    u = s2_box_union(b1, b2)
+    return nation.select(
+        "n_nationkey",
+        s2_box_intersects(b1, b2).alias("overlaps"),
+        u["xmin"].alias("u_xmin"),
+        u["ymin"].alias("u_ymin"),
+        u["xmax"].alias("u_xmax"),
+        u["ymax"].alias("u_ymax"),
+    ).orderBy("n_nationkey")
+
+
+def _box_ops_sql():
+    from duckdb_geography_spark import synth
+
+    return f"""
+SELECT n_nationkey,
+  TRUE AS overlaps,
+  least(({synth.NATION_XMIN_SQL}) + 0.5, ({synth.NATION_XMIN_SQL}) + 4.0) AS u_xmin,
+  least({synth.NATION_YMIN_SQL}, ({synth.NATION_YMIN_SQL}) + 3.0) AS u_ymin,
+  greatest({synth.NATION_XMAX_SQL}, ({synth.NATION_XMAX_SQL}) + 4.0) AS u_xmax,
+  greatest({synth.NATION_YMAX_SQL}, ({synth.NATION_YMAX_SQL}) + 3.0) AS u_ymax
+FROM nation ORDER BY n_nationkey
+"""
+
+
 def _q_overlay_intersection(spark, sf_dir):
     """General polygon overlay per nation: rect ^ diagonally shifted
     rect (spherical Greiner-Hormann; no SQL oracle for geodesic
@@ -817,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "lsh_topk": _q_lsh_topk,
+        "box_ops": _q_box_ops,
         "overlay_intersection": _q_overlay_intersection,
         "multimodal_features": _q_multimodal_features,
     }
@@ -842,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "embedding_sim_pairs": _EMBEDDING_PAIRS_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
+        "box_ops": _box_ops_sql(),
         # covering_sizes, bounds_box_agg, minhash_lsh_candidates,
         # simhash_signatures, lsh_topk, multimodal_features: rows-only
     }

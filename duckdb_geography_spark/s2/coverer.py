@@ -6,11 +6,11 @@ at most ``max_cells`` cells — the same contract the reference gets
 from S2RegionCoverer (reference: src/s2_bounds.cpp:19-144, default
 max 8 cells).
 
-The refinement strategy is a deterministic greedy subdivision rather
-than a line-for-line S2RegionCoverer port, so coverings are valid but
-not always cell-identical to the reference's (exact-match goldens for
-s2_covering are tracked as a known gap; join correctness only needs
-the superset property).
+Default (adaptive) coverings run through the faithful
+S2RegionCoverer port in region_coverer.py and reproduce the
+reference's golden cell lists exactly (Fiji,
+test/sql/geography/bounds.test:8-16). Fixed-level coverings use a
+batched BFS descent.
 """
 
 from __future__ import annotations
@@ -67,6 +67,8 @@ class _GeogRegion:
 
     def __init__(self, geog, buffer_radians: float = 0.0):
         self.buffer = buffer_radians
+        self._geog = geog
+        self._cap = None
         pts = geog.all_points()
         self.vertex_lonlat = [pts] if len(pts) else []
         edges_a, edges_b = [], []
@@ -195,6 +197,51 @@ class _GeogRegion:
             out[idx[dmin <= self.buffer + circum]] = True
         return out
 
+    def contains_cell_batch(self, cells: np.ndarray) -> np.ndarray:
+        """Cell fully inside the region (polygons only): all corners
+        inside a shell, no region vertex inside the cell, no edge
+        crossings."""
+        cells = np.asarray(cells, dtype=np.uint64)
+        n = len(cells)
+        if not self.rings_xyz:
+            return np.zeros(n, dtype=bool)
+        ok = np.ones(n, dtype=bool)
+        if self.vertex_cells.size:
+            lo = cm.range_min(cells)[:, None]
+            hi = cm.range_max(cells)[:, None]
+            vc = self.vertex_cells[None, :]
+            ok &= ~np.any((lo <= vc) & (vc <= hi), axis=1)
+        if not np.any(ok):
+            return ok
+        corners = self._cells_corners(cells)
+        idx = np.flatnonzero(ok)
+        flat = corners[ok].reshape(-1, 3)
+        inside = self._points_in_shells(flat).reshape(-1, 4).all(axis=1)
+        ok[idx[~inside]] = False
+        todo = ok
+        if len(self.edge_a) and np.any(todo):
+            idx = np.flatnonzero(todo)
+            c0 = corners[todo]
+            c1 = np.roll(c0, -1, axis=1)
+            crosses = gd.segments_cross(
+                c0[:, :, None, :],
+                c1[:, :, None, :],
+                self.edge_a[None, None, :, :],
+                self.edge_b[None, None, :, :],
+            )
+            ok[idx[crosses.any(axis=(1, 2))]] = False
+        return ok
+
+    def cap_bound(self):
+        """S2LatLngRect::GetCapBound port over the geography's bounds
+        rect -> (center_xyz, radius_radians)."""
+        from ..geo import ops as _ops
+
+        if self._cap is None:
+            rect = _ops.bounds_rect(self._geog)
+            self._cap = _rect_cap_bound(rect)
+        return self._cap
+
     def may_intersect(self, cell) -> bool:
         return bool(self.may_intersect_batch(np.array([cell], dtype=np.uint64))[0])
 
@@ -265,7 +312,9 @@ def covering_of_geography(
     region = _GeogRegion(geog, buffer_radians)
     if fixed_level is not None:
         return _fixed_level_covering(region, fixed_level)
-    out = _adaptive_covering(region, max_cells)
+    from .region_coverer import RegionCoverer
+
+    out = RegionCoverer(region, max_cells).covering()
     if default_args:
         geog._cov = out
     return out
@@ -332,3 +381,35 @@ def _adaptive_covering(region: _GeogRegion, max_cells: int) -> np.ndarray:
         if not split_done:
             break
     return normalize_cell_union(np.array(cells, dtype=np.uint64))
+
+
+def _rect_cap_bound(rect):
+    """(xmin, ymin, xmax, ymax) degrees -> (center_xyz, radius_rad),
+    following S2LatLngRect::GetCapBound."""
+    import math
+
+    xmin, ymin, xmax, ymax = rect
+    if ymin > ymax:  # empty
+        return np.array([1.0, 0.0, 0.0]), 0.0
+    if ymin + ymax < 0:
+        pole = np.array([0.0, 0.0, -1.0])
+        pole_angle = math.pi / 2 + math.radians(ymax)
+    else:
+        pole = np.array([0.0, 0.0, 1.0])
+        pole_angle = math.pi / 2 - math.radians(ymin)
+    lng_span = (xmax - xmin) if xmin <= xmax else (xmax - xmin + 360.0)
+    if 0.0 <= lng_span < 360.0:
+        mid_lng = xmin + lng_span / 2.0
+        if mid_lng > 180.0:
+            mid_lng -= 360.0
+        mid_lat = (ymin + ymax) / 2.0
+        center = gd.lonlat_deg_to_xyz(np.array([[mid_lng, mid_lat]]))[0]
+        corners = gd.lonlat_deg_to_xyz(
+            np.array(
+                [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]], dtype=float
+            )
+        )
+        radius = float(np.max(gd.angle(np.broadcast_to(center, corners.shape), corners)))
+        if 1 - math.cos(radius) < 1 - math.cos(pole_angle):
+            return center, radius
+    return pole, pole_angle

@@ -1,0 +1,65 @@
+"""Faithful S2RegionCoverer port vs the reference's covering goldens
+(test/sql/geography/bounds.test:8-16; Fiji geometry from the
+reference's public countries fixture)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duckdb_geography_spark.geo.geography import from_wkt
+from duckdb_geography_spark.s2 import cellmath as cm
+from duckdb_geography_spark.s2.coverer import covering_of_geography
+
+FIJI = (
+    "MULTIPOLYGON (((178.3736 -17.33992, 178.12557 -17.50481, 177.67087 -17.38114, "
+    "177.28504 -17.72465, 177.38146 -18.16432, 177.93266 -18.28799, 178.55271 -18.15059, "
+    "178.71806 -17.62846, 178.3736 -17.33992)), ((-179.917369 -16.501783, "
+    "-179.79332 -16.020882, 180 -16.067133, 179.413509 -16.379054, 179.096609 -16.433984, "
+    "178.596839 -16.63915, 178.725059 -17.012042, 179.364143 -16.801354, 180 -16.555217, "
+    "-179.917369 -16.501783)))"
+)
+
+
+def dbg(cells):
+    return list(cm.debug_string(cells))
+
+
+def test_fiji_adaptive_covering_golden():
+    got = dbg(covering_of_geography(from_wkt(FIJI), max_cells=8))
+    assert got == [
+        "3/13002011",
+        "3/1300232",
+        "3/130030",
+        "3/130031",
+        "3/130033",
+        "3/130100",
+        "3/2032333",
+        "3/20330000000",
+    ]
+
+
+def test_fiji_fixed_level_golden():
+    got = dbg(covering_of_geography(from_wkt(FIJI), fixed_level=5))
+    assert got == ["3/13002", "3/13003", "3/13010", "3/20323", "3/20330"]
+
+
+def test_covering_is_superset():
+    """Every polygon vertex must fall inside some covering cell."""
+    g = from_wkt(FIJI)
+    cov = covering_of_geography(g, max_cells=8)
+    lo, hi = cm.range_min(cov), cm.range_max(cov)
+    for rings in g.all_polygons():
+        for r in rings:
+            leaves = cm.lonlat_to_cellid(r[:, 0], r[:, 1])
+            inside = ((lo[None, :] <= leaves[:, None]) & (leaves[:, None] <= hi[None, :])).any(
+                axis=1
+            )
+            assert inside.all()
+
+
+@pytest.mark.parametrize("max_cells", [1, 4, 12, 64])
+def test_covering_budgets(max_cells):
+    cov = covering_of_geography(from_wkt(FIJI), max_cells=max_cells)
+    assert 1 <= len(cov) <= max(max_cells, 4)
+    assert cm.is_valid(cov).all()
