@@ -323,19 +323,50 @@ def distance(g1: Geography, g2: Geography) -> float:
     return best * R
 
 
+def _min_angle_point_to_parts(x: np.ndarray, parts: "_Parts") -> float:
+    """Min angle from a point to all components of a parts set."""
+    best = INF
+    if parts.poly_contains(x):
+        return 0.0
+    if len(parts.points):
+        best = min(best, float(np.min(gd.angle(np.broadcast_to(x, parts.points.shape), parts.points))))
+    for l in parts.lines:
+        best = min(best, gd.min_distance_point_to_polyline(x, l))
+    for rings in parts.polygons:
+        for r in rings:
+            best = min(best, gd.min_distance_point_to_ring_edges(x, r))
+    return best
+
+
 def max_distance(g1: Geography, g2: Geography) -> float:
     """Max geodesic distance in meters; empty -> inf
-    (src/s2_binary_index_ops.cpp:571-615). v1 evaluates vertex pairs
-    (edge-interior maxima near antipodes not yet handled)."""
+    (src/s2_binary_index_ops.cpp:571-615).
+
+    Uses the antipode identity: the farthest point of a set from x is
+    at angle pi - min_angle(-x, set), which covers edge-interior
+    maxima (S2FurthestEdgeQuery parity). The max over two sets is
+    attained with a vertex on at least one side, so sweeping each
+    side's vertices against the other set is exact."""
     if g1.is_empty() or g2.is_empty():
         return INF
     a, b = _Parts(g1), _Parts(g2)
-    va = _all_vertices(a)
-    vb = _all_vertices(b)
+    va, vb = _all_vertices(a), _all_vertices(b)
     if not len(va) or not len(vb):
         return INF
-    d = gd.angle(va[:, None, :], vb[None, :, :])
-    return float(np.max(d)) * R
+    # vertex-vertex pairs via direct chord math (bit-exact golden path)
+    best = float(np.max(gd.angle(va[:, None, :], vb[None, :, :])))
+    # edge-interior maxima via the antipode identity, only for sides
+    # that actually have edges (keeps point-point results chord-exact)
+    for src_v, dst in ((va, b), (vb, a)):
+        if not (dst.lines or dst.polygons):
+            continue
+        edge_parts = _Parts.__new__(_Parts)
+        edge_parts.points = np.empty((0, 3))
+        edge_parts.lines = dst.lines
+        edge_parts.polygons = dst.polygons
+        for v in src_v:
+            best = max(best, math.pi - _min_angle_point_to_parts(-v, edge_parts))
+    return best * R
 
 
 def _all_vertices(parts: "_Parts") -> np.ndarray:
