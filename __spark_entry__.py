@@ -751,6 +751,71 @@ def _q_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_snapped_distance(spark, sf_dir):
+    """s2_distance on snapped cell-center geographies (the exact
+    fast path, golden-bearing) for sampled customer x supplier pairs;
+    the oracle rebuilds the centers via the inverse-Hilbert CTE and
+    the same chord math."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
+    from duckdb_geography_spark.functions.predicates import s2_distance
+
+    _prep(spark)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            s2_cell_center_to_geography(
+                C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat())
+            ).alias("cg"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 2 == 0)
+        .select(
+            "s_suppkey",
+            s2_cell_center_to_geography(
+                C.s2_cellfromlonlat(synth.supp_lon(), synth.supp_lat())
+            ).alias("sg"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(supp))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(s2_distance("cg", "sg"), 1).alias("dist_m1"),
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+def _snapped_distance_sql():
+    from duckdb_geography_spark import synth
+
+    cpts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, {synth.CUST_LAT_SQL} AS lat "
+        "FROM customer WHERE c_custkey % 10 = 0"
+    )
+    spts = (
+        f"SELECT s_suppkey AS k, {synth.SUPP_LON_SQL} AS lon, {synth.SUPP_LAT_SQL} AS lat "
+        "FROM supplier WHERE s_suppkey % 2 = 0"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_c")},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_c", "_c").lstrip()},
+{synth.cellfromlonlat_cte(spts, "_s").lstrip()},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_s", "_s").lstrip()}
+SELECT c.k AS c_custkey, s.k AS s_suppkey,
+  round(2.0 * asin(least(1.0, 0.5 * sqrt((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) + (c.z-s.z)*(c.z-s.z)))) * 6371010.0, 1) AS dist_m1
+FROM centers_c c CROSS JOIN centers_s s
+ORDER BY c_custkey, s_suppkey
+"""
+
+
 def _q_box_ops(spark, sf_dir):
     """S2_BOX family: construct/intersects/union per nation against a
     diagonally shifted box (overlapping, non-wrapping, so the SQL
@@ -860,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "lsh_topk": _q_lsh_topk,
+        "snapped_distance_pairs": _q_snapped_distance,
         "box_ops": _q_box_ops,
         "overlay_intersection": _q_overlay_intersection,
         "multimodal_features": _q_multimodal_features,
@@ -886,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "embedding_sim_pairs": _EMBEDDING_PAIRS_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
+        "snapped_distance_pairs": _snapped_distance_sql(),
         "box_ops": _box_ops_sql(),
         # covering_sizes, bounds_box_agg, minhash_lsh_candidates,
         # simhash_signatures, lsh_topk, multimodal_features: rows-only

@@ -109,6 +109,13 @@ def key_cell_sql_expr(key_expr: str) -> str:
     )
 
 
+def out_replace_token(text: str, name: str, new: str) -> str:
+    """Whole-word CTE rename (avoids e.g. 'st' matching inside 'cast')."""
+    import re
+
+    return re.sub(rf"\b{name}\b", new, text)
+
+
 # -- SQL twins of the pure-Column cell bit ops (for oracle queries) -------
 
 def _uns(e: str) -> str:
@@ -148,7 +155,7 @@ def cell_range_max_sql(cell: str) -> str:
     return f"({cell} + ({cell_lsb_sql(cell)} - 1))"
 
 
-def cellfromlonlat_cte(points_sql: str) -> str:
+def cellfromlonlat_cte(points_sql: str, suffix: str = "") -> str:
     """DuckDB CTE chain computing the S2 leaf cell id for rows of
     ``(k, lon, lat)`` produced by ``points_sql`` — an *independent*
     SQL implementation of the S2 quadratic projection + Hilbert
@@ -166,7 +173,7 @@ def cellfromlonlat_cte(points_sql: str) -> str:
         for o in range(4)
         for ij in range(4)
     )
-    return f"""
+    out = f"""
   pts AS ({points_sql}),
   xyz AS (
     SELECT k,
@@ -207,7 +214,80 @@ def cellfromlonlat_cte(points_sql: str) -> str:
   cellids AS (
     SELECT k, {_sgn("(CAST(f AS HUGEINT) * 2305843009213693952 + CAST(pos AS HUGEINT)*2 + 1)")} AS cell
     FROM hil WHERE lev = -1)
-""".replace("st_in_disguise_nope_use_uv", "uv")
+"""
+    out = out.replace("st_in_disguise_nope_use_uv", "uv")
+    if suffix:
+        for name in ("pts", "xyz", "fc", "uv", "st", "lut", "hil", "cellids"):
+            out = out_replace_token(out, name, name + suffix)
+    return out
+
+
+def cellcenter_xyz_cte(cells_sql: str, suffix: str = "") -> str:
+    """Inverse of :func:`cellfromlonlat_cte`: DuckDB CTE chain turning
+    LEAF cell ids (rows ``(k, cell)`` from ``cells_sql``) into
+    normalized center unit vectors — relation ``centers(k, x, y, z)``.
+
+    Reconstructs (face, i, j) by walking the 30 Hilbert digits with
+    the pos->ij lookup table, then center st = (2i+1)/2^31 (leaf
+    delta), st->uv quadratic, face frame to xyz.
+    """
+    from .s2.cellmath import POS_TO_IJ, POS_TO_ORIENT
+
+    lut_rows = ",".join(
+        "({},{},{},{},{})".format(
+            o,
+            d,
+            int(POS_TO_IJ[o][d]) >> 1,
+            int(POS_TO_IJ[o][d]) & 1,
+            o ^ int(POS_TO_ORIENT[d]),  # orientation updates by the POS digit
+        )
+        for o in range(4)
+        for d in range(4)
+    )
+    u = _uns("cell")
+    out = f"""
+  cells_in AS ({cells_sql}),
+  cface AS (
+    SELECT k, cell,
+      CAST({u} // CAST(2305843009213693952 AS HUGEINT) AS BIGINT) AS f,
+      CAST(({u} % CAST(2305843009213693952 AS HUGEINT)) // 2 AS BIGINT) AS pos
+    FROM cells_in),
+  ilut(o, d, ib, jb, no) AS (VALUES {lut_rows}),
+  walk AS (
+    SELECT k, f, pos, 29 AS lev,
+      CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j, f % 2 AS o
+    FROM cface
+    UNION ALL
+    SELECT w.k, w.f, w.pos, w.lev - 1,
+      w.i * 2 + l.ib, w.j * 2 + l.jb, l.no
+    FROM walk w JOIN ilut l
+      ON l.o = w.o AND l.d = ((w.pos >> (2 * w.lev)) & 3)
+    WHERE w.lev >= 0),
+  cij AS (SELECT k, f, i, j FROM walk WHERE lev = -1),
+  cst AS (
+    SELECT k, f,
+      (2 * i + 1) / 2147483648.0 AS s,
+      (2 * j + 1) / 2147483648.0 AS t
+    FROM cij),
+  cuv AS (
+    SELECT k, f,
+      CASE WHEN s >= 0.5 THEN (1.0/3.0) * (4*s*s - 1) ELSE (1.0/3.0) * (1 - 4*(1-s)*(1-s)) END AS u,
+      CASE WHEN t >= 0.5 THEN (1.0/3.0) * (4*t*t - 1) ELSE (1.0/3.0) * (1 - 4*(1-t)*(1-t)) END AS v
+    FROM cst),
+  craw AS (
+    SELECT k,
+      CASE f WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE v END AS rx,
+      CASE f WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END AS ry,
+      CASE f WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0 WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END AS rz
+    FROM cuv),
+  centers AS (
+    SELECT k, rx / nrm AS x, ry / nrm AS y, rz / nrm AS z
+    FROM (SELECT k, rx, ry, rz, sqrt(rx*rx + ry*ry + rz*rz) AS nrm FROM craw))
+"""
+    if suffix:
+        for name in ("cells_in", "cface", "ilut", "walk", "cij", "cst", "cuv", "craw", "centers"):
+            out = out_replace_token(out, name, name + suffix)
+    return out
 
 
 def cell_token_sql(cell: str) -> str:
