@@ -286,7 +286,7 @@ def _cell_bitops_sql():
     return f"""
 SELECT c_custkey,
   {cell} AS cell,
-  {synth.cell_level_sql(cell)} AS level,
+  CAST({synth.cell_level_sql(cell)} AS INTEGER) AS level,
   {p5} AS parent5,
   {synth.cell_range_min_sql(p5)} AS rmin5,
   {synth.cell_range_max_sql(p5)} AS rmax5,
@@ -569,9 +569,9 @@ def _q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.char_count("text").alias("n_char"),
-        T.token_count("text").alias("n_tok"),
-        T.word_count("text").alias("n_word"),
+        T.char_count("text").cast("long").alias("n_char"),
+        T.token_count("text").cast("long").alias("n_tok"),
+        T.word_count("text").cast("long").alias("n_word"),
         F.round(T.punct_ratio("text"), 6).alias("punct_r"),
         F.round(T.stopword_ratio("text"), 6).alias("stop_r"),
         T.fingerprint_md5("text").alias("fp"),
