@@ -80,10 +80,11 @@ def _from_ij_same_parent(face: int, i: int, j: int, same_face: bool, level: int)
 
 
 class _Candidate:
-    __slots__ = ("cell", "is_terminal", "children")
+    __slots__ = ("cell", "level", "is_terminal", "children")
 
-    def __init__(self, cell, is_terminal):
+    def __init__(self, cell, level, is_terminal):
         self.cell = cell
+        self.level = level
         self.is_terminal = is_terminal
         self.children: List["_Candidate"] = []
 
@@ -114,19 +115,27 @@ class RegionCoverer:
             return None
         lev = int(cm.level(np.array([cell], dtype=np.uint64))[0])
         is_terminal = lev == MAX_LEVEL or self._contains(cell)
-        return _Candidate(U64(cell), is_terminal)
+        return _Candidate(U64(cell), lev, is_terminal)
 
     def _expand_children(self, candidate: _Candidate) -> int:
-        num_terminals = 0
+        """Probe all 4 children in single batched region calls."""
         kids = cm.child(
             np.repeat(np.array([candidate.cell], dtype=np.uint64), 4), np.arange(4)
         )
-        for k in kids:
-            child = self._new_candidate(U64(k))
-            if child is not None:
-                candidate.children.append(child)
-                if child.is_terminal:
-                    num_terminals += 1
+        may = self.region.may_intersect_batch(kids)
+        kids = kids[may]
+        if not len(kids):
+            return 0
+        child_level = candidate.level + 1
+        if child_level == MAX_LEVEL:
+            term = np.ones(len(kids), dtype=bool)
+        else:
+            term = self.region.contains_cell_batch(kids)
+        num_terminals = 0
+        for k, t in zip(kids, term):
+            candidate.children.append(_Candidate(U64(k), child_level, bool(t)))
+            if t:
+                num_terminals += 1
         return num_terminals
 
     def _add_candidate(self, candidate: Optional[_Candidate]):
@@ -136,7 +145,7 @@ class RegionCoverer:
             self.result.append(candidate.cell)
             return
         num_terminals = self._expand_children(candidate)
-        lev = int(cm.level(np.array([candidate.cell], dtype=np.uint64))[0])
+        lev = candidate.level
         if not candidate.children:
             return
         if num_terminals == 4:
