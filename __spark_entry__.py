@@ -885,14 +885,56 @@ def _q_overlay_intersection(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing over documents-as-binary (stub decode kernel
-    -> rows-only)."""
+    """Multimodal plumbing over documents-as-binary. The stub decode
+    kernel is sha256-derived, so DuckDB can replay it exactly:
+    media_id is the stable doc_id (never monotonically_increasing_id —
+    unstable across retries/partitionings), and the float32 features
+    are exploded to (media_id, feat_idx, feat_val) rows rounded to 6
+    decimals so the driver canonicalizer can sort and hash them."""
     from duckdb_geography_spark.llm import multimodal as mm
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
-    media = mm.attach_media(docs.select(F.encode("text", "utf-8").alias("payload")), "payload")
-    return mm.decode_image_features(media).orderBy("media_id")
+    media = mm.attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "payload",
+        "doc_id",
+    )
+    feats = mm.decode_image_features(media)
+    return (
+        feats.select(
+            "media_id",
+            "width",
+            "height",
+            "channels",
+            F.posexplode("features").alias("feat_idx", "feat_val"),
+        )
+        .withColumn("feat_val", F.round(F.col("feat_val").cast("double"), 6))
+        .orderBy("media_id", "feat_idx")
+    )
+
+
+_MULTIMODAL_SQL = """
+-- replays the stub decode kernel (sha256-derived pseudo-features) over
+-- the same first-100 documents; hex-pair -> byte via '0x' cast
+WITH m AS (
+    SELECT doc_id AS media_id, sha256(text) AS h
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100)
+),
+idx AS (SELECT unnest(range(8)) AS feat_idx)
+SELECT
+    m.media_id,
+    1 + (('0x' || substr(h, 1, 2))::INT % 64) AS width,
+    1 + (('0x' || substr(h, 3, 2))::INT % 64) AS height,
+    3 AS channels,
+    idx.feat_idx::INT AS feat_idx,
+    -- replicate the kernel's float32 quantization (bytes 80/131/182 sit
+    -- on round-6 boundaries), then round in double like the Spark side
+    round(CAST(CAST(('0x' || substr(h, 2 * feat_idx::INT + 1, 2))::INT
+               / 255.0 AS REAL) AS DOUBLE), 6) AS feat_val
+FROM m CROSS JOIN idx
+ORDER BY media_id, feat_idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -954,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "snapped_distance_pairs": _snapped_distance_sql(),
         "box_ops": _box_ops_sql(),
+        "multimodal_features": _MULTIMODAL_SQL,
         # covering_sizes, bounds_box_agg, minhash_lsh_candidates,
-        # simhash_signatures, lsh_topk, multimodal_features: rows-only
+        # simhash_signatures, lsh_topk: rows-only
     }

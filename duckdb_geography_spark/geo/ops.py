@@ -162,11 +162,20 @@ def intersects(g1: Geography, g2: Geography) -> bool:
     return _parts_intersect(a, b)
 
 
+#: Point-vs-point equality tolerance. Single POINTs are leaf-cell-snapped
+#: at encode (geography.py encode: compact cell-center form) while
+#: MULTIPOINT vertices are stored raw; the snap moves a point by at most
+#: ~half a level-30 cell diagonal (~6.6e-10 rad). Without this slack,
+#: s2_equals / s2_intersects on the *same* input coordinate would return
+#: false depending on which container it arrived in.
+PT_TOL = 2e-9
+
+
 def _parts_intersect(a: "_Parts", b: "_Parts") -> bool:
-    # point vs point: exact shared location (snapped points compare equal)
+    # point vs point: shared location up to the leaf-snap displacement
     if len(a.points) and len(b.points):
         d = gd.angle(a.points[:, None, :], b.points[None, :, :])
-        if np.any(d <= 1e-15):
+        if np.any(d <= PT_TOL):
             return True
     # point vs line/polygon
     for pts, other in ((a.points, b), (b.points, a)):
@@ -238,7 +247,7 @@ def _covers_point(parts: "_Parts", x: np.ndarray) -> bool:
         if gd.min_distance_point_to_polyline(x, l) <= 1e-15:
             return True
     if len(parts.points):
-        if np.any(gd.angle(parts.points, np.broadcast_to(x, parts.points.shape)) <= 1e-15):
+        if np.any(gd.angle(parts.points, np.broadcast_to(x, parts.points.shape)) <= PT_TOL):
             return True
     return False
 

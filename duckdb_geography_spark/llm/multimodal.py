@@ -81,10 +81,16 @@ def _fake_image_decode(payload: bytes, feat_dim: int = 8):
 DECODERS = {"image": _fake_image_decode}
 
 
-def attach_media(df: DataFrame, payload_col: str, kind: str = "image") -> DataFrame:
-    """Wrap a binary column into the canonical media schema."""
+def attach_media(df: DataFrame, payload_col: str, id_col: str, kind: str = "image") -> DataFrame:
+    """Wrap a binary column into the canonical media schema.
+
+    ``id_col`` must be a stable source key (e.g. ``doc_id``):
+    synthesizing ids with monotonically_increasing_id() is unstable
+    across recomputations/retries and partitionings, which breaks
+    downstream joins and reproducible results (advisor round-1
+    finding)."""
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        F.col(id_col).cast("long").alias("media_id"),
         F.lit(kind).alias("kind"),
         F.col(payload_col).alias("payload"),
         F.struct(

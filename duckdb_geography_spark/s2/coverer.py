@@ -15,6 +15,7 @@ batched BFS descent.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional
 
 import numpy as np
@@ -258,18 +259,11 @@ def covering_of_encoded(
     return _covering_cached(buf, max_cells, fixed_level, buffer_radians)
 
 
+@lru_cache(maxsize=4096)
 def _covering_cached(buf, max_cells, fixed_level, buffer_radians):
-    from functools import lru_cache
-
-    global _covering_cached
     from ..geo.geography import Geography
 
-    @lru_cache(maxsize=4096)
-    def inner(b, mc, fl, br):
-        return covering_of_geography(Geography.decode(b), mc, fl, br)
-
-    _covering_cached = inner
-    return inner(buf, max_cells, fixed_level, buffer_radians)
+    return covering_of_geography(Geography.decode(buf), max_cells, fixed_level, buffer_radians)
 
 
 def covering_of_geography(
@@ -306,7 +300,13 @@ def covering_of_geography(
         lev = 30
         while len(cells) > max_cells and lev > 0:
             lev -= 1
-            cells = normalize_cell_union(cm.parent(cells, np.full(len(cells), lev)))
+            # clamp the parent target per cell: normalize may already have
+            # merged sibling groups 2+ levels up, and parent() returns the
+            # sentinel for target > current level, which would silently
+            # drop those cells from the covering (false negatives in every
+            # covering-based predicate/join)
+            target = np.minimum(np.int64(lev), cm.level(cells))
+            cells = normalize_cell_union(cm.parent(cells, target))
         return cells
 
     region = _GeogRegion(geog, buffer_radians)
@@ -327,36 +327,46 @@ def _children_batch(cells: np.ndarray) -> np.ndarray:
     return cm.child(cells, ks)
 
 
+class CoveringOverflowError(ValueError):
+    """A fixed-level covering exceeded the cell cap.
+
+    Raised instead of silently keeping coarser-than-requested cells:
+    the covering equi-joins in joins.py key on cell-id *equality* at
+    the requested level, so a coarse guard cell would never match a
+    level-L key on the other side and candidate pairs would be lost
+    without any signal. ``suggested_level`` is the coarsest level at
+    which this region's covering fits under the cap.
+    """
+
+    def __init__(self, level: int, suggested_level: int, cap: int):
+        self.level = level
+        self.suggested_level = suggested_level
+        self.cap = cap
+        super().__init__(
+            f"fixed-level covering at level {level} exceeds {cap} cells; "
+            f"re-run with level<={suggested_level} (or use a range/broadcast join "
+            f"for planet-scale regions)"
+        )
+
+
 def _fixed_level_covering(region: _GeogRegion, level: int, cap: int = 16384) -> np.ndarray:
-    """Batched BFS descent keeping only intersecting cells; if the
-    covering would exceed ``cap`` cells the remaining frontier stays
-    coarser (guards continent-scale regions at deep levels; coarser
-    cells keep the no-false-negative property)."""
+    """Batched BFS descent keeping only intersecting cells. All cells in
+    the result are exactly at ``level`` (the equi-join key contract).
+    Raises CoveringOverflowError if the covering cannot fit in ``cap``
+    cells at that level."""
     faces = np.array(_FACE_CELLS, dtype=np.uint64)
     frontier = faces[region.may_intersect_batch(faces)]
-    done: List[np.ndarray] = []
+    suggested = 0
     for _lev in range(0, level):
         if not len(frontier):
             break
-        levels = cm.level(frontier)
-        at_level = frontier[levels >= level]
-        if len(at_level):
-            done.append(at_level)
-        todo = frontier[levels < level]
-        if not len(todo):
-            frontier = np.empty(0, dtype=np.uint64)
-            break
-        kids = _children_batch(todo)
-        if len(kids) + sum(map(len, done)) > cap:
-            done.append(todo)
-            frontier = np.empty(0, dtype=np.uint64)
-            break
-        frontier = kids[region.may_intersect_batch(kids)]
-    if len(frontier):
-        done.append(frontier)
-    if not done:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(done))
+        kids = _children_batch(frontier)
+        kids = kids[region.may_intersect_batch(kids)]
+        if len(kids) > cap:
+            raise CoveringOverflowError(level, suggested, cap)
+        suggested = _lev + 1
+        frontier = kids
+    return np.unique(frontier)
 
 
 def _adaptive_covering(region: _GeogRegion, max_cells: int) -> np.ndarray:

@@ -164,7 +164,9 @@ class TestSimilarity:
 class TestMultimodal:
     def test_image_decode_plumbing(self, spark, docs):
         media = mm.attach_media(
-            docs.limit(20).select(F.encode("text", "utf-8").alias("payload")), "payload"
+            docs.limit(20).select("doc_id", F.encode("text", "utf-8").alias("payload")),
+            "payload",
+            "doc_id",
         )
         feats = mm.decode_image_features(media).collect()
         assert len(feats) == 20
@@ -173,8 +175,9 @@ class TestMultimodal:
         # deterministic
         again = mm.decode_image_features(
             mm.attach_media(
-                docs.limit(20).select(F.encode("text", "utf-8").alias("payload")),
+                docs.limit(20).select("doc_id", F.encode("text", "utf-8").alias("payload")),
                 "payload",
+                "doc_id",
             )
         ).collect()
         assert {(r.media_id, tuple(r.features)) for r in feats} == {
@@ -183,7 +186,10 @@ class TestMultimodal:
 
     def test_video_frame_sampling(self, spark, docs):
         media = mm.attach_media(
-            docs.limit(5).select(F.encode("text", "utf-8").alias("payload")), "payload", "video"
+            docs.limit(5).select("doc_id", F.encode("text", "utf-8").alias("payload")),
+            "payload",
+            "doc_id",
+            "video",
         )
         frames = mm.sample_video_frames(media, every_n=4).collect()
         assert len(frames) >= 5 * 4

@@ -80,3 +80,39 @@ class TestGeneralOverlay:
         ia = ops.area(ops.intersection(a, b))
         da = ops.area(ops.difference(a, b))
         assert ia + da == pytest.approx(ops.area(a), rel=1e-8)
+
+
+class TestSnapConsistency:
+    """Single POINTs are leaf-cell-snapped at encode; MULTIPOINT vertices
+    are stored raw. Predicates must treat the ~1e-9 rad snap displacement
+    as equality or the same coordinate compares unequal to itself
+    depending on its container (advisor round-1 finding)."""
+
+    def test_point_in_multipoint_after_roundtrip(self):
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+        from duckdb_geography_spark.geo import ops
+
+        p = "10.123456789 45.987654321"
+        mp = from_wkt(f"MULTIPOINT ({p}, 11 46)")
+        pt = Geography.decode(from_wkt(f"POINT ({p})").encode())
+        assert ops.intersects(mp, pt)
+        assert ops.intersects(pt, mp)
+        assert ops.contains(mp, pt)
+
+    def test_point_equals_itself_after_roundtrip(self):
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+        from duckdb_geography_spark.geo import ops
+
+        raw = from_wkt("POINT (10.123456789 45.987654321)")
+        snapped = Geography.decode(raw.encode())
+        assert ops.equals(raw, snapped)
+        assert ops.equals(snapped, raw)
+
+    def test_distinct_points_stay_unequal(self):
+        from duckdb_geography_spark.geo.geography import from_wkt
+        from duckdb_geography_spark.geo import ops
+
+        a = from_wkt("POINT (10 45)")
+        b = from_wkt("POINT (10.001 45)")  # ~80 m apart
+        assert not ops.intersects(a, b)
+        assert not ops.equals(a, b)

@@ -63,3 +63,39 @@ def test_covering_budgets(max_cells):
     cov = covering_of_geography(from_wkt(FIJI), max_cells=max_cells)
     assert 1 <= len(cov) <= max(max_cells, 4)
     assert cm.is_valid(cov).all()
+
+
+def test_multipoint_coarsening_keeps_all_points():
+    """Regression: after normalize merges a sibling group 2+ levels up,
+    the next coarsening pass must clamp the parent target per cell —
+    parent(cell, lev) with lev above the cell's level is the sentinel,
+    which normalize would silently discard, dropping whole clusters
+    from the covering (false negatives in covering-based predicates)."""
+    rng = np.random.default_rng(7)
+    pts = np.stack(
+        [10.0 + rng.uniform(0, 0.5, 268), 45.0 + rng.uniform(0, 0.5, 268)], axis=1
+    )
+    wkt = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    g = from_wkt(wkt)
+    cov = covering_of_geography(g, max_cells=8)
+    assert 1 <= len(cov) <= 8
+    leaves = cm.lonlat_to_cellid(pts[:, 0], pts[:, 1])
+    lo, hi = cm.range_min(cov), cm.range_max(cov)
+    covered = ((lo[None, :] <= leaves[:, None]) & (leaves[:, None] <= hi[None, :])).any(axis=1)
+    assert covered.all(), f"{(~covered).sum()} points dropped from covering"
+
+
+def test_fixed_level_overflow_raises():
+    """A covering that cannot fit under the cap at the requested level
+    must raise (silently keeping coarser cells would lose equi-join
+    candidates in joins.py: a coarse cell never equals a level-L key)."""
+    from duckdb_geography_spark.s2.coverer import CoveringOverflowError
+
+    quarter = from_wkt("POLYGON ((0 -45, 90 -45, 90 45, 0 45, 0 -45))")
+    with pytest.raises(CoveringOverflowError) as ei:
+        covering_of_geography(quarter, fixed_level=8)
+    assert ei.value.suggested_level < 8
+    # and the suggested level indeed fits
+    cov = covering_of_geography(quarter, fixed_level=ei.value.suggested_level)
+    assert 0 < len(cov) <= 16384
+    assert set(cm.level(cov).tolist()) == {ei.value.suggested_level}
