@@ -177,6 +177,15 @@ def winding_number(x: np.ndarray, ring_xyz: np.ndarray) -> int:
     return int(np.round(total / (2.0 * np.pi)))
 
 
+def ring_orientation(ring_xyz: np.ndarray) -> int:
+    """+1 for a CCW ring (as seen from outside the sphere), -1 for CW,
+    judged around the smaller enclosed side. The winding number at the
+    *antipode* of an enclosed point is the opposite sign, so containment
+    must compare winding against this orientation — testing ``!= 0``
+    wrongly classifies the antipodal mirror region as inside."""
+    return 1 if ring_signed_area(ring_xyz) >= 0.0 else -1
+
+
 def ring_contains_point(ring_xyz: np.ndarray, x: np.ndarray, closed: bool = True) -> bool:
     """Point-in-ring with CLOSED boundary semantics (boundary counts)."""
     if len(ring_xyz) < 3:
@@ -186,7 +195,7 @@ def ring_contains_point(ring_xyz: np.ndarray, x: np.ndarray, closed: bool = True
         for i in range(len(ring_xyz)):
             if point_segment_distance(x[None, :], ring_xyz[i], nxt[i])[0] <= 1e-15:
                 return True
-    return winding_number(x, ring_xyz) != 0
+    return winding_number(x, ring_xyz) == ring_orientation(ring_xyz)
 
 
 def min_distance_point_to_ring_edges(x: np.ndarray, ring_xyz: np.ndarray) -> float:

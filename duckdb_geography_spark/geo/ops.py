@@ -113,19 +113,28 @@ class _Parts:
             for rings in g.all_polygons()
         ]
         self.polygons = [p for p in self.polygons if p]
+        # per-ring orientation, computed once: winding at the antipode of
+        # an enclosed point is the opposite sign, so containment compares
+        # winding against the ring's own orientation (never just != 0)
+        self._orients = [
+            [gd.ring_orientation(r) for r in rings] for rings in self.polygons
+        ]
 
     def poly_contains(self, x: np.ndarray) -> bool:
         """CLOSED-model containment in any polygon (shell minus holes)."""
-        for rings in self.polygons:
+        for rings, orients in zip(self.polygons, self._orients):
             shell = rings[0]
             on_boundary = any(
                 _point_on_ring_boundary(x, r) for r in rings
             )
             if on_boundary:
                 return True
-            if gd.winding_number(x, shell) != 0:
+            if gd.winding_number(x, shell) == orients[0]:
                 holes = rings[1:]
-                if all(gd.winding_number(x, h) == 0 for h in holes):
+                if all(
+                    gd.winding_number(x, h) != o
+                    for h, o in zip(holes, orients[1:])
+                ):
                     return True
         return False
 

@@ -90,7 +90,7 @@ def _insert_between(start: _Node, end: _Node, node: _Node, frac: float, order: d
 
 
 def _ring_contains(ring: np.ndarray, x: np.ndarray) -> bool:
-    return gd.winding_number(x, ring) != 0
+    return gd.winding_number(x, ring) == gd.ring_orientation(ring)
 
 
 def _clip_rings(subject: np.ndarray, clip: np.ndarray, op: str) -> List[np.ndarray]:

@@ -74,6 +74,7 @@ class _GeogRegion:
         self.vertex_lonlat = [pts] if len(pts) else []
         edges_a, edges_b = [], []
         self.rings_xyz = []  # shell rings for containment tests
+        self.ring_orients = []  # +-1 per shell (winding vs antipode)
         for line in geog.all_lines():
             self.vertex_lonlat.append(line)
             if len(line) >= 2:
@@ -90,6 +91,7 @@ class _GeogRegion:
                 edges_b.append(np.roll(xyz, -1, axis=0))
                 if ri == 0:
                     self.rings_xyz.append(xyz)
+                    self.ring_orients.append(gd.ring_orientation(xyz))
         self.edge_a = np.concatenate(edges_a) if edges_a else np.empty((0, 3))
         self.edge_b = np.concatenate(edges_b) if edges_b else np.empty((0, 3))
         if self.vertex_lonlat:
@@ -121,7 +123,7 @@ class _GeogRegion:
         if not self.rings_xyz or not len(pts):
             return np.zeros(len(pts), dtype=bool)
         out = np.zeros(len(pts), dtype=bool)
-        for ring in self.rings_xyz:
+        for ring, orient in zip(self.rings_xyz, self.ring_orients):
             todo = ~out
             if not np.any(todo):
                 break
@@ -136,7 +138,9 @@ class _GeogRegion:
             cosang = np.clip(np.einsum("pri,pri->pr", d, d_next), -1.0, 1.0)
             sinang = np.einsum("pri,pi->pr", np.cross(d, d_next), P)
             total = np.sum(np.arctan2(sinang, cosang), axis=1)
-            inside = (np.abs(total) > np.pi) | deg.any(axis=1)
+            # winding must match the ring's orientation: the antipodal
+            # mirror region winds with the opposite sign and is outside
+            inside = (total * orient > np.pi) | deg.any(axis=1)
             out[np.flatnonzero(todo)[inside]] = True
         return out
 

@@ -116,3 +116,43 @@ class TestSnapConsistency:
         b = from_wkt("POINT (10.001 45)")  # ~80 m apart
         assert not ops.intersects(a, b)
         assert not ops.equals(a, b)
+
+
+class TestAntipodeContainment:
+    """The winding number at the antipode of a ring's interior is the
+    opposite sign of the interior winding; containment must compare
+    against the ring's orientation, not test != 0 (caught by the
+    predicate_gate driver oracle in round 2)."""
+
+    def test_antipodal_point_is_outside(self):
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+        from duckdb_geography_spark.geo import ops
+
+        rect = from_wkt("POLYGON ((-180 30, -125 30, -125 55, -180 55, -180 30))")
+        inside = Geography.decode(from_wkt("POINT (-150 40)").encode())
+        antipode = Geography.decode(from_wkt("POINT (30 -40)").encode())
+        assert ops.intersects(inside, rect)
+        assert not ops.intersects(antipode, rect)
+        assert not ops.contains(rect, antipode)
+
+    def test_cw_ring_same_semantics(self):
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+        from duckdb_geography_spark.geo import ops
+
+        cw = from_wkt("POLYGON ((-180 30, -180 55, -125 55, -125 30, -180 30))")
+        inside = Geography.decode(from_wkt("POINT (-150 40)").encode())
+        antipode = Geography.decode(from_wkt("POINT (30 -40)").encode())
+        assert ops.intersects(inside, cw)
+        assert not ops.intersects(antipode, cw)
+
+    def test_covering_excludes_antipode(self):
+        import numpy as np
+        from duckdb_geography_spark.geo.geography import from_wkt
+        from duckdb_geography_spark.s2 import cellmath as cm
+        from duckdb_geography_spark.s2.coverer import covering_of_geography
+
+        rect = from_wkt("POLYGON ((-180 30, -125 30, -125 55, -180 55, -180 30))")
+        cov = covering_of_geography(rect, fixed_level=4)
+        anti = cm.lonlat_to_cellid(np.array([30.0]), np.array([-40.0]))
+        lo, hi = cm.range_min(cov), cm.range_max(cov)
+        assert not ((lo <= anti[0]) & (anti[0] <= hi)).any()
