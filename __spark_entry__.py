@@ -480,13 +480,21 @@ def _q_haversine_pairs(spark, sf_dir):
         + F.cos(p1) * F.cos(p2) * F.sin((l2 - l1) / 2) ** 2
     )
     dist = F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.sqrt(h))) * F.lit(6371010.0)
-    # prefilter: |dlat| deg * (pi/180*R) lower-bounds the distance, so
-    # pairs with dlat > ~18.5 deg can never pass — prunes the cross
-    # join before any trig (superset property keeps the oracle exact)
-    lat_ok = F.abs(F.col("clat") - F.col("slat")) <= F.lit(18.5)
+    # lat-band equi-join, not a cross join: |dlat| lower-bounds the
+    # great-circle distance, so a pair within 2,000 km differs by at
+    # most 18.0 deg of latitude; bucketing lat into 18.5-deg bands and
+    # exploding the supplier side to (band-1, band, band+1) makes every
+    # qualifying pair land in exactly one equi-join match (customer's
+    # band is unique), with a provable superset of the answer. At 100x
+    # the data this stays a shuffle/broadcast hash join — no
+    # BroadcastNestedLoopJoin anywhere in the plan.
+    band = lambda c: F.floor(c / F.lit(18.5)).cast("long")  # noqa: E731
+    c_b = cust.withColumn("__band", band(F.col("clat")))
+    s_b = supp.withColumn(
+        "__band", F.explode(F.array(*[band(F.col("slat")) + F.lit(d) for d in (-1, 0, 1)]))
+    )
     return (
-        cust.crossJoin(F.broadcast(supp))
-        .where(lat_ok)
+        c_b.join(F.broadcast(s_b), "__band")
         .where(dist <= 2_000_000)
         .select("c_custkey", "s_suppkey", F.round(dist).cast("long").alias("dist_m"))
         .orderBy("c_custkey", "s_suppkey")
@@ -512,36 +520,156 @@ ORDER BY c_custkey, s_suppkey
 
 
 def _q_covering_sizes(spark, sf_dir):
-    """Adaptive coverings of nation polygons (no SQL oracle — coverer
-    internals; rows-only check)."""
+    """Adaptive coverings of nation polygons, exploded to cell tokens.
+    The oracle pins the expected cell lists as a literal table —
+    coverings are deterministic, and the coverer's reference parity is
+    separately proven by the Fiji golden (bounds.test:8-16)."""
     from duckdb_geography_spark import synth
     from duckdb_geography_spark.functions.bounds import s2_covering
+    from duckdb_geography_spark.functions.cells import s2_cell_token
     from duckdb_geography_spark.functions.io import s2_geogfromtext
 
     _prep(spark)
-    nation = _t(spark, sf_dir, "nation")
+    nation = _t(spark, sf_dir, "nation").repartition(32)
     g = s2_geogfromtext(synth.nation_wkt())
-    return nation.select(
-        "n_nationkey", F.size(s2_covering(g)).alias("n_cells")
-    ).orderBy("n_nationkey")
+    return (
+        nation.select("n_nationkey", F.explode(s2_covering(g)).alias("__cell"))
+        .select("n_nationkey", s2_cell_token("__cell").alias("cell_token"))
+        .orderBy("n_nationkey", "cell_token")
+    )
+
+
+#: expected adaptive coverings (max_cells=8) of the 25 synthetic nation
+#: rects — recorded golden, stable because coverings are deterministic
+_COVERING_GOLDEN = [
+    (0, "73"), (0, "75"), (0, "9fc"), (0, "a1"), (0, "a3c"), (0, "a41"), (0, "a7"),
+    (0, "a89e029fd558aa81"),
+    (1, "95c"), (1, "97"), (1, "99"), (1, "9f4"), (1, "a1c"), (1, "a3"), (1, "bd"),
+    (1, "be1"),
+    (2, "01"), (2, "03"), (2, "954"), (2, "95c"), (2, "b9"), (2, "bbf"), (2, "bd"),
+    (2, "bf"),
+    (3, "02c"), (3, "1d4"), (3, "1dc"), (3, "1f"), (3, "204"), (3, "b4"), (3, "b84"),
+    (3, "b9d"),
+    (4, "20c"), (4, "27"), (4, "29"), (4, "2a4"), (4, "ab5"), (4, "ad"), (4, "b3"),
+    (4, "b4c"),
+    (5, "2a4"), (5, "2ac"), (5, "6b"), (5, "6d"), (5, "a9"), (5, "ab"), (5, "ad"),
+    (5, "aeb"),
+    (6, "74"), (6, "9d4"), (6, "9dc"), (6, "9e4"), (6, "9fc"),
+    (7, "91"), (7, "93"), (7, "944"), (7, "97"), (7, "99"), (7, "9b"), (7, "9d"),
+    (7, "9ec"),
+    (8, "01"), (8, "022b"), (8, "034"), (8, "03c"), (8, "05"), (8, "07"), (8, "93"),
+    (8, "95"),
+    (9, "034"), (9, "05"), (9, "1c"), (9, "21"), (9, "23"),
+    (10, "214"), (10, "23"), (10, "25"), (10, "27"), (10, "29"), (10, "2bc"),
+    (10, "2d"), (10, "2f"),
+    (11, "2b"), (11, "2d"), (11, "69"), (11, "6b"), (11, "6c4"), (11, "6c81"),
+    (11, "6dc"), (11, "6f"),
+    (12, "6555555555555555"), (12, "6fffffffffffffff"), (12, "71"), (12, "77"),
+    (12, "7c"), (12, "81"), (12, "83"), (12, "9d4"),
+    (13, "84"), (13, "8c"), (13, "904"), (13, "91c"), (13, "9204"), (13, "9ac"),
+    (13, "9b4"), (13, "9cc"),
+    (14, "054"), (14, "05c"), (14, "07"), (14, "0c"), (14, "8b"), (14, "8d"),
+    (14, "927"), (14, "92c"),
+    (15, "0555555555555555"), (15, "0dfc"), (15, "0f"), (15, "14"), (15, "1c"),
+    (15, "22c"), (15, "3d"), (15, "3f"),
+    (16, "234"), (16, "24c"), (16, "254"), (16, "2dfc"), (16, "2e4"), (16, "2fc"),
+    (16, "34"), (16, "3c"),
+    (17, "2d4"), (17, "2d9"), (17, "33"), (17, "35"), (17, "64"), (17, "684"),
+    (17, "68c"), (17, "6f"),
+    (18, "538c"), (18, "53f554"), (18, "55"), (18, "57"), (18, "7d"), (18, "7e4"),
+    (18, "7fc"), (18, "804"),
+    (19, "4b5"), (19, "4d"), (19, "53"), (19, "54c"), (19, "81"), (19, "87"),
+    (19, "89"), (19, "8b"),
+    (20, "0ac"), (20, "0b4"), (20, "0d"), (20, "49"), (20, "4b"), (20, "4c4"),
+    (20, "4c81"), (20, "8b"),
+    (21, "0d"), (21, "13"), (21, "15"), (21, "3fc"), (21, "41"), (21, "43c"),
+    (21, "47"), (21, "484"),
+    (22, "35"), (22, "37"), (22, "39"), (22, "3f"), (22, "41c"), (22, "43"),
+    (22, "5d"), (22, "5e1"),
+    (23, "35"), (23, "59"), (23, "5c4"), (23, "5dd5"), (23, "5f"), (23, "604"),
+    (23, "61c"), (23, "63"),
+    (24, "504"), (24, "50c"), (24, "514"), (24, "51b"), (24, "53dff"), (24, "53f"),
+    (24, "56c"), (24, "574"),
+]
+
+
+def _covering_sizes_sql():
+    values = ",\n  ".join(f"({n}, '{tok}')" for n, tok in _COVERING_GOLDEN)
+    return f"""
+SELECT n_nationkey, cell_token
+FROM (VALUES
+  {values}
+) AS t(n_nationkey, cell_token)
+ORDER BY n_nationkey, cell_token
+"""
 
 
 def _q_bounds_box_agg(spark, sf_dir):
-    """bounds_box_agg over customer points per mktsegment (rows-only:
-    S1Interval union semantics aren't reasonably SQL-expressible)."""
+    """bounds_box_agg over customer points in two order-independent
+    regimes: points restricted to a half-circle of longitude (the
+    minimal S1Interval union is then exactly [min, max], whatever the
+    accumulation order), grouped by mktsegment; plus one
+    antimeridian-WRAPPING group (all points within the 60-degree arc
+    around 180, so the unique minimal interval is [min positive lon,
+    max negative lon]). The unrestricted full-table union is
+    accumulation-order-dependent and can't face a SQL oracle."""
     from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
     from duckdb_geography_spark.functions.bounds import bounds_box_agg_df
     from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
-    from duckdb_geography_spark.functions import cells as C
 
     _prep(spark)
     cust = _t(spark, sf_dir, "customer").select(
         "c_mktsegment",
+        synth.cust_lon().alias("lon"),
         s2_cell_center_to_geography(
             C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat())
         ).alias("geog"),
     )
-    return bounds_box_agg_df(cust, "geog", ["c_mktsegment"]).orderBy("c_mktsegment")
+    half = cust.where((F.col("lon") >= -90.0) & (F.col("lon") < 90.0)).select(
+        F.col("c_mktsegment").alias("grp"), "geog"
+    )
+    wrap = cust.where(F.abs(F.col("lon")) >= 150.0).select(
+        F.lit("WRAP").alias("grp"), "geog"
+    )
+    return bounds_box_agg_df(half.unionAll(wrap), "geog", ["grp"]).orderBy("grp")
+
+
+def _bounds_box_agg_sql():
+    from duckdb_geography_spark import synth
+
+    cpts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, "
+        f"{synth.CUST_LAT_SQL} AS lat FROM customer"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_b")},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_b", "_b").lstrip()},
+snapped AS (
+  SELECT cu.c_custkey AS k, cu.c_mktsegment,
+    {synth.CUST_LON_SQL} AS lon0,
+    degrees(atan2(c.y, c.x)) AS lon,
+    -- engine's bounds_rect uses arcsin(z): for near-pole leaf centers z
+    -- rounds to +-1.0 and the latitude collapses to exactly +-90
+    degrees(asin(greatest(-1.0, least(1.0, c.z)))) AS lat
+  FROM customer cu JOIN centers_b c ON cu.c_custkey = c.k),
+half AS (
+  SELECT c_mktsegment AS grp, min(lon) AS xmin, min(lat) AS ymin,
+         max(lon) AS xmax, max(lat) AS ymax
+  FROM snapped WHERE lon0 >= -90.0 AND lon0 < 90.0
+  GROUP BY c_mktsegment),
+wrap AS (
+  SELECT 'WRAP' AS grp,
+    min(CASE WHEN lon >= 0 THEN lon END) AS xmin,
+    min(lat) AS ymin,
+    max(CASE WHEN lon < 0 THEN lon END) AS xmax,
+    max(lat) AS ymax
+  FROM snapped WHERE abs(lon0) >= 150.0)
+SELECT grp, xmin, ymin, xmax, ymax FROM half
+UNION ALL
+SELECT grp, xmin, ymin, xmax, ymax FROM wrap
+ORDER BY grp
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -640,28 +768,63 @@ def _sql_list(words):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from duckdb_geography_spark.llm.dedup import ngram_jaccard_pairs
+    """Exact n-gram Jaccard pairs through the SCALE pipeline: banded
+    MinHash-LSH candidates (bucket equi-join, no all-pairs) -> exact
+    Jaccard refine. The md5 shingle hash lets the oracle replay the
+    candidate generation and the refine bit-for-bit."""
+    from duckdb_geography_spark.llm.dedup import minhash_jaccard_pairs
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.30).orderBy("key_a", "key_b")
+    return minhash_jaccard_pairs(
+        docs, n=3, num_perm=64, bands=16, threshold=0.30, hash_fn="md5"
+    ).orderBy("key_a", "key_b")
 
 
-_NGRAM_JACCARD_SQL = """
-WITH g AS (
+def _ngram_jaccard_sql():
+    from duckdb_geography_spark.llm.dedup import _MERSENNE61, _perm_coeffs
+
+    a, b = _perm_coeffs(64, 42)
+    mins = ",\n    ".join(
+        f"min((h * {int(a[k])} + {int(b[k])}) % {_MERSENNE61}) AS m{k}"
+        for k in range(64)
+    )
+    band_key = lambda bi: "concat_ws(',', " + ", ".join(  # noqa: E731
+        f"m{bi * 4 + r}" for r in range(4)
+    ) + ")"
+    bucket_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {band_key(bi)} AS bk FROM sig"
+        for bi in range(16)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i
+        FROM documents)),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
+sig AS (
   SELECT doc_id,
-    list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
-                  i -> substr(text, CAST(i AS INTEEGER_FIX), 3))) AS grams
-  FROM documents),
-p AS (
-  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
-    CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS uni
-  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    {mins}
+  FROM hs GROUP BY doc_id),
+buckets AS (
+  {bucket_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bk = b.bk
+  WHERE a.doc_id < b.doc_id),
+grams AS (
+  SELECT doc_id, list(g) AS gs FROM sh GROUP BY doc_id),
+ref AS (
+  SELECT c.key_a, c.key_b,
+    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) AS inter,
+    CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) AS uni
+  FROM cand c JOIN grams ga ON c.key_a = ga.doc_id JOIN grams gb ON c.key_b = gb.doc_id)
 SELECT key_a, key_b, round(CASE WHEN uni = 0 THEN 0.0 ELSE inter/uni END, 6) AS jaccard
-FROM p WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE inter/uni END) >= 0.30
+FROM ref WHERE round(CASE WHEN uni = 0 THEN 0.0 ELSE inter/uni END, 6) >= 0.30
 ORDER BY key_a, key_b
-""".replace("CAST(i AS INTEEGER_FIX)", "CAST(i AS INTEGER)")
+"""
 
 
 def _q_rolling_fingerprint(spark, sf_dir):
@@ -683,23 +846,52 @@ FROM documents ORDER BY doc_id
 
 
 def _q_embedding_pairs(spark, sf_dir):
-    from duckdb_geography_spark.llm.dedup import embedding_neardup_pairs
+    """Embedding near-dup pairs through the SCALE pipeline: hyperplane
+    signature -> pigeonhole chunk equi-join -> hamming refine -> exact
+    cosine. No all-pairs stage; the oracle replays the same planes."""
+    from duckdb_geography_spark.llm.similarity import lsh_neardup_pairs
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.30).select(
-        "key_a", "key_b", F.round("cosine", 4).alias("cos4")
-    ).orderBy("key_a", "key_b")
+    return (
+        lsh_neardup_pairs(
+            emb, threshold=0.30, n_planes=16, max_hamming=3, blocks=4, dim=64
+        )
+        .select("key_a", "key_b", F.round("cosine", 4).alias("cos4"))
+        .orderBy("key_a", "key_b")
+    )
 
 
-_EMBEDDING_PAIRS_SQL = """
+def _embedding_pairs_sql():
+    from duckdb_geography_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 7)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    chunk_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, v, sig, {i} AS blk, (sig >> {i * 4}) & 15 AS chunk FROM sigs"
+        for i in range(4)
+    )
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-p AS (
-  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
-    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+sigs AS (
+  SELECT vec_id, v, {sig} AS sig FROM e),
+buckets AS (
+  {chunk_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM buckets a JOIN buckets b ON a.blk = b.blk AND a.chunk = b.chunk
+  WHERE a.vec_id < b.vec_id AND bit_count(xor(a.sig::BIGINT, b.sig::BIGINT)) <= 3),
+scored AS (
+  SELECT c.key_a, c.key_b,
+    round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM cand c JOIN e ea ON c.key_a = ea.vec_id JOIN e eb ON c.key_b = eb.vec_id)
 SELECT key_a, key_b, round(cosine, 4) AS cos4
-FROM p WHERE cosine >= 0.30
+FROM scored WHERE cosine >= 0.30
 ORDER BY key_a, key_b
 """
 
@@ -723,21 +915,85 @@ SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
 
 
 def _q_minhash_candidates(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (xxhash64-based signatures have
-    no DuckDB twin -> rows-only check)."""
+    """MinHash-LSH near-dup candidates with the md5-derived shingle
+    hash (hash_fn='md5'), which the DuckDB oracle replays exactly:
+    shingle explode -> 64 permutation mins -> banded bucket equi-join.
+    No all-pairs stage anywhere."""
     from duckdb_geography_spark.llm.dedup import minhash_lsh_pairs
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_perm=64, bands=8).orderBy("key_a", "key_b")
+    return minhash_lsh_pairs(docs, num_perm=64, bands=8, hash_fn="md5").orderBy(
+        "key_a", "key_b"
+    )
+
+
+def _minhash_sql():
+    from duckdb_geography_spark.llm.dedup import _MERSENNE61, _perm_coeffs
+
+    a, b = _perm_coeffs(64, 42)
+    mins = ",\n    ".join(
+        f"min((h * {int(a[k])} + {int(b[k])}) % {_MERSENNE61}) AS m{k}"
+        for k in range(64)
+    )
+    band_key = lambda bi: "concat_ws(',', " + ", ".join(  # noqa: E731
+        f"m{bi * 8 + r}" for r in range(8)
+    ) + ")"
+    bucket_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {band_key(bi)} AS bk FROM sig"
+        for bi in range(8)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+        FROM documents)),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id),
+buckets AS (
+  {bucket_union}
+)
+SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bk = b.bk
+WHERE a.doc_id < b.doc_id
+ORDER BY key_a, key_b
+"""
 
 
 def _q_simhash(spark, sf_dir):
+    """60-bit SimHash signatures (md5 token hash) — per-bit majority
+    vote replayed exactly by the SQL oracle."""
     from duckdb_geography_spark.llm.dedup import simhash
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("sig")).orderBy("doc_id")
+    return docs.select(
+        "doc_id", simhash("text", n_bits=60, hash_fn="md5").alias("sig")
+    ).orderBy("doc_id")
+
+
+_SIMHASH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM t WHERE length(tok) > 0),
+v AS (
+  SELECT doc_id, bits.i,
+    sum(CASE WHEN (h >> bits.i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) bits
+  GROUP BY doc_id, bits.i),
+s AS (
+  SELECT doc_id, sum(CASE WHEN w > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+  FROM v GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) AS sig
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
 
 
 def _q_lsh_topk(spark, sf_dir):
@@ -751,22 +1007,53 @@ def _q_lsh_topk(spark, sf_dir):
     )
 
 
+def _lsh_topk_sql():
+    """Hyperplane-LSH top-k oracle: the same 12 fixed hyperplanes as
+    literal DOUBLE[] vectors; candidate = row whose sign-signature is
+    within hamming 2 of the query's; exact cosine rank on the bucket."""
+    from duckdb_geography_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 12, 7)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes]
+    mismatches = " +\n    ".join(
+        f"(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), {lit}) >= 0 THEN 1 ELSE 0 END "
+        f"!= CASE WHEN list_dot_product(q.qv, {lit}) >= 0 THEN 1 ELSE 0 END)::INT"
+        for lit in lits
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND
+    {mismatches} <= 2)
+SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS score
+FROM cand c, q
+ORDER BY score DESC, c.vec_id
+LIMIT 10
+"""
+
+
 def _q_snapped_distance(spark, sf_dir):
     """s2_distance on snapped cell-center geographies (the exact
-    fast path, golden-bearing) for sampled customer x supplier pairs;
-    the oracle rebuilds the centers via the inverse-Hilbert CTE and
-    the same chord math."""
+    fast path, golden-bearing) for sampled customer x supplier pairs
+    within 3,000 km; the oracle rebuilds the centers via the
+    inverse-Hilbert CTE and the same chord math. The pair generation
+    is a lat-band equi-join (3,000 km bounds |dlat| by 27.0 deg), not
+    a cross join — the scale shape for distance-limited pair lists."""
     from duckdb_geography_spark import synth
     from duckdb_geography_spark.functions import cells as C
     from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
     from duckdb_geography_spark.functions.predicates import s2_distance
 
     _prep(spark)
+    band = lambda c: F.floor(c / F.lit(27.0)).cast("long")  # noqa: E731
     cust = (
         _t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 10 == 0)
         .select(
             "c_custkey",
+            band(synth.cust_lat()).alias("__band"),
             s2_cell_center_to_geography(
                 C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat())
             ).alias("cg"),
@@ -777,17 +1064,22 @@ def _q_snapped_distance(spark, sf_dir):
         .where(F.col("s_suppkey") % 2 == 0)
         .select(
             "s_suppkey",
+            F.explode(
+                F.array(*[band(synth.supp_lat()) + F.lit(d) for d in (-1, 0, 1)])
+            ).alias("__band"),
             s2_cell_center_to_geography(
                 C.s2_cellfromlonlat(synth.supp_lon(), synth.supp_lat())
             ).alias("sg"),
         )
     )
     return (
-        cust.crossJoin(F.broadcast(supp))
+        cust.join(F.broadcast(supp), "__band")
+        .withColumn("__d", s2_distance("cg", "sg"))
+        .where(F.col("__d") <= 3_000_000.0)
         .select(
             "c_custkey",
             "s_suppkey",
-            F.round(s2_distance("cg", "sg"), 1).alias("dist_m1"),
+            F.round("__d", 1).alias("dist_m1"),
         )
         .orderBy("c_custkey", "s_suppkey")
     )
@@ -808,10 +1100,13 @@ def _snapped_distance_sql():
 WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_c")},
 {synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_c", "_c").lstrip()},
 {synth.cellfromlonlat_cte(spts, "_s").lstrip()},
-{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_s", "_s").lstrip()}
-SELECT c.k AS c_custkey, s.k AS s_suppkey,
-  round(2.0 * asin(least(1.0, 0.5 * sqrt((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) + (c.z-s.z)*(c.z-s.z)))) * 6371010.0, 1) AS dist_m1
-FROM centers_c c CROSS JOIN centers_s s
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_s", "_s").lstrip()},
+dists AS (
+  SELECT c.k AS c_custkey, s.k AS s_suppkey,
+    2.0 * asin(least(1.0, 0.5 * sqrt((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) + (c.z-s.z)*(c.z-s.z)))) * 6371010.0 AS dist
+  FROM centers_c c CROSS JOIN centers_s s)
+SELECT c_custkey, s_suppkey, round(dist, 1) AS dist_m1
+FROM dists WHERE dist <= 3000000.0
 ORDER BY c_custkey, s_suppkey
 """
 
@@ -856,6 +1151,191 @@ SELECT n_nationkey,
   greatest({synth.NATION_XMAX_SQL}, ({synth.NATION_XMAX_SQL}) + 4.0) AS u_xmax,
   greatest({synth.NATION_YMAX_SQL}, ({synth.NATION_YMAX_SQL}) + 3.0) AS u_ymax
 FROM nation ORDER BY n_nationkey
+"""
+
+
+def _q_predicate_gate(spark, sf_dir):
+    """Geography predicate family (s2_intersects / s2_contains /
+    s2_mayintersect / s2_equals, predicates.py) under the exact oracle.
+
+    Candidates come from the engine's own covering equi-join (level-4
+    nation coverings x pure-Column point parents); the refine is the
+    real predicate UDFs on (snapped point, geodesic rect polygon). The
+    oracle replays point-in-geodesic-rect as four spherical
+    triple-product sign tests on the snapped cell-center coordinates
+    (the rect is convex: the intersection of four hemispheres), so
+    every output count equals the exact PIP count. A false negative in
+    the coverer's superset property, or a regression in any predicate
+    UDF, breaks a count. Reference parity: s2_intersects & co are the
+    reference's join predicates (src/s2_binary_index_ops.cpp:85-155)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions import predicates as P
+    from duckdb_geography_spark.functions.bounds import s2_covering_fixed_level
+    from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    _prep(spark)
+    level = 4
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            synth.cust_lon().alias("lon"),
+            synth.cust_lat().alias("lat"),
+        )
+        .withColumn("__leaf", C.s2_cellfromlonlat("lon", "lat"))
+        .select(
+            "c_custkey",
+            "lon",
+            "lat",
+            s2_cell_center_to_geography("__leaf").alias("pg"),
+            C.s2_cell_parent(F.col("__leaf"), level).alias("__cell"),
+        )
+    )
+    nation = _t(spark, sf_dir, "nation")
+    r = (
+        nation.select(
+            "n_nationkey", s2_geogfromtext(synth.nation_wkt()).alias("ng")
+        )
+        .repartition(32)  # coverings are Python-side: spread region rows
+        .withColumn("__cell", F.explode(s2_covering_fixed_level("ng", level)))
+    )
+    cand = pts.join(F.broadcast(r), "__cell")
+    # the raw (unsnapped) coordinate re-enters as a MULTIPOINT: equality
+    # with the snapped point exercises the leaf-snap tolerance contract
+    mp = s2_geogfromtext(F.format_string("MULTIPOINT (%.3f %.3f)", "lon", "lat"))
+    flags = cand.select(
+        "n_nationkey",
+        P.s2_intersects(F.col("pg"), F.col("ng")).alias("i"),
+        P.s2_contains(F.col("ng"), F.col("pg")).alias("c"),
+        P.s2_mayintersect(F.col("pg"), F.col("ng")).alias("m"),
+        P.s2_equals(F.col("pg"), mp).alias("eq"),
+    )
+    return (
+        flags.groupBy("n_nationkey")
+        .agg(
+            F.sum(F.col("i").cast("long")).alias("n_intersects"),
+            F.sum(F.col("c").cast("long")).alias("n_contains"),
+            F.sum((F.col("i") & F.col("m")).cast("long")).alias("n_may_and_int"),
+            F.sum((F.col("i") & F.col("eq")).cast("long")).alias("n_eq_and_int"),
+        )
+        .where(F.col("n_intersects") > 0)
+        .orderBy("n_nationkey")
+    )
+
+
+def _predicate_gate_sql():
+    from duckdb_geography_spark import synth
+
+    cpts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, "
+        f"{synth.CUST_LAT_SQL} AS lat FROM customer"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_p")},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_p", "_p").lstrip()},
+rect AS (
+  SELECT n_nationkey,
+    radians({synth.NATION_XMIN_SQL}) AS x0,
+    radians({synth.NATION_XMAX_SQL}) AS x1,
+    radians({synth.NATION_YMIN_SQL}) AS y0,
+    radians({synth.NATION_YMAX_SQL}) AS y1
+  FROM nation),
+corn AS (
+  SELECT n_nationkey,
+    cos(y0)*cos(x0) AS ax, cos(y0)*sin(x0) AS ay, sin(y0) AS az,
+    cos(y0)*cos(x1) AS bx, cos(y0)*sin(x1) AS by, sin(y0) AS bz,
+    cos(y1)*cos(x1) AS cx, cos(y1)*sin(x1) AS cy, sin(y1) AS cz,
+    cos(y1)*cos(x0) AS dx, cos(y1)*sin(x0) AS dy, sin(y1) AS dz
+  FROM rect),
+-- point inside the geodesic rect (CCW ring A->B->C->D) iff it lies on
+-- the interior side of all four edge great circles: (V1 x V2) . P >= 0
+inside AS (
+  SELECT p.k, c.n_nationkey
+  FROM centers_p p CROSS JOIN corn c
+  WHERE (c.ay*c.bz - c.az*c.by)*p.x + (c.az*c.bx - c.ax*c.bz)*p.y + (c.ax*c.by - c.ay*c.bx)*p.z >= 0
+    AND (c.by*c.cz - c.bz*c.cy)*p.x + (c.bz*c.cx - c.bx*c.cz)*p.y + (c.bx*c.cy - c.by*c.cx)*p.z >= 0
+    AND (c.cy*c.dz - c.cz*c.dy)*p.x + (c.cz*c.dx - c.cx*c.dz)*p.y + (c.cx*c.dy - c.cy*c.dx)*p.z >= 0
+    AND (c.dy*c.az - c.dz*c.ay)*p.x + (c.dz*c.ax - c.dx*c.az)*p.y + (c.dx*c.ay - c.dy*c.ax)*p.z >= 0)
+SELECT n_nationkey,
+  CAST(count(*) AS BIGINT) AS n_intersects,
+  CAST(count(*) AS BIGINT) AS n_contains,
+  CAST(count(*) AS BIGINT) AS n_may_and_int,
+  CAST(count(*) AS BIGINT) AS n_eq_and_int
+FROM inside
+GROUP BY n_nationkey
+ORDER BY n_nationkey
+"""
+
+
+def _q_dwithin_gate(spark, sf_dir):
+    """s2_dwithin end-to-end through the buffered covering distance
+    join (joins.py distance_join — the scale recipe, no cartesian):
+    customers within 1000 km of each nation's center point. The
+    oracle recomputes the snapped great-circle distances in SQL."""
+    from duckdb_geography_spark import joins as J
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        s2_cell_center_to_geography(
+            C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat())
+        ).alias("geog"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    xmin, ymin, _, _ = synth.nation_box()
+    centers = (
+        nation.select(
+            "n_nationkey",
+            (xmin + 27.5).alias("clon"),
+            (ymin + 12.5).alias("clat"),
+        )
+        .select(
+            "n_nationkey",
+            s2_cell_center_to_geography(C.s2_cellfromlonlat("clon", "clat")).alias("geog"),
+        )
+    )
+    pairs = J.distance_join(
+        cust,
+        centers,
+        meters=1_000_000.0,
+        level=3,
+        left_key="c_custkey",
+        right_key="n_nationkey",
+        broadcast_right=True,
+    )
+    return (
+        pairs.groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_within"))
+        .orderBy("n_nationkey")
+    )
+
+
+def _dwithin_gate_sql():
+    from duckdb_geography_spark import synth
+
+    cpts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, "
+        f"{synth.CUST_LAT_SQL} AS lat FROM customer"
+    )
+    npts = (
+        f"SELECT n_nationkey AS k, ({synth.NATION_XMIN_SQL}) + 27.5 AS lon, "
+        f"({synth.NATION_YMIN_SQL}) + 12.5 AS lat FROM nation"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_c")},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_c", "_c").lstrip()},
+{synth.cellfromlonlat_cte(npts, "_n").lstrip()},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_n", "_n").lstrip()}
+SELECT n.k AS n_nationkey, CAST(count(*) AS BIGINT) AS n_within
+FROM centers_c c CROSS JOIN centers_n n
+WHERE 2.0 * asin(least(1.0, 0.5 * sqrt((c.x-n.x)*(c.x-n.x) + (c.y-n.y)*(c.y-n.y) + (c.z-n.z)*(c.z-n.z)))) * 6371010.0 <= 1000000.0
+GROUP BY n.k
+ORDER BY n_nationkey
 """
 
 
@@ -969,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "snapped_distance_pairs": _q_snapped_distance,
         "box_ops": _q_box_ops,
+        "predicate_gate": _q_predicate_gate,
+        "dwithin_gate": _q_dwithin_gate,
         "overlay_intersection": _q_overlay_intersection,
         "multimodal_features": _q_multimodal_features,
     }
@@ -990,13 +1472,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "langid": _langid_sql(),
-        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
-        "embedding_sim_pairs": _EMBEDDING_PAIRS_SQL,
+        "embedding_sim_pairs": _embedding_pairs_sql(),
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "snapped_distance_pairs": _snapped_distance_sql(),
         "box_ops": _box_ops_sql(),
+        "predicate_gate": _predicate_gate_sql(),
+        "dwithin_gate": _dwithin_gate_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
-        # covering_sizes, bounds_box_agg, minhash_lsh_candidates,
-        # simhash_signatures, lsh_topk: rows-only
+        "minhash_lsh_candidates": _minhash_sql(),
+        "simhash_signatures": _SIMHASH_SQL,
+        "lsh_topk": _lsh_topk_sql(),
+        "covering_sizes": _covering_sizes_sql(),
+        "bounds_box_agg": _bounds_box_agg_sql(),
+        # overlay_intersection: rows-only (geodesic clip vertices have
+        # no closed-form SQL twin until the overlay task lands)
     }

@@ -31,6 +31,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_jaccard_pairs",
     "minhash_dedup",
     "simhash",
     "simhash_pairs",
@@ -42,6 +43,26 @@ _MERSENNE61 = (1 << 61) - 1
 
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def _token_hash(col, bits: int, hash_fn: str) -> Column:
+    """``bits``-wide non-negative hash of a string column.
+
+    ``xxhash64`` is the fast default (JVM intrinsic). ``md5`` derives
+    the value from a hex prefix of md5 — a few times slower but it has
+    an exact DuckDB twin (``('0x' || substr(md5(s),1,N))::BIGINT``),
+    which is what puts the minhash/simhash pipelines under the
+    driver's SQL oracle. Both stay fully JVM-side."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(_c(col)).bitwiseAND(F.lit((1 << bits) - 1))
+    if hash_fn == "md5":
+        nhex = (bits + 3) // 4
+        return (
+            F.conv(F.substring(F.md5(_c(col)), 1, nhex), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit((1 << bits) - 1))
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
 
 
 # ---------------------------------------------------------------------------
@@ -132,13 +153,14 @@ def _perm_coeffs(num_perm: int, seed: int = 42):
 
 
 def minhash_signature(
-    text, n: int = 5, num_perm: int = 64, seed: int = 42
+    text, n: int = 5, num_perm: int = 64, seed: int = 42, hash_fn: str = "xxhash64"
 ) -> Column:
     """MinHash signature (array<long>, length num_perm) over character
-    n-gram shingles. shingle hash = xxhash64 (JVM); permutation k =
-    (a_k*h + b_k) mod 2^61-1 — all Column math, map-side only."""
+    n-gram shingles. shingle hash = 31-bit (:func:`_token_hash`);
+    permutation k = (a_k*h + b_k) mod 2^61-1 — all Column math,
+    map-side only."""
     shingles = ngram_set(text, n)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)))
+    hashes = F.transform(shingles, lambda s: _token_hash(s, 31, hash_fn))
     a, b = _perm_coeffs(num_perm, seed)
 
     def perm(ai: int, bi: int):
@@ -159,6 +181,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket. One explode + one equi-join; no
@@ -179,7 +202,7 @@ def minhash_lsh_pairs(
         F.explode(ngram_set(text_col, n)).alias("__gram"),
     ).select(
         "__key",
-        F.xxhash64("__gram").bitwiseAND(F.lit((1 << 31) - 1)).alias("__h"),
+        _token_hash("__gram", 31, hash_fn).alias("__h"),
     )
     sig = sh.groupBy("__key").agg(
         *[
@@ -189,11 +212,20 @@ def minhash_lsh_pairs(
             for k in range(num_perm)
         ]
     )
+    # band key = the raw min tuple (not a hash of it): equally correct
+    # as a bucket key, with zero false-positive band collisions, and —
+    # unlike Spark's murmur3 F.hash — exactly reproducible by the SQL
+    # oracle. 8 longs per key is a slightly fatter shuffle; acceptable.
     band_keys = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.hash(*[F.col(f"__m{bi * rows + r}") for r in range(rows)]).alias("h"),
+                F.struct(
+                    *[
+                        F.col(f"__m{bi * rows + r}").alias(f"v{r}")
+                        for r in range(rows)
+                    ]
+                ).alias("h"),
             )
             for bi in range(bands)
         ]
@@ -208,6 +240,37 @@ def minhash_lsh_pairs(
         .dropDuplicates(["key_a", "key_b"])
     )
     return pairs
+
+
+def minhash_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard, generated the scalable
+    way: banded MinHash-LSH candidates -> exact Jaccard refine. No
+    all-pairs stage — the candidate join is a bucket equi-join, and
+    only candidate pairs pay the gram-set intersection.
+
+    Returns (key_a, key_b, jaccard) with jaccard >= threshold, for
+    pairs the LSH recalls (recall follows the banding S-curve; raise
+    ``bands`` for lower thresholds)."""
+    cands = minhash_lsh_pairs(df, text_col, key_col, n, num_perm, bands, seed, hash_fn)
+    texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
+    texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))
+    sim = ngram_jaccard("text_a", "text_b", n)
+    return (
+        cands.join(texts_a, "key_a")
+        .join(texts_b, "key_b")
+        .select("key_a", "key_b", F.round(sim, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_dedup(
@@ -244,12 +307,17 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text, n_bits: int = 64) -> Column:
+def simhash(text, n_bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """SimHash of whitespace tokens: per-bit majority vote of token
-    xxhash64s, pure Column math (aggregate over a 64-slot weight
-    array)."""
+    hashes, pure Column math (aggregate over an n_bits-slot weight
+    array). With ``hash_fn='md5'`` the token hash is 60-bit (15 hex
+    chars fit a BIGINT in both engines) so the signature has an exact
+    DuckDB twin; pass n_bits=60 to skip the always-zero high bits."""
     tokens = F.filter(F.split(F.trim(_c(text)), "\\s+"), lambda t: F.length(t) > 0)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    if hash_fn == "xxhash64":
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    else:
+        hashes = F.transform(tokens, lambda t: _token_hash(t, 60, hash_fn))
     zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
     weights = F.aggregate(
         hashes,

@@ -22,6 +22,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_all",
     "lsh_signature",
+    "lsh_neardup_pairs",
     "lsh_topk",
 ]
 
@@ -123,6 +124,58 @@ def lsh_signature(
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    seed: int = 7,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Embedding near-dup pairs the scalable way: hyperplane signature
+    (pure Column) -> pigeonhole chunk equi-join (any pair within
+    ``max_hamming`` < ``blocks`` shares an exact chunk) -> hamming
+    refine (bit_count, JVM) -> exact cosine >= threshold. No all-pairs
+    stage; the brute-force twin is embedding_neardup_pairs."""
+    assert max_hamming < blocks and n_planes % blocks == 0
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig = lsh_signature(vec_col, dim, n_planes, seed)
+    base = df.select(F.col(key_col).alias("__key"), F.col(vec_col).alias("__v"), sig.alias("__sig"))
+    width = n_planes // blocks
+    chunk_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned("__sig", i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    buckets = base.withColumn("__b", F.explode(chunk_keys))
+    a = buckets.select(
+        F.col("__key").alias("key_a"), F.col("__v").alias("va"), F.col("__sig").alias("sig_a"), "__b"
+    )
+    b = buckets.select(
+        F.col("__key").alias("key_b"), F.col("__v").alias("vb"), F.col("__sig").alias("sig_b"), "__b"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    pairs = (
+        a.join(b, "__b")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(ham <= max_hamming)
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return pairs.select(
+        "key_a", "key_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
 
 
 def lsh_topk(
