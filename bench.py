@@ -60,6 +60,26 @@ def main() -> None:
     spark.range(0, ncpu * 4, 1, ncpu * 4).select(
         C.s2_cellfromlonlat(F.lit(1.0), F.lit(2.0)).alias("c")
     ).count()
+    # the geography stack (WKT decode, coverer, predicates) imports
+    # geo/ops/overlay/coverer into every Python worker on first use —
+    # warm that too, so the first geography query isn't billed ~0.3s
+    # of module imports per worker slot
+    from duckdb_geography_spark.functions.bounds import s2_covering
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+    from duckdb_geography_spark.functions.predicates import s2_intersects
+
+    tiny = spark.range(0, ncpu * 4, 1, ncpu * 4).select(
+        s2_geogfromtext(
+            F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        ).alias("g")
+    )
+    tiny.select(
+        F.size(s2_covering("g")).alias("n"), s2_intersects("g", "g").alias("i")
+    ).count()
+    # warm the Arrow createDataFrame path (local pandas -> LocalRelation)
+    import pandas as _pd
+
+    spark.createDataFrame(_pd.DataFrame({"a": [1, 2], "b": [3, 4]})).count()
 
     timings = {}
     total = 0.0

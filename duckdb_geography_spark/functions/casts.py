@@ -128,18 +128,23 @@ def _cell_union_to_geography_udf(s: pd.Series) -> pd.Series:
         elif len(cells) == 1:
             out.append(_cell_polygon(cells[0]).encode())
         else:
-            polys = []
-            for cid in cells:
-                polys.append(_cell_polygon(cid).polygons[0])
-            out.append(Geography(KIND_MULTIPOLYGON, polygons=polys).encode())
+            from ..geo.cell_border import cell_union_border_lonlat
+
+            polys = cell_union_border_lonlat(cells)
+            if len(polys) == 1:
+                out.append(Geography(KIND_POLYGON, polygons=polys).encode())
+            else:
+                out.append(Geography(KIND_MULTIPOLYGON, polygons=polys).encode())
     return pd.Series(out, dtype=object)
 
 
 def s2_cell_union_to_geography(cells) -> Column:
-    """S2_CELL_UNION -> polygon geography. v1 emits one quad per cell
-    (MULTIPOLYGON) rather than the dissolved union border the
-    reference builds via InitToCellUnionBorder
-    (src/s2_cell_ops.cpp:134-169) — single-cell unions match exactly."""
+    """S2_CELL_UNION -> the dissolved border polygon of the union,
+    like the reference's InitToCellUnionBorder
+    (src/s2_cell_ops.cpp:134-169): interior cell edges cancel, edges
+    are split at finer neighbors' corners (T-junctions), and the
+    remaining boundary is stitched into CCW shells and CW holes
+    (geo/cell_border.py)."""
     return _cell_union_to_geography_udf(_c(cells))
 
 

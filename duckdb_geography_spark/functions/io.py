@@ -6,6 +6,8 @@ Arrow-batched pandas UDFs over the binary GEOGRAPHY encoding.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -30,13 +32,21 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+@lru_cache(maxsize=4096)
+def _fromtext_cached(t: str, validate: bool) -> bytes:
+    """Parse+encode is covering-bearing (the adaptive coverer runs at
+    encode), so repeated texts — dimension tables re-read across
+    queries, literal geometries — are worth memoizing per worker."""
+    return from_wkt(t, validate=validate).encode()
+
+
 def _fromtext_series(s: pd.Series, validate: bool) -> pd.Series:
     out = []
     for t in s:
         if t is None:
             out.append(None)
         else:
-            out.append(from_wkt(t, validate=validate).encode())
+            out.append(_fromtext_cached(t, validate))
     return pd.Series(out, dtype=object)
 
 
@@ -159,12 +169,17 @@ def _prepare_udf(s: pd.Series) -> pd.Series:
 
 
 def s2_prepare(geog) -> Column:
-    """Mark a geography as prepared for repeated predicate probes.
+    """Prepare a geography for repeated predicate probes.
 
-    The reference serializes an S2ShapeIndex (src/s2_functions_io.cpp:
-    321-386, 64-byte threshold at :373-379). In this engine the
-    executor-side LRU over encoded bytes plays the index-reuse role
-    (see functions/geoudfs.py), so prepare is a semantic marker with
-    the same passthrough rules.
+    Like the reference's serialized S2ShapeIndex
+    (src/s2_functions_io.cpp:321-386, 64-byte threshold at :373-379),
+    the PREPARED encoding carries a serialized probe index — the
+    precomputed unit-vector shapes, ring orientations, and bounding
+    caps (geo/geography.py::_encode_prepared_index) — so decoding on
+    an executor restores a probe-ready value with no re-validation or
+    re-indexing. Combined with the executor LRU over encoded bytes
+    (functions/geoudfs.py), a broadcast prepared geography is decoded
+    and indexed once per worker and then probed at memoized-index
+    speed.
     """
     return _prepare_udf(_c(geog))

@@ -90,6 +90,27 @@ def ring_area(ring_xyz: np.ndarray) -> float:
     return min(a, 4.0 * np.pi - a)
 
 
+def cross3(a, b) -> np.ndarray:
+    """Component-wise cross product for (..., 3) arrays.
+
+    np.cross pays moveaxis/broadcast overhead on every call, which
+    dominates the coverer's small-batch hot path; this is the same
+    math with plain slicing."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    out = np.empty(np.broadcast_shapes(a.shape, b.shape), dtype=np.float64)
+    out[..., 0] = a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1]
+    out[..., 1] = a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2]
+    out[..., 2] = a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+    return out
+
+
+def _dot(a, b) -> np.ndarray:
+    return (
+        a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1] + a[..., 2] * b[..., 2]
+    )
+
+
 def point_segment_distance(x, a, b) -> np.ndarray:
     """Min angle from point(s) x to geodesic segment(s) a-b, radians.
 
@@ -99,23 +120,21 @@ def point_segment_distance(x, a, b) -> np.ndarray:
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     x, a, b = np.broadcast_arrays(x, a, b)
-    n = np.cross(a, b)
-    nn = np.einsum("...i,...i->...", n, n)
+    n = cross3(a, b)
+    nn = _dot(n, n)
     end_min = np.minimum(angle(x, a), angle(x, b))
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = np.einsum("...i,...i->...", x, n) / np.where(nn > 0, nn, 1.0)
+        t = _dot(x, n) / np.where(nn > 0, nn, 1.0)
         p = x - t[..., None] * n
-        pn = np.sqrt(np.einsum("...i,...i->...", p, p))
+        pn = np.sqrt(_dot(p, p))
         pu = p / np.where(pn > 0, pn, 1.0)[..., None]
-    within = (np.einsum("...i,...i->...", np.cross(a, pu), n) >= 0) & (
-        np.einsum("...i,...i->...", np.cross(pu, b), n) >= 0
-    )
+    within = (_dot(cross3(a, pu), n) >= 0) & (_dot(cross3(pu, b), n) >= 0)
     ok = (nn > 1e-30) & (pn > 1e-30) & within
     return np.where(ok, angle(x, pu), end_min)
 
 
 def _det3(a, b, c) -> np.ndarray:
-    return np.einsum("...i,...i->...", np.cross(a, b), c)
+    return _dot(cross3(a, b), c)
 
 
 def segments_cross(a0, a1, b0, b1) -> np.ndarray:
@@ -192,9 +211,8 @@ def ring_contains_point(ring_xyz: np.ndarray, x: np.ndarray, closed: bool = True
         return False
     if closed:
         nxt = np.roll(ring_xyz, -1, axis=0)
-        for i in range(len(ring_xyz)):
-            if point_segment_distance(x[None, :], ring_xyz[i], nxt[i])[0] <= 1e-15:
-                return True
+        if np.any(point_segment_distance(x[None, :], ring_xyz, nxt) <= 1e-15):
+            return True
     return winding_number(x, ring_xyz) == ring_orientation(ring_xyz)
 
 

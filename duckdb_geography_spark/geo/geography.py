@@ -68,7 +68,7 @@ class GeographyError(ValueError):
 class Geography:
     """Decoded geography value. Coordinates are (n,2) lon/lat degrees."""
 
-    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size", "_cov")
+    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size", "_cov", "_parts")
 
     def __init__(self, kind, points=None, lines=None, polygons=None, geoms=None,
                  cell_id=None, prepared_size=None):
@@ -80,6 +80,7 @@ class Geography:
         self.cell_id = cell_id
         self.prepared_size = prepared_size
         self._cov = None  # memoized default covering
+        self._parts = None  # memoized prepared index (geo/ops.parts_of)
 
     # -- constructors -----------------------------------------------------
     @staticmethod
@@ -279,6 +280,12 @@ class Geography:
             enc = self.geoms[0].encode(with_covering=True)
             out.append(struct.pack("<I", len(enc)))
             out.append(enc)
+            # serialized prepared index (the reference serializes an
+            # S2ShapeIndexGeography here, src/s2_functions_io.cpp:
+            # 365-385): ship the precomputed unit-vector shapes, ring
+            # orientations and bounding caps so decode restores the
+            # probe-ready index without recomputation
+            out.append(_encode_prepared_index(self.geoms[0]))
         return b"".join(out)
 
     @staticmethod
@@ -339,6 +346,8 @@ class Geography:
         if kind == KIND_PREPARED:
             ln = read_u32()
             inner = Geography.decode(buf[off : off + ln])
+            off += ln
+            _decode_prepared_index(inner, buf, off)
             return Geography(KIND_PREPARED, geoms=[inner], prepared_size=ln)
         raise GeographyError(f"unknown geography kind {kind}")
 
@@ -595,6 +604,62 @@ class _WktParser:
             if t != ",":
                 raise GeographyError(f"WKT parse error near {t!r}")
         return np.array(pts, dtype=np.float64)
+
+
+_PREPARED_INDEX_VERSION = 1
+
+
+def _encode_prepared_index(inner: "Geography") -> bytes:
+    """Serialize the prepared probe index of ``inner``: unit-vector
+    points/lines/rings, per-ring orientations, per-shell bounding
+    caps. Mirrors the reference's serialized S2ShapeIndex role
+    (src/s2_functions_io.cpp:365-385) in numpy terms."""
+    import pickle
+
+    from . import ops as _ops
+
+    parts = _ops.parts_of(inner)
+    payload = pickle.dumps(
+        {
+            "v": _PREPARED_INDEX_VERSION,
+            "points": parts.points,
+            "lines": parts.lines,
+            "polygons": parts.polygons,
+            "orients": parts._orients,
+            "caps": parts._caps,
+        },
+        protocol=4,
+    )
+    return struct.pack("<I", len(payload)) + payload
+
+
+def _decode_prepared_index(inner: "Geography", buf: bytes, off: int) -> None:
+    """Restore the serialized probe index onto ``inner`` (no-op for
+    payloads from before the index existed)."""
+    if off + 4 > len(buf):
+        return
+    (ln,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    if ln == 0 or off + ln > len(buf):
+        return
+    import pickle
+
+    from . import ops as _ops
+
+    try:
+        d = pickle.loads(buf[off : off + ln])
+        if d.get("v") != _PREPARED_INDEX_VERSION:
+            return
+    except Exception:
+        return
+    parts = _ops._Parts.__new__(_ops._Parts)
+    parts.g = inner
+    parts.points = d["points"]
+    parts.lines = d["lines"]
+    parts.polygons = d["polygons"]
+    parts._orients = d["orients"]
+    parts._caps = d["caps"]
+    inner._parts = parts
 
 
 def from_wkt(text: str, validate: bool = True) -> Geography:

@@ -102,7 +102,14 @@ def _lonlat_of_single_point(g: Geography):
 
 
 class _Parts:
-    """Unit-vector components of a geography, computed once."""
+    """Unit-vector components of a geography — the engine's prepared
+    index (the role S2ShapeIndexGeography plays in the reference,
+    src/s2_functions_io.cpp:365-385). Computed once per Geography
+    instance (see :func:`parts_of`), restored directly from the
+    serialized payload for PREPARED values, and carrying per-shell
+    bounding caps for cheap point-probe rejection."""
+
+    __slots__ = ("g", "points", "lines", "polygons", "_orients", "_caps")
 
     def __init__(self, g: Geography):
         self.g = g
@@ -119,10 +126,17 @@ class _Parts:
         self._orients = [
             [gd.ring_orientation(r) for r in rings] for rings in self.polygons
         ]
+        self._caps = [_shell_cap(rings[0]) for rings in self.polygons]
 
     def poly_contains(self, x: np.ndarray) -> bool:
         """CLOSED-model containment in any polygon (shell minus holes)."""
-        for rings, orients in zip(self.polygons, self._orients):
+        for rings, orients, cap in zip(self.polygons, self._orients, self._caps):
+            # bounding-cap reject: x provably outside this shell's cap
+            # can't be inside or on its boundary
+            if cap is not None:
+                cx, cr = cap
+                if float(x @ cx) < cr:
+                    continue
             shell = rings[0]
             on_boundary = any(
                 _point_on_ring_boundary(x, r) for r in rings
@@ -149,12 +163,48 @@ class _Parts:
         return out
 
 
+def _shell_cap(ring: np.ndarray):
+    """(center, min-dot) bounding cap of a shell, or None.
+
+    Valid containment prefilter for rings whose max vertex angle from
+    the centroid direction is < pi/2: the cap is geodesically convex,
+    so edges stay inside, and the enclosed (smaller) side cannot reach
+    the antipodal anti-cap without exceeding a hemisphere of area —
+    hence region ⊆ cap and a point outside the cap is definitely
+    outside the polygon."""
+    if len(ring) < 3:
+        return None
+    c = ring.sum(axis=0)
+    n = float(np.linalg.norm(c))
+    if n < 1e-9:
+        return None
+    c = c / n
+    cr = float(np.min(ring @ c))
+    if cr < 0.01:  # cap within ~89.4 deg of hemisphere: disable
+        return None
+    return c, cr - 1e-12
+
+
+def parts_of(g: Geography) -> "_Parts":
+    """Memoized :class:`_Parts` of a geography — predicates against
+    the same decoded instance (broadcast sides probed once per fact
+    row) pay the xyz conversion and ring analysis once. PREPARED
+    values resolve to their inner geography, whose index was restored
+    straight from the serialized payload."""
+    if g.kind == KIND_PREPARED and g.geoms:
+        return parts_of(g.geoms[0])
+    p = g._parts
+    if p is None:
+        p = _Parts(g)
+        g._parts = p
+    return p
+
+
 def _point_on_ring_boundary(x, ring) -> bool:
     nxt = np.roll(ring, -1, axis=0)
-    for i in range(len(ring)):
-        if gd.point_segment_distance(x[None, :], ring[i], nxt[i])[0] <= 1e-15:
-            return True
-    return False
+    return bool(
+        np.any(gd.point_segment_distance(x[None, :], ring, nxt) <= 1e-15)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +217,7 @@ def intersects(g1: Geography, g2: Geography) -> bool:
     (src/s2_binary_index_ops.cpp:85-106, :287-312)."""
     if g1.is_empty() or g2.is_empty():
         return False
-    a, b = _Parts(g1), _Parts(g2)
+    a, b = parts_of(g1), parts_of(g2)
     return _parts_intersect(a, b)
 
 
@@ -224,7 +274,7 @@ def contains(g1: Geography, g2: Geography) -> bool:
     (src/s2_binary_index_ops.cpp:108-131)."""
     if g1.is_empty() or g2.is_empty():
         return False
-    a, b = _Parts(g1), _Parts(g2)
+    a, b = parts_of(g1), parts_of(g2)
     if b.polygons and not a.polygons:
         return False
     if b.lines and not (a.polygons or a.lines):
@@ -320,7 +370,7 @@ def distance(g1: Geography, g2: Geography) -> float:
     (src/s2_binary_index_ops.cpp:546-569, :617-648)."""
     if g1.is_empty() or g2.is_empty():
         return INF
-    a, b = _Parts(g1), _Parts(g2)
+    a, b = parts_of(g1), parts_of(g2)
     if _parts_intersect(a, b):
         return 0.0
     best = INF
@@ -367,7 +417,7 @@ def max_distance(g1: Geography, g2: Geography) -> float:
     side's vertices against the other set is exact."""
     if g1.is_empty() or g2.is_empty():
         return INF
-    a, b = _Parts(g1), _Parts(g2)
+    a, b = parts_of(g1), parts_of(g2)
     va, vb = _all_vertices(a), _all_vertices(b)
     if not len(va) or not len(vb):
         return INF
@@ -432,7 +482,7 @@ def intersection(g1: Geography, g2: Geography) -> Geography:
         return Geography(KIND_COLLECTION)
     if _is_pointy(g1) or _is_pointy(g2):
         pointy, other = (g1, g2) if _is_pointy(g1) else (g2, g1)
-        op = _Parts(other)
+        op = parts_of(other)
         pts = pointy.all_points()
         xyz = gd.lonlat_deg_to_xyz(pts)
         keep = [i for i in range(len(pts)) if _covers_point(op, xyz[i])]
@@ -483,7 +533,7 @@ def difference(g1: Geography, g2: Geography) -> Geography:
     if not may_intersect(g1, g2) or not intersects(g1, g2):
         return g1
     if _is_pointy(g1):
-        op = _Parts(g2)
+        op = parts_of(g2)
         pts = g1.all_points()
         xyz = gd.lonlat_deg_to_xyz(pts)
         keep = [i for i in range(len(pts)) if not _covers_point(op, xyz[i])]
@@ -500,29 +550,148 @@ def _ccw_shell_xyz(ring_lonlat: np.ndarray) -> np.ndarray:
     return xyz
 
 
+def _decompose_xyz(g: Geography):
+    """(points_xyz list, lines_xyz list, polys_xyz list-of-ring-lists)."""
+    pts = [x for x in gd.lonlat_deg_to_xyz(g.all_points())] if len(g.all_points()) else []
+    lines = [gd.lonlat_deg_to_xyz(l) for l in g.all_lines() if len(l) >= 2]
+    polys = [
+        [gd.lonlat_deg_to_xyz(r) for r in rings if len(r) >= 3]
+        for rings in g.all_polygons()
+    ]
+    polys = [p for p in polys if p]
+    return pts, lines, polys
+
+
+def _assemble_overlay_result(out_polys, out_lines, out_pts) -> Geography:
+    geoms: List[Geography] = []
+    if out_polys:
+        rings_lonlat = [
+            [gd.xyz_to_lonlat_deg(_close_open(r)) for r in rings] for rings in out_polys
+        ]
+        if len(rings_lonlat) == 1:
+            geoms.append(Geography(KIND_POLYGON, polygons=rings_lonlat))
+        else:
+            geoms.append(Geography(KIND_MULTIPOLYGON, polygons=rings_lonlat))
+    if out_lines:
+        lls = [gd.xyz_to_lonlat_deg(l) for l in out_lines]
+        if len(lls) == 1:
+            geoms.append(Geography(KIND_LINESTRING, lines=lls))
+        else:
+            geoms.append(Geography(KIND_MULTILINESTRING, lines=lls))
+    if out_pts:
+        arr = gd.xyz_to_lonlat_deg(np.array(out_pts))
+        geoms.append(_point_set_result(arr))
+    if not geoms:
+        return Geography(KIND_COLLECTION)
+    if len(geoms) == 1:
+        return geoms[0]
+    return Geography(KIND_COLLECTION, geoms=geoms)
+
+
+def _close_open(ring: np.ndarray) -> np.ndarray:
+    """Overlay rings have an implicit closing edge; WKT rings repeat
+    the first vertex, which Geography stores explicitly."""
+    return ring
+
+
+def _dedupe_xyz_points(pts: List[np.ndarray]) -> List[np.ndarray]:
+    seen = set()
+    out = []
+    for p in pts:
+        k = tuple(np.round(p * 1e12))
+        if k not in seen:
+            seen.add(k)
+            out.append(p)
+    return out
+
+
 def _general_overlay(g1: Geography, g2: Geography, op: str) -> Geography:
-    """Polygon x polygon overlay via spherical Greiner-Hormann
-    (geo/overlay.py). Supports shells without holes; other mixes
-    raise NotImplementedError like before."""
+    """General overlay via spherical edge classification
+    (geo/overlay.py): polygons with holes, shared-boundary and
+    vertex-touch degeneracies, and mixed-dimension inputs — the
+    S2BooleanOperation role (src/s2_binary_index_ops.cpp:328-448).
+
+    Dimension semantics match the reference's CLOSED models: each
+    result dimension is computed from the set semantics of the inputs'
+    parts (e.g. intersection lines = A-lines within B plus B-lines
+    within A plus line/line overlaps-and-crossings)."""
     from . import overlay as ov
 
-    p1, p2 = g1.all_polygons(), g2.all_polygons()
-    pointy_or_liney = (
-        len(g1.all_points()) or len(g2.all_points()) or g1.all_lines() or g2.all_lines()
-    )
-    if not p1 or not p2 or pointy_or_liney:
-        raise NotImplementedError(f"general {op} overlay needs polygon x polygon input")
-    if any(len(rings) > 1 for rings in p1 + p2):
-        raise NotImplementedError(f"general {op} overlay with holes is not supported yet")
-    shells1 = [_ccw_shell_xyz(rings[0]) for rings in p1]
-    shells2 = [_ccw_shell_xyz(rings[0]) for rings in p2]
-    result = ov.overlay_shells(shells1, shells2, op)
-    if not result:
-        return Geography(KIND_COLLECTION)
-    rings_lonlat = [gd.xyz_to_lonlat_deg(r) for r in result]
-    if len(rings_lonlat) == 1:
-        return Geography(KIND_POLYGON, polygons=[[rings_lonlat[0]]])
-    return Geography(KIND_MULTIPOLYGON, polygons=[[r] for r in rings_lonlat])
+    pts1, lines1, polys1 = _decompose_xyz(g1)
+    pts2, lines2, polys2 = _decompose_xyz(g2)
+    parts1, parts2 = parts_of(g1), parts_of(g2)
+    out_polys: List[List[np.ndarray]] = []
+    out_lines: List[np.ndarray] = []
+    out_pts: List[np.ndarray] = []
+
+    if op == "intersection":
+        if polys1 and polys2:
+            out_polys, deg_l, deg_p = ov.overlay_polygons_full(
+                polys1, polys2, "intersection"
+            )
+            out_lines.extend(deg_l)
+            out_pts.extend(deg_p)
+        for l in lines1:
+            if polys2:
+                out_lines.extend(ov.clip_polyline_to_region(l, polys2, "inside"))
+        for l in lines2:
+            if polys1:
+                out_lines.extend(ov.clip_polyline_to_region(l, polys1, "inside"))
+        if lines1 and lines2:
+            ll, lp = ov.polyline_overlay(lines1, lines2, "intersection")
+            out_lines.extend(ll)
+            out_pts.extend(lp)
+        for x in pts1:
+            if _covers_point(parts2, x):
+                out_pts.append(x)
+        for x in pts2:
+            if _covers_point(parts1, x):
+                out_pts.append(x)
+    elif op == "difference":
+        if polys1:
+            out_polys = (
+                ov.overlay_polygons(polys1, polys2, "difference") if polys2 else polys1
+            )
+        for l in lines1:
+            runs = [l]
+            if polys2:
+                runs = ov.clip_polyline_to_region(l, polys2, "outside")
+            if lines2:
+                nxt: List[np.ndarray] = []
+                for r in runs:
+                    rl, _ = ov.polyline_overlay([r], lines2, "difference")
+                    nxt.extend(rl)
+                runs = nxt
+            out_lines.extend(runs)
+        for x in pts1:
+            if not _covers_point(parts2, x):
+                out_pts.append(x)
+    elif op == "union":
+        if polys1 and polys2:
+            out_polys = ov.overlay_polygons(polys1, polys2, "union")
+        else:
+            out_polys = polys1 + polys2
+        la: List[np.ndarray] = []
+        for l in lines1:
+            la.extend(ov.clip_polyline_to_region(l, polys2, "outside") if polys2 else [l])
+        lb: List[np.ndarray] = []
+        for l in lines2:
+            lb.extend(ov.clip_polyline_to_region(l, polys1, "outside") if polys1 else [l])
+        if la and lb:
+            ml, _ = ov.polyline_overlay(la, lb, "union")
+            out_lines.extend(ml)
+        else:
+            out_lines.extend(la or lb)
+        for x in pts1:
+            if not _covers_point(parts2, x):
+                out_pts.append(x)
+        for x in pts2:
+            if not _covers_point(parts1, x):
+                out_pts.append(x)
+        out_pts = _dedupe_xyz_points(out_pts)
+    else:
+        raise ValueError(f"unknown overlay op {op!r}")
+    return _assemble_overlay_result(out_polys, out_lines, out_pts)
 
 
 # ---------------------------------------------------------------------------
@@ -539,7 +708,7 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
     geodesic edge bulge like S2's RectBounder."""
     if g.is_empty():
         return EMPTY_RECT
-    parts = _Parts(g)
+    parts = parts_of(g)
     verts = _all_vertices(parts)
     lat = np.degrees(np.arcsin(np.clip(verts[:, 2], -1, 1)))
     lat_lo, lat_hi = float(np.min(lat)), float(np.max(lat))

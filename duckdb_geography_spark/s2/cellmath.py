@@ -44,6 +44,42 @@ POS_TO_IJ = np.array(
 )
 POS_TO_ORIENT = np.array([1, 0, 0, 3], dtype=np.uint64)
 
+# Multi-level Hilbert lookup tables (S2's kLookupBits trick): process
+# _LOOKUP_BITS levels per iteration instead of one, turning the 30-step
+# decode/encode loops into 6 steps. Built once at import from the
+# per-level tables above, so the semantics are identical by
+# construction.
+_LOOKUP_BITS = 5
+_LOOKUP_MASK = U64((1 << (2 * _LOOKUP_BITS)) - 1)
+
+
+def _build_hilbert_tables(bits: int):
+    n = 1 << (2 * bits)
+    decode = np.zeros(4 * n, dtype=np.uint64)  # (orient, pos) -> (i, j, orient')
+    encode = np.zeros(4 * n, dtype=np.uint64)  # (orient, ij) -> (pos, orient')
+    for orient0 in range(4):
+        for pos in range(n):
+            o, i, j = orient0, 0, 0
+            for k in range(bits - 1, -1, -1):
+                d = (pos >> (2 * k)) & 3
+                ij = int(POS_TO_IJ[o, d])
+                i = (i << 1) | (ij >> 1)
+                j = (j << 1) | (ij & 1)
+                o = o ^ int(POS_TO_ORIENT[d])
+            decode[(orient0 << (2 * bits)) | pos] = (i << (bits + 2)) | (j << 2) | o
+        for ijc in range(n):
+            o, pos = orient0, 0
+            for k in range(bits - 1, -1, -1):
+                ij = (((ijc >> (bits + k)) & 1) << 1) | ((ijc >> k) & 1)
+                d = int(IJ_TO_POS[o, ij])
+                pos = (pos << 2) | d
+                o = o ^ int(POS_TO_ORIENT[d])
+            encode[(orient0 << (2 * bits)) | ijc] = (pos << 2) | o
+    return decode, encode
+
+
+_HILBERT_DECODE, _HILBERT_ENCODE = _build_hilbert_tables(_LOOKUP_BITS)
+
 # ---------------------------------------------------------------------------
 # signed/unsigned boundary helpers (Spark LongType <-> uint64)
 # ---------------------------------------------------------------------------
@@ -158,12 +194,16 @@ def from_face_ij(face, i, j) -> np.ndarray:
     j = np.asarray(j, dtype=np.uint64)
     pos = np.zeros_like(face, dtype=np.uint64)
     orient = face & _1
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        ku = U64(k)
-        ij = (((i >> ku) & _1) << _1) | ((j >> ku) & _1)
-        d = IJ_TO_POS[orient, ij]
-        pos = (pos << _2) | d
-        orient = orient ^ POS_TO_ORIENT[d]
+    bmask = U64((1 << _LOOKUP_BITS) - 1)
+    for k in range(MAX_LEVEL // _LOOKUP_BITS - 1, -1, -1):
+        sh = U64(k * _LOOKUP_BITS)
+        ic = (i >> sh) & bmask
+        jc = (j >> sh) & bmask
+        v = _HILBERT_ENCODE[
+            (orient << U64(2 * _LOOKUP_BITS)) | (ic << U64(_LOOKUP_BITS)) | jc
+        ]
+        pos = (pos << U64(2 * _LOOKUP_BITS)) | (v >> _2)
+        orient = v & U64(3)
     return (face << U64(POS_BITS)) | (pos << _1) | _1
 
 
@@ -180,12 +220,13 @@ def to_face_ij_orientation(ids_u):
     i = np.zeros_like(ids)
     j = np.zeros_like(ids)
     pos = ids >> _1
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        d = (pos >> U64(2 * k)) & U64(3)
-        ij = POS_TO_IJ[orient, d]
-        i = (i << _1) | (ij >> _1)
-        j = (j << _1) | (ij & _1)
-        orient = orient ^ POS_TO_ORIENT[d]
+    bmask = U64((1 << _LOOKUP_BITS) - 1)
+    for k in range(MAX_LEVEL // _LOOKUP_BITS - 1, -1, -1):
+        chunk = (pos >> U64(2 * _LOOKUP_BITS * k)) & _LOOKUP_MASK
+        v = _HILBERT_DECODE[(orient << U64(2 * _LOOKUP_BITS)) | chunk]
+        i = (i << U64(_LOOKUP_BITS)) | ((v >> U64(_LOOKUP_BITS + 2)) & bmask)
+        j = (j << U64(_LOOKUP_BITS)) | ((v >> _2) & bmask)
+        orient = v & U64(3)
     return face, i, j, orient
 
 

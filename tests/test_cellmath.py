@@ -117,3 +117,57 @@ def test_property_hierarchy(lon, lat, lev):
     # center of the parent is inside the parent
     clon, clat = cm.cellid_to_lonlat(p)
     assert cm.contains(p, cm.lonlat_to_cellid(clon, clat))[0]
+
+
+class TestSnappedDistanceGoldens:
+    """Root-cause of the reference's 4mm cell-center distance golden
+    (test/sql/geography/binary_index_ops.test:174-178).
+
+    Empirically (bit-exact against our S2-faithful cell math):
+      * the reference's PLAIN `s2_distance(city, city)` golden
+        3354018.3461295413 equals chord(snap(V), snap(T)) — city
+        blobs decode leaf-snapped (the COMPACT tagged encoding stores
+        single points as CELL_CENTER);
+      * its BOTH-`::S2_CELL_CENTER` golden 3354018.3501422736 equals
+        chord(snap(V), raw(T)) — the rhs snap is dropped somewhere in
+        the reference's cast/fast-path pipeline, an asymmetric
+        evaluation (swapping operands would give 3354018.3417240526);
+      * its one-side `s2_max_distance(V::cc, T)` golden equals the
+        symmetric snap(V)-snap(T) again.
+    We keep the symmetric, idempotent semantics on every path (equal
+    to the reference's plain and max_distance goldens) and do NOT
+    emulate the asymmetric 4mm value.
+    """
+
+    VAN = (-123.12359, 49.2753624)
+    TOR = (-79.4219667, 43.7019257)
+    R = 6371010.0
+
+    @staticmethod
+    def _xyz(lon, lat):
+        lon, lat = np.radians(lon), np.radians(lat)
+        return np.array(
+            [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
+        )
+
+    @classmethod
+    def _chord(cls, a, b):
+        return 2.0 * np.arcsin(min(1.0, 0.5 * np.linalg.norm(a - b))) * cls.R
+
+    @classmethod
+    def _snap(cls, lon, lat):
+        c = cm.lonlat_to_cellid(np.array([lon]), np.array([lat]))
+        x, y, z = cm.cellid_to_center_xyz(c)
+        return np.array([x[0], y[0], z[0]])
+
+    def test_reference_golden_decomposition(self):
+        pv, pt = self._xyz(*self.VAN), self._xyz(*self.TOR)
+        sv, st_ = self._snap(*self.VAN), self._snap(*self.TOR)
+        # reference "normal" golden == symmetric snapped distance
+        assert self._chord(sv, st_) == 3354018.3461295413
+        # reference "snapped" golden == snap(lhs) vs RAW(rhs)
+        assert self._chord(sv, pt) == 3354018.3501422736
+        # the mirror assignment gives neither golden
+        assert self._chord(pv, st_) == 3354018.3417240526
+        # raw-raw matches nothing the reference publishes
+        assert abs(self._chord(pv, pt) - 3354018.3457367853) < 1e-6

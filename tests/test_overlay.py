@@ -61,11 +61,86 @@ class TestGeneralOverlay:
         inter = ops.intersection(subj, clip)
         assert len(inter.all_polygons()) == 2
 
-    def test_degenerate_raises(self):
+    def test_shared_edge_degenerate_line(self):
+        """CLOSED polygon model: two polygons sharing only a boundary
+        edge intersect in that edge, emitted to the polyline layer
+        (global_options.hpp:11-14; S2BooleanOperation degeneracies)."""
         a = from_wkt(SQ_A)
         touching = from_wkt("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
-        with pytest.raises(NotImplementedError):
-            ops.intersection(a, touching)
+        inter = ops.intersection(a, touching)
+        assert not inter.all_polygons()
+        lines = inter.all_lines()
+        assert len(lines) == 1
+        lons = sorted(set(round(v, 6) for v in lines[0][:, 0]))
+        assert lons == [10.0]
+        # union across the shared edge dissolves it
+        u = ops.union(a, touching)
+        assert ops.area(u) == pytest.approx(ops.area(a) + ops.area(touching), rel=1e-9)
+
+    def test_corner_touch_degenerate_point(self):
+        a = from_wkt(SQ_A)
+        corner = from_wkt("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+        inter = ops.intersection(a, corner)
+        assert not inter.all_polygons() and not inter.all_lines()
+        pts = inter.all_points()
+        assert len(pts) == 1
+        assert tuple(np.round(pts[0], 6)) == (10.0, 10.0)
+        # union keeps two simple rings, not a pinched figure-eight
+        u = ops.union(a, corner)
+        polys = u.all_polygons()
+        assert len(polys) == 2
+
+    def test_holes(self):
+        holed = from_wkt(
+            "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 5 15, 15 15, 15 5, 5 5))"
+        )
+        inside_hole = from_wkt("POLYGON ((8 8, 12 8, 12 12, 8 12, 8 8))")
+        assert ops.intersection(holed, inside_hole).is_empty()
+        straddle = from_wkt("POLYGON ((-2 8, 7 8, 7 12, -2 12, -2 8))")
+        inter = ops.intersection(holed, straddle)
+        diff = ops.difference(holed, straddle)
+        assert ops.area(inter) + ops.area(diff) == pytest.approx(
+            ops.area(holed), rel=1e-9
+        )
+        # difference that carves a hole: subtract a block from the middle
+        mid = from_wkt("POLYGON ((7 -2, 13 -2, 13 22, 7 22, 7 -2))")
+        d2 = ops.difference(holed, mid)
+        assert ops.area(d2) == pytest.approx(ops.area(holed) - ops.area(
+            ops.intersection(holed, mid)), rel=1e-9)
+
+    def test_difference_carves_hole(self):
+        a = from_wkt("POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0))")
+        b = from_wkt("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+        d = ops.difference(a, b)
+        polys = d.all_polygons()
+        assert len(polys) == 1 and len(polys[0]) == 2  # shell + hole
+        assert ops.area(d) == pytest.approx(ops.area(a) - ops.area(b), rel=1e-9)
+        # membership: inside the carved hole is no longer in the result
+        assert ops.intersects(from_wkt("POINT (15 15.2)"), b)
+        assert not ops.contains(d, from_wkt("POINT (15 15.2)"))
+        assert ops.contains(d, from_wkt("POINT (5 5)"))
+
+    def test_polygon_line_overlays(self):
+        a = from_wkt(SQ_A)
+        l = from_wkt("LINESTRING (-5 5, 15 5)")
+        inter = ops.intersection(a, l)
+        assert not inter.all_polygons()
+        (seg,) = inter.all_lines()
+        assert np.round(seg[0][0], 6) == 0.0 and np.round(seg[-1][0], 6) == 10.0
+        diff = ops.difference(l, a)
+        assert len(diff.all_lines()) == 2
+        u = ops.union(a, l)
+        assert len(u.all_polygons()) == 1 and len(u.all_lines()) == 2
+
+    def test_line_line_overlays(self):
+        l1 = from_wkt("LINESTRING (0 0, 10 10)")
+        l2 = from_wkt("LINESTRING (0 10, 10 0)")
+        cross = ops.intersection(l1, l2)
+        pts = cross.all_points()
+        assert len(pts) == 1 and abs(pts[0][0] - 5.0) < 1e-9
+        same = ops.intersection(l1, from_wkt("LINESTRING (0 0, 10 10)"))
+        (seg,) = same.all_lines()
+        assert len(seg) >= 2
 
     @settings(max_examples=25, deadline=None)
     @given(
