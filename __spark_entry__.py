@@ -387,9 +387,13 @@ def _q_cell_containment(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", C.s2_cell_parent(synth.key_cell("n_nationkey"), 2).alias("ncell")
     )
-    joined = pts.join(
-        F.broadcast(nation),
-        C.s2_cell_contains(F.col("ncell"), F.col("cell")),
+    # every nation cell is exactly level 2, so "ncell contains leaf" is
+    # equivalent to "parent(leaf, 2) == ncell" — an EQUI-join key, which
+    # hashes (broadcast today, shuffle at scale) instead of the
+    # BroadcastNestedLoopJoin a range predicate would force. The general
+    # mixed-level range join lives in joins.cell_containment_join.
+    joined = pts.withColumn("__p2", C.s2_cell_parent(F.col("cell"), 2)).join(
+        F.broadcast(nation), F.col("__p2") == F.col("ncell")
     )
     return (
         joined.groupBy("n_nationkey")
