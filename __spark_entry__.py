@@ -53,6 +53,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
             )
+    # the test-fixture parquet is one row group per table, so the scan
+    # is a single partition and ALL map-side work (codegen expressions,
+    # explodes, Python UDF stages) runs on one core until the first
+    # shuffle. A real 100 TB table arrives in thousands of splits; the
+    # cheap round-robin repartition here just restores the parallelism
+    # a production scan gets for free. Tiny dimensions stay as-is —
+    # they're broadcast anyway.
+    if name not in ("region", "nation"):
+        ncpu = spark.sparkContext.defaultParallelism
+        df = df.repartition(ncpu)
     return df
 
 
