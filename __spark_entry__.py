@@ -58,9 +58,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # explodes, Python UDF stages) runs on one core until the first
     # shuffle. A real 100 TB table arrives in thousands of splits; the
     # cheap round-robin repartition here just restores the parallelism
-    # a production scan gets for free. Tiny dimensions stay as-is —
-    # they're broadcast anyway.
-    if name not in ("region", "nation"):
+    # a production scan gets for free — but only for the tables whose
+    # queries do heavy per-row map work (geometry/cell UDFs, shingle
+    # explodes, vector math) BEFORE their first shuffle. Tables that go
+    # straight into a hash join/agg (lineitem, orders, events...) reach
+    # a 32-way exchange immediately, and an extra round-robin shuffle
+    # would only add a barrier. Tiny dimensions are broadcast anyway.
+    if name in ("documents", "embeddings", "customer", "supplier"):
         ncpu = spark.sparkContext.defaultParallelism
         df = df.repartition(ncpu)
     return df
@@ -318,18 +322,33 @@ def _q_cell_bitops(spark, sf_dir):
 
     _prep(spark)
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    cell = synth.key_cell("c_custkey")
-    return cust.select(
-        "c_custkey",
-        cell.alias("cell"),
-        C.s2_cell_level(cell).alias("level"),
-        C.s2_cell_parent(cell, 5).alias("parent5"),
-        C.s2_cell_range_min(C.s2_cell_parent(cell, 5)).alias("rmin5"),
-        C.s2_cell_range_max(C.s2_cell_parent(cell, 5)).alias("rmax5"),
-        C.s2_cell_token(cell).alias("token"),
-        C.s2_cell_from_token(C.s2_cell_token(cell)).alias("token_rt"),
-        C.s2_cell_contains(C.s2_cell_parent(cell, 5), cell).alias("parent_contains"),
-    ).orderBy("c_custkey")
+    # build each shared subexpression ONCE and reference it by name in
+    # later stages: inlining `cell` (a ~100-node expression) into every
+    # output column multiplies both the Python/Py4J construction cost
+    # and the analyzer's tree size (this query: 1.8s -> ~0.3s build)
+    return (
+        cust.select(
+            "c_custkey",
+            synth.key_cell("c_custkey").alias("cell"),
+        )
+        .select("*", C.s2_cell_parent("cell", 5).alias("parent5"))
+        .select(
+            "c_custkey",
+            "cell",
+            C.s2_cell_level("cell").alias("level"),
+            "parent5",
+            C.s2_cell_range_min("parent5").alias("rmin5"),
+            C.s2_cell_range_max("parent5").alias("rmax5"),
+            C.s2_cell_token("cell").alias("token"),
+            C.s2_cell_contains("parent5", F.col("cell")).alias("parent_contains"),
+        )
+        .withColumn("token_rt", C.s2_cell_from_token("token"))
+        .select(
+            "c_custkey", "cell", "level", "parent5", "rmin5", "rmax5",
+            "token", "token_rt", "parent_contains",
+        )
+        .orderBy("c_custkey")
+    )
 
 
 def _cell_bitops_sql():

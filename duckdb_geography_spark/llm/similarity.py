@@ -112,6 +112,19 @@ def lsh_signature(
     """Random-hyperplane signature: bit i = sign(v . h_i). Returns a
     long (n_planes <= 63). Deterministic via fixed seed; pure Columns."""
     planes = _hyperplanes(dim, n_planes, seed)
+    if isinstance(vec_col, str):
+        # one F.expr call instead of n_planes*dim Column-node builds:
+        # driver-side construction drops from ~1s to ~ms for 12x64
+        # planes, and the JVM parses the SQL text once
+        terms = []
+        for i in range(n_planes):
+            arr = ", ".join(repr(float(x)) for x in planes[i])
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with(`{vec_col}`, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, v) -> a + v) >= 0 "
+                f"THEN {1 << i}L ELSE 0L END)"
+            )
+        return F.expr("(" + " | ".join(terms) + ")")
     bits = []
     for i in range(n_planes):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])
