@@ -755,11 +755,18 @@ ORDER BY grp
 
 
 def _q_dedup_exact(spark, sf_dir):
-    from duckdb_geography_spark.llm.dedup import exact_dedup
-
+    """Winner ids of the exact dedup (min doc_id per md5(text)). The
+    id list IS the group-by output — no need for llm.dedup.exact_dedup's
+    full-row left_semi join when only the keys are requested. One
+    32-byte-key shuffle total."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs).select("doc_id").orderBy("doc_id")
+    return (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 _DEDUP_EXACT_SQL = """

@@ -204,33 +204,27 @@ def minhash_lsh_pairs(
         "__key",
         _token_hash("__gram", 31, hash_fn).alias("__h"),
     )
-    sig = sh.groupBy("__key").agg(
-        *[
-            F.min((F.col("__h") * F.lit(int(a[k])) + F.lit(int(b[k]))) % F.lit(_MERSENNE61)).alias(
-                f"__m{k}"
-            )
-            for k in range(num_perm)
-        ]
+    # the whole signature is ONE array expression and the banding is
+    # ONE explode(transform(...)) expression: query construction is
+    # driver-side Py4J latency (a quarter-millisecond per Column node),
+    # and the column-at-a-time form costs ~3400 round-trips (~0.9s)
+    # before Spark sees any SQL at all
+    mins_csv = ", ".join(
+        f"min((__h * {int(a[k])}L + {int(b[k])}L) % {_MERSENNE61}L)"
+        for k in range(num_perm)
     )
+    sig = sh.groupBy("__key").agg(F.expr(f"array({mins_csv})").alias("__ms"))
     # band key = the raw min tuple (not a hash of it): equally correct
     # as a bucket key, with zero false-positive band collisions, and —
     # unlike Spark's murmur3 F.hash — exactly reproducible by the SQL
     # oracle. 8 longs per key is a slightly fatter shuffle; acceptable.
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.struct(
-                    *[
-                        F.col(f"__m{bi * rows + r}").alias(f"v{r}")
-                        for r in range(rows)
-                    ]
-                ).alias("h"),
-            )
-            for bi in range(bands)
-        ]
+    buckets = sig.select(
+        "__key",
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), "
+            f"bi -> struct(bi AS band, slice(__ms, bi * {rows} + 1, {rows}) AS h)))"
+        ).alias("__bucket"),
     )
-    buckets = sig.select("__key", F.explode(band_keys).alias("__bucket"))
     a = buckets.select(F.col("__key").alias("key_a"), "__bucket")
     b = buckets.select(F.col("__key").alias("key_b"), "__bucket")
     pairs = (
