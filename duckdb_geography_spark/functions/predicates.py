@@ -56,18 +56,86 @@ def _prefilter(b1, b2):
     return False, None
 
 
+def _batch_overlap(s1: pd.Series, s2: pd.Series):
+    """Vectorized covering-overlap over a whole Arrow batch.
+
+    Returns (null_mask, overlap) bool arrays. The per-row fallback
+    costs ~8 small-numpy calls per pair; here the tag prefixes are
+    parsed once per UNIQUE blob (broadcast join sides repeat the same
+    geography thousands of times per batch) and the interval-overlap
+    test runs as one padded (n, k1, k2) comparison for the batch.
+    Empty geographies get empty coverings -> overlap False, matching
+    the reference's definite-false early-out
+    (src/s2_binary_index_ops.cpp:287-312).
+    """
+    n = len(s1)
+    null_mask = np.zeros(n, dtype=bool)
+    # a non-empty geography encoded WITHOUT a covering can't be pruned:
+    # missing covering means "might intersect", not "disjoint"
+    # (CoveringMayIntersect, src/s2_binary_index_ops.cpp:450-461)
+    force = np.zeros(n, dtype=bool)
+    either_empty = np.zeros(n, dtype=bool)
+    memo: dict = {}
+    covs1: list = [None] * n
+    covs2: list = [None] * n
+    for i in range(n):
+        b1, b2 = s1.iat[i], s2.iat[i]
+        if b1 is None or b2 is None:
+            null_mask[i] = True
+            continue
+        for b, covs in ((bytes(b1), covs1), (bytes(b2), covs2)):
+            entry = memo.get(b)
+            if entry is None:
+                is_empty = bool(b[1] & 1)
+                cov = np.empty(0, dtype=np.uint64) if is_empty else U.tag_covering(b)
+                entry = (cov, is_empty)
+                memo[b] = entry
+            cov, is_empty = entry
+            covs[i] = cov
+            if is_empty:
+                either_empty[i] = True
+            elif not len(cov):
+                force[i] = True
+    lens1 = np.array([0 if c is None else len(c) for c in covs1], dtype=np.int64)
+    lens2 = np.array([0 if c is None else len(c) for c in covs2], dtype=np.int64)
+    k1, k2 = int(lens1.max(initial=0)), int(lens2.max(initial=0))
+    overlap = force & ~either_empty & ~null_mask
+    if k1 == 0 or k2 == 0:
+        return null_mask, overlap
+
+    def pad(covs, lens, k):
+        # sentinel lo=max, hi=0 never overlaps anything
+        lo = np.full((n, k), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        hi = np.zeros((n, k), dtype=np.uint64)
+        cat = np.concatenate([c for c in covs if c is not None and len(c)] or [np.empty(0, dtype=np.uint64)])
+        if len(cat):
+            rows = np.repeat(np.arange(n), lens)
+            cols = np.concatenate([np.arange(m) for m in lens if m])
+            lo[rows, cols] = cm.range_min(cat)
+            hi[rows, cols] = cm.range_max(cat)
+        return lo, hi
+
+    lo1, hi1 = pad(covs1, lens1, k1)
+    lo2, hi2 = pad(covs2, lens2, k2)
+    overlap |= np.any(
+        (lo1[:, :, None] <= hi2[:, None, :]) & (lo2[:, None, :] <= hi1[:, :, None]),
+        axis=(1, 2),
+    )
+    overlap &= ~either_empty & ~null_mask
+    return null_mask, overlap
+
+
 def _binary_bool_udf(exact_fn):
     @F.pandas_udf(BooleanType())
     def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        out = []
-        for b1, b2 in zip(s1, s2):
-            b1 = bytes(b1) if b1 is not None else None
-            b2 = bytes(b2) if b2 is not None else None
-            skip, val = _prefilter(b1, b2)
-            if skip:
-                out.append(val)
-            else:
-                out.append(exact_fn(U.decode_cached(b1), U.decode_cached(b2)))
+        null_mask, overlap = _batch_overlap(s1, s2)
+        out = np.full(len(s1), False, dtype=object)
+        out[null_mask] = None
+        # only covering-overlapping pairs need the exact geometry test
+        for i in np.flatnonzero(~null_mask & overlap):
+            out[i] = exact_fn(
+                U.decode_cached(bytes(s1.iat[i])), U.decode_cached(bytes(s2.iat[i]))
+            )
         return pd.Series(out, dtype=object)
 
     return _udf
@@ -75,16 +143,9 @@ def _binary_bool_udf(exact_fn):
 
 @F.pandas_udf(BooleanType())
 def _mayintersect_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    out = []
-    for b1, b2 in zip(s1, s2):
-        if b1 is None or b2 is None:
-            out.append(None)
-            continue
-        b1, b2 = bytes(b1), bytes(b2)
-        if (b1[1] & 1) or (b2[1] & 1):
-            out.append(False)
-            continue
-        out.append(bool(ops.coverings_overlap(U.tag_covering(b1), U.tag_covering(b2))))
+    null_mask, overlap = _batch_overlap(s1, s2)
+    out = overlap.astype(object)
+    out[null_mask] = None
     return pd.Series(out, dtype=object)
 
 
