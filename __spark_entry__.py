@@ -1118,6 +1118,67 @@ LIMIT 10
 """
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: 16 deterministic unit centroids, each
+    row assigned map-side to its argmax-dot centroid (the ingest-time
+    partition key at scale), query probes its 4 nearest cells, exact
+    cosine rank on the probed subset. Partition-pruning shape — reads
+    n_probe/n_centroids of the data, no shuffle before the final
+    TakeOrdered."""
+    from duckdb_geography_spark.llm.similarity import ivf_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb.where(F.col("vec_id") != 0),
+        [float(x) for x in q],
+        k=10,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
+def _ivf_topk_sql():
+    """IVF oracle: the same 16 centroid literals; probe = 4 centroids
+    ranked by dot with the query (ties by index); candidate = row
+    whose argmax-dot centroid (list_indexof of list_max — 1-based,
+    like Spark's array_position) is in the probe set; exact cosine
+    rank on the candidates."""
+    from duckdb_geography_spark.llm.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16, 11)
+    vals = ",\n    ".join(
+        f"({j + 1}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cents(j, c) AS (
+  VALUES
+    {vals}
+),
+probe AS (
+  SELECT cents.j FROM cents, q
+  ORDER BY list_dot_product(q.qv, cents.c) DESC, cents.j
+  LIMIT 4),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0),
+asg AS (
+  SELECT vec_id, v,
+    (SELECT list(list_dot_product(v, c) ORDER BY j) FROM cents) AS cd
+  FROM e),
+cand AS (
+  SELECT vec_id, v FROM asg
+  WHERE list_indexof(cd, list_max(cd)) IN (SELECT j FROM probe))
+SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS score
+FROM cand c, q
+ORDER BY score DESC, c.vec_id
+LIMIT 10
+"""
+
+
 def _q_snapped_distance(spark, sf_dir):
     """s2_distance on snapped cell-center geographies (the exact
     fast path, golden-bearing) for sampled customer x supplier pairs
@@ -1624,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _q_minhash_candidates,
         "simhash_signatures": _q_simhash,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "snapped_distance_pairs": _q_snapped_distance,
         "box_ops": _q_box_ops,
         "predicate_gate": _q_predicate_gate,
@@ -1661,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _minhash_sql(),
         "simhash_signatures": _SIMHASH_SQL,
         "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "covering_sizes": _covering_sizes_sql(),
         "bounds_box_agg": _bounds_box_agg_sql(),
         "overlay_intersection": _overlay_intersection_sql(),

@@ -24,6 +24,8 @@ __all__ = [
     "lsh_signature",
     "lsh_neardup_pairs",
     "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -101,6 +103,74 @@ def cosine_topk_all(
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def _ivf_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    """Deterministic unit centroids (fixed seed). Random directions
+    are a plain Voronoi quantizer — recall comes from n_probe, and
+    determinism is what lets the SQL oracle replay the partition."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _dots_expr(vec_col: str, mat: np.ndarray) -> str:
+    """SQL text for array(dot(vec, row_0), ..., dot(vec, row_{m-1}))."""
+    terms = []
+    for row in mat:
+        arr = ", ".join(repr(float(x)) for x in row)
+        terms.append(
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, v) -> a + v)"
+        )
+    return "array(" + ", ".join(terms) + ")"
+
+
+def ivf_assign(vec_col: str, dim: int, n_centroids: int = 16, seed: int = 11) -> Column:
+    """IVF coarse-quantizer assignment: 1-based index of the centroid
+    with the largest dot product. Norm of the vector cancels in the
+    argmax (centroids are unit), so this equals the cosine argmax.
+    Pure map-side expression — at scale this is the write-time
+    partition key (one pass, no shuffle)."""
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    return F.expr(
+        f"array_position({_dots_expr(vec_col, cents)}, "
+        f"array_max({_dots_expr(vec_col, cents)}))"
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``n_probe`` centroid
+    cells closest to the query, exact-rank the probed rows.
+
+    The 100 TB shape: the assignment is computed once at ingest and
+    used as a partition/cluster key; a query then reads only
+    n_probe/n_centroids of the data (partition pruning), scores it
+    map-side, and finishes with a TakeOrdered top-k. No shuffle, no
+    cartesian anywhere."""
+    dim = len(query_vec)
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = cents @ q
+    order = sorted(range(n_centroids), key=lambda j: (-qd[j], j))
+    probe = [j + 1 for j in order[:n_probe]]  # 1-based like array_position
+    cd = _dots_expr(vec_col, cents)
+    cand = (
+        df.withColumn("__cd", F.expr(cd))
+        .withColumn("__cent", F.expr("array_position(__cd, array_max(__cd))"))
+        .where(F.col("__cent").isin(probe))
+        .drop("__cd", "__cent")
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, key_col)
 
 
 def lsh_signature(

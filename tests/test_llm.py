@@ -160,6 +160,34 @@ class TestSimilarity:
         assert len(rows) == 90
         assert all(r.key_a != r.key_b for r in rows)
 
+    def test_ivf_topk_recall_and_shape(self, spark, emb):
+        rows = emb.collect()
+        q = [float(x) for x in rows[3].embedding]
+        exact = {r.vec_id for r in similarity.cosine_topk(emb, q, k=5).collect()}
+        df = similarity.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4)
+        approx = {r.vec_id for r in df.collect()}
+        # probing half the cells keeps most of the true neighbors
+        assert len(exact & approx) >= 3
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # n_probe == n_centroids probes everything -> exact result
+        full = {
+            r.vec_id
+            for r in similarity.ivf_topk(
+                emb, q, k=5, n_centroids=8, n_probe=8
+            ).collect()
+        }
+        assert full == exact
+
+    def test_ivf_assign_partitions_all_rows(self, spark, emb):
+        asg = emb.select(
+            similarity.ivf_assign("embedding", 64, n_centroids=8).alias("c")
+        )
+        counts = {r.c for r in asg.collect()}
+        assert counts <= set(range(1, 9))
+        assert None not in counts
+
 
 class TestMultimodal:
     def test_image_decode_plumbing(self, spark, docs):
