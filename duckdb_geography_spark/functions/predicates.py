@@ -229,38 +229,69 @@ def _cell_center_pair(b1, b2):
     return None
 
 
-@F.pandas_udf(DoubleType())
-def _distance_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    out = []
-    for b1, b2 in zip(s1, s2):
+def _batch_distance(s1: pd.Series, s2: pd.Series, slow_fn=None) -> np.ndarray:
+    """Distances for the batch: one vectorized chord computation for
+    every both-cell-center pair (the common shape after
+    s2_cellfromlonlat snapping — the reference's S1ChordAngle fast
+    path, src/s2_binary_index_ops.cpp:633-640), per-row shape-index
+    math only for the rest. Returns (values, null_mask)."""
+    from ..geo import geodesy as gd
+    from ..geo.geography import KIND_CELL_CENTER
+
+    n = len(s1)
+    out = np.full(n, np.nan, dtype=np.float64)
+    nulls = np.zeros(n, dtype=bool)
+    ids1 = np.zeros(n, dtype=np.uint64)
+    ids2 = np.zeros(n, dtype=np.uint64)
+    fast = np.zeros(n, dtype=bool)
+    slow: list = []
+    for i in range(n):
+        b1, b2 = s1.iat[i], s2.iat[i]
         if b1 is None or b2 is None:
-            out.append(None)
+            nulls[i] = True
             continue
         b1, b2 = bytes(b1), bytes(b2)
         if (b1[1] & 1) or (b2[1] & 1):
-            out.append(float("inf"))
+            out[i] = np.inf
             continue
-        fast = _cell_center_pair(b1, b2)
-        if fast is not None:
-            out.append(fast)
+        if (
+            b1[0] == KIND_CELL_CENTER
+            and b2[0] == KIND_CELL_CENTER
+            and b1[2:4] == b"\x01\x00"  # ncov (uint16 LE) == 1
+            and b2[2:4] == b"\x01\x00"
+        ):
+            ids1[i] = int.from_bytes(b1[4:12], "little")
+            ids2[i] = int.from_bytes(b2[4:12], "little")
+            fast[i] = True
         else:
-            out.append(ops.distance(U.decode_cached(b1), U.decode_cached(b2)))
-    return U.float_series(out)
+            slow.append((i, b1, b2))
+    if fast.any():
+        idx = np.flatnonzero(fast)
+        x1 = np.stack(cm.cellid_to_center_xyz(ids1[idx]), axis=1)
+        x2 = np.stack(cm.cellid_to_center_xyz(ids2[idx]), axis=1)
+        out[idx] = gd.angle(x1, x2) * gd.EARTH_RADIUS_METERS
+    slow_fn = slow_fn or ops.distance
+    for i, b1, b2 in slow:
+        out[i] = slow_fn(U.decode_cached(b1), U.decode_cached(b2))
+    return out, nulls
+
+
+@F.pandas_udf(DoubleType())
+def _distance_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    vals, nulls = _batch_distance(s1, s2)
+    return U.float_series(
+        [None if isnull else float(v) for v, isnull in zip(vals, nulls)]
+    )
 
 
 @F.pandas_udf(DoubleType())
 def _max_distance_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    out = []
-    for b1, b2 in zip(s1, s2):
-        if b1 is None or b2 is None:
-            out.append(None)
-            continue
-        b1, b2 = bytes(b1), bytes(b2)
-        if (b1[1] & 1) or (b2[1] & 1):
-            out.append(float("inf"))
-            continue
-        out.append(ops.max_distance(U.decode_cached(b1), U.decode_cached(b2)))
-    return U.float_series(out)
+    # for two snapped single points max == min == the chord distance,
+    # so the vectorized cell-center fast path applies unchanged
+    vals, nulls = _batch_distance(s1, s2, slow_fn=ops.max_distance)
+    return U.float_series(
+        [None if isnull else float(v) for v, isnull in zip(vals, nulls)]
+    )
 
 
 def s2_distance(geog1, geog2) -> Column:
@@ -276,20 +307,23 @@ def s2_max_distance(geog1, geog2) -> Column:
 
 @F.pandas_udf(BooleanType())
 def _dwithin_udf(s1: pd.Series, s2: pd.Series, dist: pd.Series) -> pd.Series:
-    out = []
-    for b1, b2, d in zip(s1, s2, dist):
-        if b1 is None or b2 is None or d is None:
-            out.append(None)
-            continue
-        b1, b2 = bytes(b1), bytes(b2)
-        if (b1[1] & 1) or (b2[1] & 1):
-            out.append(False)  # empties false even for d=inf
-            continue
-        fast = _cell_center_pair(b1, b2)
-        if fast is not None:
-            out.append(fast <= d)
+    # reuse the batched distance: cell-center pairs vectorize, and the
+    # slow path's distance(g1, g2) <= d equals ops.dwithin's contract
+    # (both are exact chord comparisons; empties give inf <= d False
+    # because _batch_distance returns inf for empty operands)
+    vals, nulls = _batch_distance(s1, s2)
+    out = np.empty(len(s1), dtype=object)
+    for i, (v, isnull) in enumerate(zip(vals, nulls)):
+        d = dist.iat[i]
+        if isnull or d is None or (d != d):
+            out[i] = None
+        elif v == np.inf:
+            # only empty operands produce inf; the reference returns
+            # false for empties even at distance=inf
+            # (binary_index_ops.test:156-163)
+            out[i] = False
         else:
-            out.append(ops.dwithin(U.decode_cached(b1), U.decode_cached(b2), float(d)))
+            out[i] = bool(v <= float(d))
     return pd.Series(out, dtype=object)
 
 
