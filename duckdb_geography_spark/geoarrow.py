@@ -31,8 +31,20 @@ GEOARROW_META = {
 }
 
 
+def _tag_schema(schema: pa.Schema, geog_col: str) -> pa.Schema:
+    idx = schema.get_field_index(geog_col)
+    field = schema.field(idx).with_metadata(
+        {k.encode(): v.encode() for k, v in GEOARROW_META.items()}
+    )
+    return schema.set(idx, field)
+
+
 def to_geoarrow_table(df: DataFrame, geog_col: str = "geog") -> pa.Table:
-    """Export: geography -> WKB column tagged geoarrow.wkb."""
+    """Export: geography -> WKB column tagged geoarrow.wkb.
+
+    DRIVER-SIDE interop helper: collects the whole DataFrame, so it is
+    bounded by driver memory — use it for dimension tables and query
+    results, and :func:`write_geoparquet_dir` for anything large."""
     wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
     tbl = pa.Table.from_pandas(wkb_df.toPandas(), preserve_index=False)
     idx = tbl.schema.get_field_index(geog_col)
@@ -40,6 +52,58 @@ def to_geoarrow_table(df: DataFrame, geog_col: str = "geog") -> pa.Table:
         {k.encode(): v.encode() for k, v in GEOARROW_META.items()}
     )
     return tbl.set_column(idx, field, tbl.column(idx))
+
+
+def write_geoparquet_dir(
+    df: DataFrame, dir_path: str, geog_col: str = "geog"
+) -> list:
+    """Distributed geoarrow export: every partition streams its own
+    footer-tagged parquet file through ``mapInArrow`` — the driver
+    only ever sees (path, row-count) receipts. This is the scale path
+    (100 TB never flows through the driver); the per-file schema
+    carries the same geoarrow.wkb field metadata the reference writes
+    (src/s2_geoarrow.cpp:48-84). The directory must be on storage all
+    executors can reach (local dir in local mode, shared/dist FS on a
+    cluster).
+    """
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
+
+    def _write(batches):
+        import os
+        import uuid
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        writer = None
+        path = os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet")
+        rows = 0
+        for batch in batches:
+            if writer is None:
+                writer = _pq.ParquetWriter(path, _tag_schema(batch.schema, geog_col))
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return  # empty partition: no file
+        writer.close()
+        yield _pa.RecordBatch.from_pydict({"path": [path], "rows": [rows]})
+
+    receipts = wkb_df.mapInArrow(_write, "path string, rows long").collect()
+    return [(r.path, r.rows) for r in receipts]
+
+
+def read_geoparquet_dir(
+    spark: SparkSession, dir_path: str, geog_col: str = "geog"
+) -> DataFrame:
+    """Read a :func:`write_geoparquet_dir` directory back as GEOGRAPHY
+    through Spark's parallel parquet scan (the geoarrow tagging lives
+    in each file's footer; the WKB decode is the same worker-side
+    path as any other scan)."""
+    df = spark.read.parquet(dir_path)
+    return df.withColumn(geog_col, s2_geogfromwkb(F.col(geog_col)))
 
 
 def from_geoarrow_table(

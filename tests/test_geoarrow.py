@@ -37,3 +37,23 @@ def test_geoparquet_roundtrip(spark, tmp_path):
     a = cities.select(G.s2_format("geog", 6).alias("t")).collect()
     b = back.select(G.s2_format("geog", 6).alias("t")).collect()
     assert {r.t for r in a} == {r.t for r in b}
+
+
+def test_geoparquet_dir_distributed_roundtrip(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "cities_dir")
+    cities = D.s2_data_cities(spark).repartition(4)
+    receipts = GA.write_geoparquet_dir(cities, d)
+    assert sum(r for _, r in receipts) == 243
+    assert 1 <= len(receipts) <= 4
+    # the footer of every part file carries the geoarrow tag
+    for path, _rows in receipts:
+        f = pq.ParquetFile(path)
+        meta = f.schema_arrow.field("geog").metadata
+        assert meta[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    back = GA.read_geoparquet_dir(spark, d)
+    assert back.count() == 243
+    a = cities.select(G.s2_format("geog", 6).alias("t")).collect()
+    b = back.select(G.s2_format("geog", 6).alias("t")).collect()
+    assert {r.t for r in a} == {r.t for r in b}
