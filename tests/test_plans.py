@@ -1,0 +1,104 @@
+"""Plan-shape invariants for every driver query.
+
+These are the properties that decide whether a query survives a 100x
+scale-up, checked mechanically off `.explain` output:
+
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere (every join
+  must hash on a key);
+- parquet scans stay pruned: a query must not read columns it does not
+  use (ReadSchema), and key filters must reach the scan
+  (PushedFilters);
+- the hot cell/text paths stay JVM-side (no Python eval stage where
+  the implementation promises pure Columns).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def plans(spark, entry):
+    out = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_shapes_anywhere(plans):
+    offenders = {
+        name: [k for k in ("CartesianProduct", "BroadcastNestedLoopJoin") if k in p]
+        for name, p in plans.items()
+    }
+    offenders = {k: v for k, v in offenders.items() if v}
+    assert offenders == {}
+
+
+#: queries promised to be pure Column expressions (COVERAGE.md): a
+#: Python eval stage appearing here means a UDF crept into a hot path
+_PURE_JVM = [
+    "cell_bitops",
+    "text_stats",
+    "langid",
+    "rolling_fingerprint",
+    "simhash_signatures",
+    "minhash_lsh_candidates",
+    "dedup_exact",
+    "embedding_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "haversine_pairs",
+    "tpch_pricing_summary",
+    "tpch_top_orders",
+    "events_hourly",
+]
+
+
+@pytest.mark.parametrize("name", _PURE_JVM)
+def test_hot_paths_stay_jvm_side(plans, name):
+    p = plans[name]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+
+
+def test_column_pruning_reaches_scan(plans):
+    # dedup_exact touches only (doc_id, text): the documents scan must
+    # not read the other columns
+    p = plans["dedup_exact"]
+    for line in p.splitlines():
+        if "ReadSchema" in line and "documents" in p:
+            assert "lang_hint" not in line and "quality" not in line
+
+
+def test_filter_pushdown_reaches_scan(spark, entry):
+    # the lsh/ivf queries filter vec_id != 0 on the embeddings scan
+    df = entry.queries()["ivf_topk"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in p
+    assert "vec_id" in p.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_broadcast_joins_where_dims_are_small(plans):
+    # the covering joins broadcast the 25-row dimension side
+    for name in ("pip_covering_join", "cell_containment_join"):
+        assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_topk_is_takeordered_not_global_sort(plans):
+    # top-k queries must plan a TakeOrderedAndProject, not a full sort
+    for name in ("embedding_topk", "lsh_topk", "ivf_topk", "tpch_top_orders"):
+        assert "TakeOrderedAndProject" in plans[name], name
