@@ -182,10 +182,21 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket. One explode + one equi-join; no
     all-pairs stage anywhere (the 100 TB shape).
+
+    ``max_bucket`` is the skew guard: a degenerate bucket holding B
+    keys (boilerplate text, empty docs) emits B^2/2 pairs — at corpus
+    scale one hot bucket can dominate the whole join. Buckets above
+    the cap are dropped BEFORE the self-join (a co-partitioned count +
+    semi-join, no extra shuffle of the wide rows); near-identical
+    members of a dropped bucket still pair through their other
+    ``bands-1`` (less degenerate) bands. This is the same escape
+    hatch every production LSH dedup ships (cf. the candidate cap in
+    spark-ml's MinHashLSH approxSimilarityJoin).
 
     Returns (key_a, key_b) candidates, key_a < key_b, deduped.
     """
@@ -225,6 +236,14 @@ def minhash_lsh_pairs(
             f"bi -> struct(bi AS band, slice(__ms, bi * {rows} + 1, {rows}) AS h)))"
         ).alias("__bucket"),
     )
+    if max_bucket is not None:
+        ok = (
+            buckets.groupBy("__bucket")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("__bucket")
+        )
+        buckets = buckets.join(ok, "__bucket", "left_semi")
     a = buckets.select(F.col("__key").alias("key_a"), "__bucket")
     b = buckets.select(F.col("__key").alias("key_b"), "__bucket")
     pairs = (

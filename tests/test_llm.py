@@ -106,6 +106,21 @@ class TestDedup:
         out = dedup.minhash_dedup(both, num_perm=32, bands=8, threshold=0.7)
         assert out.count() <= both.count() - 0.9 * len(planted)
 
+    def test_minhash_bucket_cap_bounds_hot_buckets(self, spark, docs):
+        # 30 byte-identical docs: every band bucket holds all 30 ->
+        # 435 pairs; the cap drops those buckets entirely, while
+        # distinct docs keep pairing through their own buckets
+        hot = spark.range(30).select(
+            F.col("id").alias("doc_id"), F.lit("same same same text").alias("text")
+        )
+        uncapped = dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8)
+        assert uncapped.count() == 30 * 29 // 2
+        capped = dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8, max_bucket=10)
+        assert capped.count() == 0
+        # a cap ABOVE the bucket size changes nothing
+        loose = dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8, max_bucket=64)
+        assert loose.count() == 30 * 29 // 2
+
     def test_simhash_near_dups(self, spark):
         rows = [
             (1, "alpha beta gamma delta epsilon zeta eta theta"),
