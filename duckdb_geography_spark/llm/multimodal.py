@@ -35,6 +35,8 @@ __all__ = [
     "attach_media",
     "decode_image_features",
     "sample_video_frames",
+    "resize_images",
+    "audio_window_features",
 ]
 
 #: canonical multimodal row schema: opaque payload + typed metadata
@@ -144,3 +146,103 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.select("media_id", "payload").mapInPandas(split, out_schema)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: (media_id, payload, meta) -> same schema with
+    the payload replaced by a ``width x height x 3`` buffer and the
+    meta updated. The RESAMPLING kernel is the deterministic stub
+    (bytes tiled/truncated to the target size — swap for PIL's
+    ``Image.resize`` in production); the Spark side is the real shape:
+    one mapInPandas pass, fixed output schema, output size known
+    up-front so executors can size batches (a 64x64x3 output is 12 KiB
+    per row regardless of input size — resize EARLY in a pipeline to
+    cap downstream shuffle width)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("mime", StringType()),
+                        StructField("bytes", LongType()),
+                        StructField("width", IntegerType()),
+                        StructField("height", IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    nbytes = width * height * 3
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    raise NotImplementedError(
+                        "empty media payload; real decoder required"
+                    )
+                reps = -(-nbytes // len(raw))  # STUB kernel: tile + cut
+                out = (raw * reps)[:nbytes]
+                rows.append(
+                    (mid, out, ("application/octet-stream", nbytes, width, height))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return media.select("media_id", "payload").mapInPandas(_resize, out_schema)
+
+
+def audio_window_features(media: DataFrame, window_bytes: int = 1024) -> DataFrame:
+    """Windowed audio features: one row per fixed-size window with
+    byte-level mean / RMS / zero-crossing counts. The WINDOWING and
+    the statistics are real vectorized numpy over the Arrow batch
+    (only the codec step — payload bytes standing in for PCM samples —
+    is the stub; swap the ``samples = frombuffer`` line for a real
+    decode). Output rows are (media_id, window_idx, n, mean, rms,
+    zero_crossings)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("mean", FloatType()),
+            StructField("rms", FloatType()),
+            StructField("zero_crossings", IntegerType()),
+        ]
+    )
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    raise NotImplementedError(
+                        "empty media payload; real decoder required"
+                    )
+                # STUB codec: bytes as centered int16-ish samples
+                samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+                for w in range(-(-len(samples) // window_bytes)):
+                    win = samples[w * window_bytes : (w + 1) * window_bytes]
+                    signs = np.signbit(win[win != 0.0])
+                    zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+                    rows.append(
+                        (
+                            mid,
+                            w,
+                            len(win),
+                            float(win.mean()),
+                            float(np.sqrt(np.mean(win * win))),
+                            zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "n", "mean", "rms", "zero_crossings"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_feats, out_schema)

@@ -243,3 +243,36 @@ class TestMultimodal:
             assert [f.frame_idx for f in sorted(fr, key=lambda f: f.frame_idx)] == list(
                 range(len(fr))
             )
+
+
+class TestMultimodalOps:
+    def _media(self, spark, docs, n=12):
+        return mm.attach_media(
+            docs.limit(n).select("doc_id", F.encode("text", "utf-8").alias("payload")),
+            "payload",
+            "doc_id",
+        )
+
+    def test_resize_fixed_output_size(self, spark, docs):
+        media = self._media(spark, docs)
+        out = mm.resize_images(media, width=16, height=16).collect()
+        assert len(out) == 12
+        assert all(len(r.payload) == 16 * 16 * 3 for r in out)
+        assert all(r.meta.width == 16 and r.meta.bytes == 768 for r in out)
+        # deterministic across runs
+        again = mm.resize_images(media, width=16, height=16).collect()
+        assert {(r.media_id, bytes(r.payload)) for r in out} == {
+            (r.media_id, bytes(r.payload)) for r in again
+        }
+
+    def test_audio_windows_cover_payload(self, spark, docs):
+        media = self._media(spark, docs)
+        rows = mm.audio_window_features(media, window_bytes=100).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(r)
+        sizes = media.select(F.length("payload").alias("n"), "media_id").collect()
+        for s in sizes:
+            wins = sorted(by_id[s.media_id], key=lambda r: r.window_idx)
+            assert sum(w.n for w in wins) == s.n  # windows tile the payload
+            assert all(w.rms >= abs(w.mean) - 1e-9 for w in wins)
