@@ -180,3 +180,20 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: list | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates arriving
+    within the watermark age are dropped; the key state ages out with
+    the watermark — the only sustainable contract on an unbounded
+    stream (an unconditional dropDuplicates would grow state forever).
+    The batch twin is llm.dedup.exact_dedup; at 100 TB/day the state
+    held is (distinct keys seen within the watermark window), not the
+    corpus."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )

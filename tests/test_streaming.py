@@ -73,3 +73,35 @@ def test_sessionize(spark):
     for r in got:
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    # two micro-batch files with overlapping event_ids: the dup in the
+    # second file (within the watermark) must be dropped
+    import pandas as pd
+
+    base = pd.read_parquet(f"{SF}/events.parquet").head(100)
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    base.head(60).to_parquet(d / "b0.parquet")
+    base.tail(60).to_parquet(d / "b1.parquet")  # 20 ids overlap
+    schema = spark.read.parquet(str(d / "b0.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = SE.stream_dedup(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == 100
