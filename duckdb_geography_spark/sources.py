@@ -72,3 +72,30 @@ def read_cell_partition(
     if cell_token is not None:
         df = df.where(F.col("partition_cell") == cell_token)
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list,
+    n_buckets: int = 32,
+    sort_cols: Optional[list] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: ``bucketBy`` pre-shuffles the data
+    ONCE at write time so every later equi-join or aggregation on the
+    bucket key runs with NO exchange (SortMergeJoin picks up the
+    bucketing from the table metadata). This is the 100 TB recipe for
+    a fact table that is joined on the same key every day — pay the
+    shuffle once at ingest, never again. ``sort_cols`` additionally
+    pre-sorts within buckets so the merge join skips its sort too."""
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucketing metadata applies automatically
+    to joins/aggs on the bucket key)."""
+    return spark.table(table)

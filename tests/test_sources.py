@@ -48,3 +48,33 @@ def test_partitioned_sink_prunes(spark, tmp_path):
         C.s2_cell_contains(C.s2_cell_from_token(F.lit(token)), F.col("cell")),
     )
     assert back.where(~F.col("ok")).count() == 0
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    from duckdb_geography_spark import sources as S
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.range(0, 2000).select(
+            F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("x")
+        )
+        items = spark.range(0, 6000).select(
+            (F.col("id") % 2000).alias("o_orderkey"), F.col("id").alias("li")
+        )
+        S.write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+        S.write_bucketed(items, "t_items_b", ["o_orderkey"], 8, ["o_orderkey"])
+        a = S.read_bucketed(spark, "t_orders_b")
+        b = S.read_bucketed(spark, "t_items_b")
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed sides: the join runs with no shuffle at all
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 6000
+        # the same join on plain parquet shuffles both sides
+        plain = orders.join(items, "o_orderkey")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
