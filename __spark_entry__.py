@@ -238,10 +238,18 @@ def _q_top_orders(spark, sf_dir):
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")) * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
+    # dimension-first join order: the segment filter cuts customer to
+    # ~1/5, broadcasting it prunes orders map-side, and the pruned
+    # orders broadcast into lineitem — the 600k-row fact table never
+    # shuffles before the partial aggregation (at 100 TB the same plan
+    # holds as long as orders-per-segment fits the broadcast budget;
+    # otherwise AQE falls back to a shuffle join on the same tree)
+    bld = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ob = orders.join(
+        F.broadcast(bld), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .where(F.col("c_mktsegment") == "BUILDING")
+        li.join(F.broadcast(ob), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"))
         .agg(F.sum(rev).alias("revenue_cc"))
         .orderBy(F.desc("revenue_cc"), "o_orderkey")
