@@ -64,10 +64,21 @@ def level_for_radius_meters(meters: float) -> int:
 
 
 def _with_key(df: DataFrame, key: Optional[str], name: str):
+    """Row key for pair-dedup inside the covering join.
+
+    When the caller has no natural key we synthesize one with
+    monotonically_increasing_id. Stability contract: the id is
+    (partition, position)-based, so it is consistent WITHIN the single
+    action that evaluates the join (generation and dropDuplicates run
+    in the same job, and a retried task replays the same partition) —
+    which is all the internal dedup needs. It is NOT stable across
+    separate actions or repartitionings: callers who join the result
+    to anything else, write it out incrementally, or need reproducible
+    ids across runs must pass ``left_key``/``right_key`` (a real source
+    key like doc_id). A content hash is not a safe substitute — equal
+    rows would merge and change the output multiset."""
     if key is not None:
         return df, key, False
-    # deterministic synthetic key: hash of all columns is unstable for
-    # duplicates, so use monotonically_increasing_id materialized once
     return df.withColumn(name, F.monotonically_increasing_id()), name, True
 
 

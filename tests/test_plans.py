@@ -85,7 +85,11 @@ def test_column_pruning_reaches_scan(plans):
 
 
 def test_filter_pushdown_reaches_scan(spark, entry):
-    # the lsh/ivf queries filter vec_id != 0 on the embeddings scan
+    # the lsh/ivf queries filter vec_id != 0 on the embeddings scan.
+    # Other test modules may have cached this parquet (cache lookup is
+    # by logical plan, which swaps the FileScan for InMemoryTableScan
+    # and hides PushedFilters) — drop caches so we see the real scan.
+    spark.catalog.clearCache()
     df = entry.queries()["ivf_topk"](spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in p
