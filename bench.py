@@ -49,6 +49,7 @@ def main() -> None:
         "simhash_signatures",
         "embedding_topk",
         "lsh_topk",
+        "ivf_topk",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
