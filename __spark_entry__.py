@@ -1187,6 +1187,177 @@ LIMIT 10
 """
 
 
+def _q_wkb_codec(spark, sf_dir):
+    """WKB codec gate: polygon area, line vertex count, and snapped
+    point x survive an s2_aswkb -> s2_geogfromwkb roundtrip; the
+    oracle recomputes the ORIGINAL values (spherical-excess area CTE,
+    inverse-Hilbert x), so any corruption in either codec direction
+    breaks the hash."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.accessors import (
+        s2_area,
+        s2_num_points,
+        s2_x,
+    )
+    from duckdb_geography_spark.functions.io import (
+        s2_aswkb,
+        s2_geogfromtext,
+        s2_geogfromwkb,
+    )
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin = (F.col("n_nationkey") % 6) * 60.0 - 180.0
+    ymin = F.floor(F.col("n_nationkey") / 6) * 30.0 - 60.0
+    pt = F.format_string("POINT (%.1f %.1f)", xmin + 7.3, ymin + 5.1)
+    ln = F.format_string(
+        "LINESTRING (%.1f %.1f, %.1f %.1f)", xmin, ymin, xmin + 55.0, ymin + 25.0
+    )
+    rt = lambda c: s2_geogfromwkb(s2_aswkb(c))  # noqa: E731
+    staged = nation.select(
+        "n_nationkey",
+        rt(s2_geogfromtext(pt)).alias("pg"),
+        rt(s2_geogfromtext(ln)).alias("lg"),
+        rt(s2_geogfromtext(synth.nation_wkt())).alias("gg"),
+    )
+    return staged.select(
+        "n_nationkey",
+        F.round(s2_area("gg") / F.lit(1e6), 3).alias("area_km2"),
+        s2_num_points("lg").alias("npts_ln"),
+        F.round(s2_x("pg"), 6).alias("px6"),
+    ).orderBy("n_nationkey")
+
+
+def _wkb_codec_sql():
+    from duckdb_geography_spark import synth
+
+    pts = (
+        "SELECT n_nationkey AS k, "
+        "(n_nationkey % 6) * 60.0 - 180.0 + 7.3 AS lon, "
+        "floor(n_nationkey / 6) * 30.0 - 60.0 + 5.1 AS lat FROM nation"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(pts)},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids").lstrip()},
+corners AS (
+  SELECT n_nationkey,
+    radians({synth.NATION_XMIN_SQL}) AS lx, radians({synth.NATION_YMIN_SQL}) AS ly,
+    radians({synth.NATION_XMAX_SQL}) AS hx, radians({synth.NATION_YMAX_SQL}) AS hy
+  FROM nation),
+v AS (
+  SELECT n_nationkey,
+    cos(ly)*cos(lx) AS x0, cos(ly)*sin(lx) AS y0, sin(ly) AS z0,
+    cos(ly)*cos(hx) AS x1, cos(ly)*sin(hx) AS y1, sin(ly) AS z1,
+    cos(hy)*cos(hx) AS x2, cos(hy)*sin(hx) AS y2, sin(hy) AS z2,
+    cos(hy)*cos(lx) AS x3, cos(hy)*sin(lx) AS y3, sin(hy) AS z3
+  FROM corners),
+tri AS (
+  SELECT n_nationkey,
+    2*atan2(
+      x0*(y1*z2 - z1*y2) - y0*(x1*z2 - z1*x2) + z0*(x1*y2 - y1*x2),
+      1 + (x0*x1+y0*y1+z0*z1) + (x1*x2+y1*y2+z1*z2) + (x2*x0+y2*y0+z2*z0)
+    ) AS e1,
+    2*atan2(
+      x0*(y2*z3 - z2*y3) - y0*(x2*z3 - z2*x3) + z0*(x2*y3 - y2*x3),
+      1 + (x0*x2+y0*y2+z0*z2) + (x2*x3+y2*y3+z2*z3) + (x3*x0+y3*y0+z3*z0)
+    ) AS e2
+  FROM v)
+SELECT t.n_nationkey,
+  round(abs(t.e1 + t.e2) * 6371010.0 * 6371010.0 / 1e6, 3) AS area_km2,
+  2 AS npts_ln,
+  round(degrees(atan2(c.y, c.x)), 6) AS px6
+FROM tri t JOIN centers c ON c.k = t.n_nationkey
+ORDER BY t.n_nationkey
+"""
+
+
+def _q_accessor_suite(spark, sf_dir):
+    """S2.4 accessor family end-to-end under the oracle: per nation a
+    synthetic POINT (leaf-snapped at encode; x/y replay the snap via
+    the inverse-Hilbert CTE), the rect diagonal LINESTRING (geodesic
+    length = chord formula, bit-exact SQL twin), and the nation
+    polygon (dimension / num_points / validity / emptiness)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.accessors import (
+        s2_dimension,
+        s2_is_valid,
+        s2_isempty,
+        s2_length,
+        s2_num_points,
+        s2_x,
+        s2_y,
+    )
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin = (F.col("n_nationkey") % 6) * 60.0 - 180.0
+    ymin = F.floor(F.col("n_nationkey") / 6) * 30.0 - 60.0
+    pt = F.format_string("POINT (%.1f %.1f)", xmin + 7.3, ymin + 5.1)
+    ln = F.format_string(
+        "LINESTRING (%.1f %.1f, %.1f %.1f)", xmin, ymin, xmin + 55.0, ymin + 25.0
+    )
+    staged = nation.select(
+        "n_nationkey",
+        s2_geogfromtext(pt).alias("pg"),
+        s2_geogfromtext(ln).alias("lg"),
+        s2_geogfromtext(synth.nation_wkt()).alias("gg"),
+    )
+    return staged.select(
+        "n_nationkey",
+        F.round(s2_x("pg"), 6).alias("px6"),
+        F.round(s2_y("pg"), 6).alias("py6"),
+        F.round(s2_length("lg"), 1).alias("len_m1"),
+        s2_dimension("pg").alias("dim_pt"),
+        s2_dimension("lg").alias("dim_ln"),
+        s2_dimension("gg").alias("dim_pg"),
+        s2_num_points("gg").alias("npts_pg"),
+        s2_isempty("pg").alias("empty_pt"),
+        s2_is_valid("gg").alias("valid_pg"),
+    ).orderBy("n_nationkey")
+
+
+def _accessor_suite_sql():
+    """x/y of the snapped point come from the same inverse-Hilbert
+    center math as the engine's decode; the line length is the chord
+    formula both engines share."""
+    from duckdb_geography_spark import synth
+
+    pts = (
+        "SELECT n_nationkey AS k, "
+        "(n_nationkey % 6) * 60.0 - 180.0 + 7.3 AS lon, "
+        "floor(n_nationkey / 6) * 30.0 - 60.0 + 5.1 AS lat FROM nation"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(pts)},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids").lstrip()},
+geo AS (
+  SELECT n_nationkey,
+    radians((n_nationkey % 6) * 60.0 - 180.0) AS x0,
+    radians(floor(n_nationkey / 6) * 30.0 - 60.0) AS y0,
+    radians((n_nationkey % 6) * 60.0 - 180.0 + 55.0) AS x1,
+    radians(floor(n_nationkey / 6) * 30.0 - 60.0 + 25.0) AS y1
+  FROM nation),
+lens AS (
+  SELECT n_nationkey,
+    2.0 * asin(least(1.0, 0.5 * sqrt(
+      (cos(y1)*cos(x1) - cos(y0)*cos(x0))^2 +
+      (cos(y1)*sin(x1) - cos(y0)*sin(x0))^2 +
+      (sin(y1) - sin(y0))^2))) * 6371010.0 AS len
+  FROM geo)
+SELECT g.n_nationkey,
+  round(degrees(atan2(c.y, c.x)), 6) AS px6,
+  round(degrees(atan2(c.z, sqrt(c.x*c.x + c.y*c.y))), 6) AS py6,
+  round(l.len, 1) AS len_m1,
+  0 AS dim_pt, 1 AS dim_ln, 2 AS dim_pg,
+  5 AS npts_pg, false AS empty_pt, true AS valid_pg
+FROM nation g
+JOIN centers c ON c.k = g.n_nationkey
+JOIN lens l ON l.n_nationkey = g.n_nationkey
+ORDER BY g.n_nationkey
+"""
+
+
 def _q_snapped_distance(spark, sf_dir):
     """s2_distance on snapped cell-center geographies (the exact
     fast path, golden-bearing) for sampled customer x supplier pairs
@@ -1680,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_covering_join": _q_pip_join,
         "wkt_roundtrip": _q_wkt_roundtrip,
         "rect_measures": _q_rect_measures,
+        "accessor_suite": _q_accessor_suite,
+        "wkb_codec": _q_wkb_codec,
         "haversine_pairs": _q_haversine_pairs,
         "covering_sizes": _q_covering_sizes,
         "bounds_box_agg": _q_bounds_box_agg,
@@ -1715,6 +1888,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_covering_join": FLAGSHIP_ORACLE,
         "wkt_roundtrip": _wkt_roundtrip_sql(),
         "rect_measures": _rect_measures_sql(),
+        "accessor_suite": _accessor_suite_sql(),
+        "wkb_codec": _wkb_codec_sql(),
         "haversine_pairs": _HAVERSINE_PAIRS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "text_stats": _TEXT_STATS_SQL,
