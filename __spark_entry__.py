@@ -351,9 +351,14 @@ def _q_cell_bitops(spark, sf_dir):
             C.s2_cell_contains("parent5", F.col("cell")).alias("parent_contains"),
         )
         .withColumn("token_rt", C.s2_cell_from_token("token"))
+        .withColumn("child0", C.s2_cell_child("parent5", 0))
+        .withColumn("child3", C.s2_cell_child("parent5", 3))
+        .withColumn("inter_pc", C.s2_cell_intersects("parent5", F.col("cell")))
+        .withColumn("inter_cc", C.s2_cell_intersects("child0", F.col("child3")))
         .select(
             "c_custkey", "cell", "level", "parent5", "rmin5", "rmax5",
             "token", "token_rt", "parent_contains",
+            "child0", "child3", "inter_pc", "inter_cc",
         )
         .orderBy("c_custkey")
     )
@@ -373,7 +378,11 @@ SELECT c_custkey,
   {synth.cell_range_max_sql(p5)} AS rmax5,
   {synth.cell_token_sql(cell)} AS token,
   {cell} AS token_rt,
-  ({synth.cell_range_min_sql(p5)} <= {cell} AND {cell} <= {synth.cell_range_max_sql(p5)}) AS parent_contains
+  ({synth.cell_range_min_sql(p5)} <= {cell} AND {cell} <= {synth.cell_range_max_sql(p5)}) AS parent_contains,
+  {synth.cell_child_sql(p5, 0)} AS child0,
+  {synth.cell_child_sql(p5, 3)} AS child3,
+  {synth.cell_intersects_sql(p5, cell)} AS inter_pc,
+  {synth.cell_intersects_sql(synth.cell_child_sql(p5, 0), synth.cell_child_sql(p5, 3))} AS inter_cc
 FROM customer ORDER BY c_custkey
 """
 
@@ -1294,12 +1303,16 @@ def _q_accessor_suite(spark, sf_dir):
     xmin = (F.col("n_nationkey") % 6) * 60.0 - 180.0
     ymin = F.floor(F.col("n_nationkey") / 6) * 30.0 - 60.0
     pt = F.format_string("POINT (%.1f %.1f)", xmin + 7.3, ymin + 5.1)
+    pt_b = F.format_string("POINT (%.1f %.1f)", xmin + 30.3, ymin + 10.1)
     ln = F.format_string(
         "LINESTRING (%.1f %.1f, %.1f %.1f)", xmin, ymin, xmin + 55.0, ymin + 25.0
     )
+    from duckdb_geography_spark.functions.predicates import s2_max_distance
+
     staged = nation.select(
         "n_nationkey",
         s2_geogfromtext(pt).alias("pg"),
+        s2_geogfromtext(pt_b).alias("pg_b"),
         s2_geogfromtext(ln).alias("lg"),
         s2_geogfromtext(synth.nation_wkt()).alias("gg"),
     )
@@ -1308,6 +1321,7 @@ def _q_accessor_suite(spark, sf_dir):
         F.round(s2_x("pg"), 6).alias("px6"),
         F.round(s2_y("pg"), 6).alias("py6"),
         F.round(s2_length("lg"), 1).alias("len_m1"),
+        F.round(s2_max_distance("pg", "pg_b"), 1).alias("maxd_m1"),
         s2_dimension("pg").alias("dim_pt"),
         s2_dimension("lg").alias("dim_ln"),
         s2_dimension("gg").alias("dim_pg"),
@@ -1328,9 +1342,16 @@ def _accessor_suite_sql():
         "(n_nationkey % 6) * 60.0 - 180.0 + 7.3 AS lon, "
         "floor(n_nationkey / 6) * 30.0 - 60.0 + 5.1 AS lat FROM nation"
     )
+    pts_b = (
+        "SELECT n_nationkey AS k, "
+        "(n_nationkey % 6) * 60.0 - 180.0 + 30.3 AS lon, "
+        "floor(n_nationkey / 6) * 30.0 - 60.0 + 10.1 AS lat FROM nation"
+    )
     return f"""
 WITH RECURSIVE {synth.cellfromlonlat_cte(pts)},
 {synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids").lstrip()},
+{synth.cellfromlonlat_cte(pts_b, "_b").lstrip()},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_b", "_b").lstrip()},
 geo AS (
   SELECT n_nationkey,
     radians((n_nationkey % 6) * 60.0 - 180.0) AS x0,
@@ -1349,10 +1370,14 @@ SELECT g.n_nationkey,
   round(degrees(atan2(c.y, c.x)), 6) AS px6,
   round(degrees(atan2(c.z, sqrt(c.x*c.x + c.y*c.y))), 6) AS py6,
   round(l.len, 1) AS len_m1,
+  round(2.0 * asin(least(1.0, 0.5 * sqrt(
+    (c.x-b.x)*(c.x-b.x) + (c.y-b.y)*(c.y-b.y) + (c.z-b.z)*(c.z-b.z)
+  ))) * 6371010.0, 1) AS maxd_m1,
   0 AS dim_pt, 1 AS dim_ln, 2 AS dim_pg,
   5 AS npts_pg, false AS empty_pt, true AS valid_pg
 FROM nation g
 JOIN centers c ON c.k = g.n_nationkey
+JOIN centers_b b ON b.k = g.n_nationkey
 JOIN lens l ON l.n_nationkey = g.n_nationkey
 ORDER BY g.n_nationkey
 """

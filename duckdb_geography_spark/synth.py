@@ -155,6 +155,23 @@ def cell_range_max_sql(cell: str) -> str:
     return f"({cell} + ({cell_lsb_sql(cell)} - 1))"
 
 
+def cell_child_sql(cell: str, k: int) -> str:
+    """k-th child of a NON-LEAF cell (lsb positive, so // 4 == >> 2);
+    mirrors cells.py::s2_cell_child's center arithmetic."""
+    old = cell_lsb_sql(cell)
+    return f"({cell} - {old} + ({old} // 4) + 2 * ({old} // 4) * {k})"
+
+
+def cell_intersects_sql(a: str, b: str) -> str:
+    """Range-overlap intersects for SAME-FACE cells (signed compares
+    are safe when both operands share the face/high bit — true for
+    the nested/sibling cases the oracle exercises)."""
+    return (
+        f"({cell_range_min_sql(a)} <= {cell_range_max_sql(b)} "
+        f"AND {cell_range_min_sql(b)} <= {cell_range_max_sql(a)})"
+    )
+
+
 def cellfromlonlat_cte(points_sql: str, suffix: str = "") -> str:
     """DuckDB CTE chain computing the S2 leaf cell id for rows of
     ``(k, lon, lat)`` produced by ``points_sql`` — an *independent*
