@@ -33,6 +33,19 @@ __all__ = [
 ]
 
 
+def _ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); fixture parquet arrives as
+    timezone-less micros (TIMESTAMP_NTZ) or epoch-nanos longs. Coerce
+    either to LTZ — wall-clock values are unchanged under UTC."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    elif dtype == "timestamp_ntz":
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet directory (each file
     is one micro-batch under Trigger.AvailableNow — test- and
@@ -46,10 +59,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    for field in schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return _ensure_event_time(df)
 
 
 def windowed_event_counts(
@@ -59,7 +69,7 @@ def windowed_event_counts(
     bounds state; partial aggregation happens map-side before the
     shuffle, so state size tracks (windows x types), not rows."""
     return (
-        events.withWatermark("ts", watermark)
+        _ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
@@ -87,7 +97,7 @@ def cell_rollup_stream(events: DataFrame, level: int = 4) -> DataFrame:
     lat = (F.col("user_id") * 40503 % 180000) / 1000.0 - 90.0
     cell = C.s2_cell_parent(C.s2_cellfromlonlat(lon, lat), level)
     return (
-        events.withWatermark("ts", "2 hours")
+        _ensure_event_time(events).withWatermark("ts", "2 hours")
         .withColumn("cell", cell)
         .groupBy(F.window("ts", "1 hour").alias("w"), "cell")
         .agg(F.count("*").alias("n"))
@@ -170,7 +180,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             )
 
     return (
-        events.withWatermark("ts", "2 hours")
+        _ensure_event_time(events).withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -194,6 +204,6 @@ def stream_dedup(
     The batch twin is llm.dedup.exact_dedup; at 100 TB/day the state
     held is (distinct keys seen within the watermark window), not the
     corpus."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        id_cols or ["event_id"]
-    )
+    return _ensure_event_time(events).withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(id_cols or ["event_id"])
