@@ -1065,6 +1065,73 @@ ORDER BY key_a, key_b
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Full near-dup clustering: minhash-LSH candidate pairs (md5
+    shingle hash so the oracle can replay them) -> connected
+    components via iterative min-label propagation. The oracle
+    recomputes the same components with a recursive reachability CTE
+    + min() — exact transitive-closure semantics, so a dropped edge
+    or a propagation bug breaks the hash."""
+    from duckdb_geography_spark.llm.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=8, hash_fn="md5")
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
+    ).orderBy("doc_id")
+
+
+def _dedup_clusters_sql():
+    from duckdb_geography_spark.llm.dedup import _MERSENNE61, _perm_coeffs
+
+    a, b = _perm_coeffs(64, 42)
+    mins = ",\n    ".join(
+        f"min((h * {int(a[k])} + {int(b[k])}) % {_MERSENNE61}) AS m{k}"
+        for k in range(64)
+    )
+    band_key = lambda bi: "concat_ws(',', " + ", ".join(  # noqa: E731
+        f"m{bi * 8 + r}" for r in range(8)
+    ) + ")"
+    bucket_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {band_key(bi)} AS bk FROM sig"
+        for bi in range(8)
+    )
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+        FROM documents)),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id),
+buckets AS (
+  {bucket_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bk = b.bk
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT key_a AS s, key_b AS d FROM cand
+  UNION ALL
+  SELECT key_b AS s, key_a AS d FROM cand),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, re.r FROM edges e JOIN reach re ON re.node = e.d)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     """60-bit SimHash signatures (md5 token hash) — per-bit majority
     vote replayed exactly by the SQL oracle."""
@@ -1806,6 +1873,141 @@ ORDER BY n_nationkey
 """
 
 
+def _q_doc_quality(spark, sf_dir):
+    """C4/Gopher-style quality heuristics + keep/drop filter — all
+    pure Column expressions (JVM codegen; the filter is scan-stage
+    predicate material at 100 TB)."""
+    from duckdb_geography_spark.llm import textstats as T
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.mean_word_length("text"), 6).alias("mwl"),
+        F.round(T.duplicate_word_ratio("text"), 6).alias("dup_r"),
+        F.round(T.digit_ratio("text"), 6).alias("digit_r"),
+        F.round(T.uppercase_ratio("text"), 6).alias("upper_r"),
+        T.quality_filter("text").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_DOC_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id, text, ws,
+    len(ws) AS n_tok,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(list_aggregate(list_transform(ws, t -> length(t)), 'sum') AS DOUBLE)
+              / len(ws) END AS mwl,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(list_transform(ws, t -> lower(t)))) AS DOUBLE)
+              / len(ws) END AS dup_r,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / length(text) END AS digit_r,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+              / length(text) END AS upper_r
+  FROM toks)
+SELECT doc_id,
+  round(mwl, 6) AS mwl,
+  round(dup_r, 6) AS dup_r,
+  round(digit_r, 6) AS digit_r,
+  round(upper_r, 6) AS upper_r,
+  (n_tok >= 5 AND n_tok <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
+   AND dup_r <= 0.6 AND digit_r <= 0.3) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def _q_sessionize_batch(spark, sf_dir):
+    """Gaps-and-islands sessionization of the events table (30-min
+    inactivity gap): the batch twin of the stateful streaming
+    sessionizer, one shuffle on user_id (the lag/cumsum windows and
+    the final (user, session) agg reuse the same hash partitioning)."""
+    from duckdb_geography_spark.streaming.events import sessionize_batch
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        "n_events",
+        "value_micro",
+    ).orderBy("user_id", "session_id")
+
+
+_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch(ts) - lag(epoch(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def _q_stream_windowed_counts(spark, sf_dir):
+    """The STREAMING engine under the hard oracle: availableNow
+    file-source stream -> watermark -> tumbling 1h window counts into
+    a memory sink; the returned table must equal the batch/SQL hourly
+    rollup. Gates the watermark+window path end-to-end (the weaker
+    rows-only check would miss a dropped-late-row regression)."""
+    import uuid
+
+    from duckdb_geography_spark.streaming import events as SE
+
+    _prep(spark)
+    ev = SE.read_events_stream(spark, sf_dir)
+    out = SE.windowed_event_counts(ev)
+    qname = f"win_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_STREAM_WINDOWED_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over documents-as-binary. The stub decode
     kernel is sha256-derived, so DuckDB can replay it exactly:
@@ -1885,10 +2087,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "langid": _q_langid,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "doc_quality": _q_doc_quality,
+        "sessionize_batch": _q_sessionize_batch,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "embedding_sim_pairs": _q_embedding_pairs,
         "embedding_topk": _q_embedding_topk,
         "minhash_lsh_candidates": _q_minhash_candidates,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_signatures": _q_simhash,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1920,6 +2126,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "langid": _langid_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        "doc_quality": _DOC_QUALITY_SQL,
+        "sessionize_batch": _SESSIONIZE_SQL,
+        "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "embedding_sim_pairs": _embedding_pairs_sql(),
         "embedding_topk": _EMBEDDING_TOPK_SQL,
@@ -1929,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_gate": _dwithin_gate_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "minhash_lsh_candidates": _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash_signatures": _SIMHASH_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),

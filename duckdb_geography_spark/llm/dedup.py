@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_jaccard_pairs",
     "minhash_dedup",
+    "connected_components",
     "simhash",
     "simhash_pairs",
     "embedding_neardup_pairs",
@@ -313,6 +314,71 @@ def minhash_dedup(
     )
     losers = verified.select(F.col("key_b").alias(key_col)).distinct()
     return df.join(losers, key_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: Optional[DataFrame] = None,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full near-dup clustering: connected components over candidate
+    pairs by iterative min-label propagation (the exact version of
+    ``minhash_dedup``'s greedy single-hop).
+
+    Each round is one equi-join + min-aggregation — two key shuffles,
+    no all-pairs anywhere — and the number of rounds is the graph
+    diameter, which for near-dup clusters is small (dup clusters are
+    dense, so labels cross them in one or two hops).
+    ``localCheckpoint`` truncates lineage each round so the plan does
+    not grow with iterations (the standard guard for iterative
+    DataFrame algorithms). Convergence is detected distributedly (a
+    count of changed labels), so the driver never holds labels.
+
+    Returns ``(node, component)`` where ``component`` is the minimum
+    key in the node's component. ``nodes`` (optional, first column
+    used) adds isolated nodes as singleton components.
+    """
+    e = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = edges.select(F.col("src").alias("node"))
+    if nodes is not None:
+        n = n.unionAll(nodes.select(F.col(nodes.columns[0]).alias("node")))
+    labels = n.distinct().select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr.select(F.col("src").alias("node"), "nbr_min"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select("node", F.col("label").alias("new_label"))
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,11 @@ __all__ = [
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
+    "mean_word_length",
+    "duplicate_word_ratio",
+    "digit_ratio",
+    "uppercase_ratio",
+    "quality_filter",
     "langid",
     "fingerprint_md5",
     "rolling_fingerprint",
@@ -102,6 +107,75 @@ def quality_score(text) -> Column:
     sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
     return F.round(
         F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * sw_score, 6
+    )
+
+
+def mean_word_length(text) -> Column:
+    """Mean whitespace-token length (0 for empty docs) — the Gopher
+    2.0..12.0 band is the classic gibberish/code filter."""
+    toks = _words(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def duplicate_word_ratio(text) -> Column:
+    """1 - distinct/total over lowercased whitespace tokens (0 for
+    empty docs): high values mean boilerplate/repetition — the cheap
+    within-document repetition signal."""
+    toks = F.transform(_words(text), lambda w: F.lower(w))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+
+
+def digit_ratio(text) -> Column:
+    """Digit chars / total chars (0 for empty docs)."""
+    t = _c(text)
+    n = F.length(t)
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        digits.cast("double") / n.cast("double")
+    )
+
+
+def uppercase_ratio(text) -> Column:
+    """ASCII-uppercase chars / total chars (0 for empty docs)."""
+    t = _c(text)
+    n = F.length(t)
+    ups = n - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        ups.cast("double") / n.cast("double")
+    )
+
+
+def quality_filter(
+    text,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_duplicate_ratio: float = 0.6,
+    max_digit_ratio: float = 0.3,
+) -> Column:
+    """C4/Gopher-style keep/drop decision as one boolean Column —
+    token-count band, mean-word-length band, repetition and digit
+    caps. Entirely JVM-side: at 100 TB this is a predicate that
+    pushes into the scan stage, not a UDF pass."""
+    n = token_count(text)
+    mwl = mean_word_length(text)
+    return (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (duplicate_word_ratio(text) <= max_duplicate_ratio)
+        & (digit_ratio(text) <= max_digit_ratio)
     )
 
 

@@ -30,6 +30,8 @@ __all__ = [
     "windowed_event_counts",
     "cell_rollup_stream",
     "sessionize",
+    "sessionize_batch",
+    "stream_dedup",
 ]
 
 
@@ -188,6 +190,45 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch twin of :func:`sessionize`: gaps-and-islands over window
+    functions. One shuffle total — the lag/cumsum windows and the
+    final (user, session) aggregation all reuse the hash partitioning
+    on ``user_col`` (HashPartitioning(user) satisfies clustering for
+    (user, session_id), so Catalyst plans a single Exchange). Ordering
+    ties on ``ts`` break by ``order_col`` so results are deterministic
+    and SQL-oracle-replayable."""
+    from pyspark.sql.window import Window
+
+    events = _ensure_event_time(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    sec = F.col(ts_col).cast("double")
+    brk = (
+        (sec - F.lag(sec).over(w) > gap_minutes * 60.0)
+        .cast("long")
+    )
+    sid = F.sum(F.coalesce(brk, F.lit(0))).over(w)
+    return (
+        events.withColumn("__sid", sid)
+        .groupBy(F.col(user_col), F.col("__sid").alias("session_id"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 1_000_000).cast("long")).alias(
+                "value_micro"
+            ),
         )
     )
 

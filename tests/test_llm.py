@@ -62,12 +62,42 @@ class TestTextStats:
                 textstats.quality_score("text"),
                 textstats.langid("text"),
                 textstats.rolling_fingerprint("text"),
+                textstats.quality_filter("text"),
+                textstats.duplicate_word_ratio("text"),
             )
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
         assert "EvalPython" not in plan
+
+    def test_quality_heuristics_goldens(self, spark):
+        rows = [
+            (0, "aa bb aa"),                     # mwl 2.0, dup 1/3
+            (1, ""),                             # empty -> all zeros, drop
+            (2, "The Quick Brown Fox 123 99!"),  # mixed case + digits
+            (3, "word " * 200),                  # heavy repetition, drop
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id",
+                textstats.mean_word_length("text").alias("mwl"),
+                textstats.duplicate_word_ratio("text").alias("dup"),
+                textstats.digit_ratio("text").alias("dig"),
+                textstats.uppercase_ratio("text").alias("up"),
+                textstats.quality_filter("text").alias("keep"),
+            ).collect()
+        }
+        assert abs(got[0].mwl - 2.0) < 1e-12
+        assert abs(got[0].dup - (1.0 - 2.0 / 3.0)) < 1e-12
+        assert got[1].mwl == got[1].dup == got[1].dig == got[1].up == 0.0
+        assert not got[1].keep
+        # "The Quick Brown Fox 123 99!": 27 chars, 5 digits, 4 uppercase
+        assert abs(got[2].dig - 5.0 / 27.0) < 1e-12
+        assert abs(got[2].up - 4.0 / 27.0) < 1e-12
+        assert not got[3].keep  # dup ratio 1 - 1/200 > 0.6
 
 
 class TestDedup:
@@ -142,6 +172,44 @@ class TestDedup:
         pairs = dedup.embedding_neardup_pairs(both, threshold=0.999)
         got = {(r.key_a, r.key_b) for r in pairs.collect()}
         assert all((i, i + 100000) in got for i in range(10))
+
+
+class TestConnectedComponents:
+    def test_chain_and_singletons(self, spark):
+        # chain 1-2-3-4 (diameter 3 forces multiple propagation
+        # rounds), pair {10,11}, isolated 20
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["key_a", "key_b"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)], ["id"])
+        got = {
+            r.node: r.component
+            for r in dedup.connected_components(pairs, nodes=nodes).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_matches_python_union_find(self, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, num_perm=32, bands=8)
+        comp = dedup.connected_components(pairs, nodes=docs.select("doc_id"))
+        got = {r.node: r.component for r in comp.collect()}
+        # python union-find oracle over the same pairs
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            ra, rb = find(r.key_a), find(r.key_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            r.doc_id: find(r.doc_id) for r in docs.select("doc_id").collect()
+        }
+        assert got == want
 
 
 class TestSimilarity:

@@ -75,6 +75,41 @@ def test_sessionize(spark):
         assert r.n_events >= 1
 
 
+def test_sessionize_batch(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: two sessions split by a 40-min gap
+        (1, 1, mins(0), 1.0),
+        (2, 1, mins(10), 2.0),
+        (3, 1, mins(50), 4.0),
+        # user 2: one session, events 29 min apart chain together
+        (4, 2, mins(0), 1.0),
+        (5, 2, mins(29), 1.0),
+        (6, 2, mins(58), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {
+        (r.user_id, r.session_id): r
+        for r in SE.sessionize_batch(df, gap_minutes=30).collect()
+    }
+    assert len(got) == 3
+    assert got[(1, 0)].n_events == 2 and got[(1, 1)].n_events == 1
+    assert got[(2, 0)].n_events == 3
+    assert got[(1, 0)].value_micro == 3_000_000
+    # one shuffle total: the windows and the final agg share the
+    # user_id hash partitioning
+    plan = (
+        SE.sessionize_batch(df, gap_minutes=30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_stream_dedup_bounded_state(spark, tmp_path):
     # two micro-batch files with overlapping event_ids: the dup in the
     # second file (within the watermark) must be dropped
