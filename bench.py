@@ -44,6 +44,8 @@ def main() -> None:
         "haversine_pairs",
         "dedup_exact",
         "text_stats",
+        "doc_quality",
+        "sessionize_batch",
         "langid",
         "minhash_lsh_candidates",
         "simhash_signatures",
