@@ -263,6 +263,33 @@ class TestSimilarity:
         }
         assert full == exact
 
+    def test_vectorized_tier_matches_expression_tier(self, spark, emb):
+        """The Arrow kernels must be BIT-IDENTICAL to the Column
+        expressions (same sequential fold order), not just close —
+        that is what keeps the vectorized defaults under the same
+        value-hash oracle."""
+        from pyspark.sql import functions as F
+
+        q = [float(x) for x in emb.where(F.col("vec_id") == 3).first().embedding]
+        vec = similarity.cosine_score_udf(q)(F.col("embedding"))
+        expr = similarity.cosine_sim("embedding", similarity._query_lit(q))
+        diff = emb.select((vec != expr).cast("int").alias("d")).agg(
+            F.sum("d").alias("n")
+        ).collect()[0].n
+        assert diff == 0
+        sig_vec = similarity.lsh_signature_udf(64, 12, 7)(F.col("embedding"))
+        sig_expr = similarity.lsh_signature("embedding", 64, 12, 7)
+        sdiff = emb.select((sig_vec != sig_expr).cast("int").alias("d")).agg(
+            F.sum("d").alias("n")
+        ).collect()[0].n
+        assert sdiff == 0
+        asg_vec = similarity.ivf_assign_udf(64, 16, 11)(F.col("embedding"))
+        asg_expr = similarity.ivf_assign("embedding", 64, 16, 11)
+        adiff = emb.select((asg_vec != asg_expr.cast("int")).cast("int").alias("d")).agg(
+            F.sum("d").alias("n")
+        ).collect()[0].n
+        assert adiff == 0
+
     def test_ivf_assign_partitions_all_rows(self, spark, emb):
         asg = emb.select(
             similarity.ivf_assign("embedding", 64, n_centroids=8).alias("c")

@@ -59,13 +59,19 @@ _PURE_JVM = [
     "simhash_signatures",
     "minhash_lsh_candidates",
     "dedup_exact",
-    "embedding_topk",
-    "lsh_topk",
-    "ivf_topk",
     "haversine_pairs",
     "tpch_pricing_summary",
     "tpch_top_orders",
     "events_hourly",
+]
+
+#: queries promised to run their vector math as Arrow-batched numpy
+#: kernels (similarity.py): ArrowEvalPython stages are expected, but
+#: row-at-a-time BatchEvalPython anywhere is a regression
+_ARROW_VECTORIZED = [
+    "embedding_topk",
+    "lsh_topk",
+    "ivf_topk",
 ]
 
 
@@ -73,6 +79,13 @@ _PURE_JVM = [
 def test_hot_paths_stay_jvm_side(plans, name):
     p = plans[name]
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+
+
+@pytest.mark.parametrize("name", _ARROW_VECTORIZED)
+def test_vector_paths_are_arrow_not_rowwise(plans, name):
+    p = plans[name]
+    assert "ArrowEvalPython" in p, name
+    assert "BatchEvalPython" not in p, name
 
 
 def test_column_pruning_reaches_scan(plans):
