@@ -38,6 +38,7 @@ __all__ = [
     "norm",
     "cosine_sim",
     "cosine_score_udf",
+    "cosine_pair",
     "cosine_topk",
     "cosine_topk_all",
     "lsh_signature",
@@ -117,6 +118,27 @@ def cosine_score_udf(query_vec: Sequence[float]):
         return pd.Series(s)
 
     return _score
+
+
+def cosine_pair(a, b) -> Column:
+    """Arrow-batched cosine between two vector columns (the pair-refine
+    hot path) — fold-order-exact twin of ``cosine_sim(a, b)``. Wrapped
+    lazily (NOT a module-level decorator: pandas_udf construction
+    needs an active session, and executors import this module too)."""
+
+    @pandas_udf("double")
+    def _pair(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A, B = _stack(va), _stack(vb)
+        if A.shape[0] == 0:
+            return pd.Series([], dtype=np.float64)
+        d = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where((na == 0.0) | (nb == 0.0), 0.0, d / (na * nb))
+        return pd.Series(s)
+
+    return _pair(_c(a), _c(b))
 
 
 def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
@@ -325,14 +347,15 @@ def lsh_neardup_pairs(
     dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding near-dup pairs the scalable way: hyperplane signature
-    (pure Column) -> pigeonhole chunk equi-join (any pair within
-    ``max_hamming`` < ``blocks`` shares an exact chunk) -> hamming
-    refine (bit_count, JVM) -> exact cosine >= threshold. No all-pairs
-    stage; the brute-force twin is embedding_neardup_pairs."""
+    (Arrow-batched kernel) -> pigeonhole chunk equi-join (any pair
+    within ``max_hamming`` < ``blocks`` shares an exact chunk) ->
+    hamming refine (bit_count, JVM) -> exact cosine >= threshold
+    (Arrow-batched pair kernel). No all-pairs stage; the brute-force
+    twin is embedding_neardup_pairs."""
     assert max_hamming < blocks and n_planes % blocks == 0
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sig = lsh_signature(vec_col, dim, n_planes, seed)
+    sig = lsh_signature_udf(dim, n_planes, seed)(F.col(vec_col))
     base = df.select(F.col(key_col).alias("__key"), F.col(vec_col).alias("__v"), sig.alias("__sig"))
     width = n_planes // blocks
     chunk_keys = F.array(
@@ -361,7 +384,7 @@ def lsh_neardup_pairs(
         .dropDuplicates(["key_a", "key_b"])
     )
     return pairs.select(
-        "key_a", "key_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
+        "key_a", "key_b", F.round(cosine_pair("va", "vb"), 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
 
 
