@@ -296,13 +296,17 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    exact_components: bool = False,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates -> exact n-gram Jaccard refine
-    -> keep the min-key representative of every connected pair.
+    -> keep one representative per duplicate group.
 
-    (Greedy single-hop: a row survives unless it pairs with a smaller
-    key. Full connected components would need iteration — this is the
-    standard one-pass approximation.)"""
+    Default is the greedy single-hop rule (a row survives unless it
+    pairs with a smaller key) — one pass, but a chain a-b-c can keep
+    both a and c. ``exact_components=True`` runs full connected
+    components over the verified pairs instead (iterative min-label
+    propagation, see :func:`connected_components`) and keeps exactly
+    the min-key member of every component."""
     cands = minhash_lsh_pairs(df, text_col, key_col, n, num_perm, bands, seed)
     texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))
@@ -312,7 +316,13 @@ def minhash_dedup(
         .where(ngram_jaccard("text_a", "text_b", n) >= threshold)
         .select("key_a", "key_b")
     )
-    losers = verified.select(F.col("key_b").alias(key_col)).distinct()
+    if exact_components:
+        comp = connected_components(verified)
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(key_col)
+        )
+    else:
+        losers = verified.select(F.col("key_b").alias(key_col)).distinct()
     return df.join(losers, key_col, "left_anti")
 
 

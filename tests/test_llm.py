@@ -136,6 +136,26 @@ class TestDedup:
         out = dedup.minhash_dedup(both, num_perm=32, bands=8, threshold=0.7)
         assert out.count() <= both.count() - 0.9 * len(planted)
 
+    def test_minhash_dedup_exact_components_star(self, spark):
+        # 1-3 and 2-3 are near-dups but 1-2 is not (Jaccards 0.719 /
+        # 0.672 / 0.573 around threshold 0.65): greedy only drops the
+        # larger key of each pair (3), keeping both 1 and 2; exact
+        # components merges the star into one cluster and keeps only
+        # the min key
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        rows = [
+            (1, base + "tail one two three"),
+            (2, base + "mail six seven eight"),
+            (3, base),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        greedy = dedup.minhash_dedup(df, num_perm=64, bands=32, threshold=0.65)
+        exact = dedup.minhash_dedup(
+            df, num_perm=64, bands=32, threshold=0.65, exact_components=True
+        )
+        assert sorted(r.doc_id for r in greedy.collect()) == [1, 2]
+        assert sorted(r.doc_id for r in exact.collect()) == [1]
+
     def test_minhash_bucket_cap_bounds_hot_buckets(self, spark, docs):
         # 30 byte-identical docs: every band bucket holds all 30 ->
         # 435 pairs; the cap drops those buckets entirely, while
