@@ -24,6 +24,8 @@ __all__ = [
     "write_partitioned_by_cell",
     "read_cell_partition",
     "partition_token",
+    "write_ivf_partitioned",
+    "ivf_topk_pruned",
 ]
 
 
@@ -72,6 +74,57 @@ def read_cell_partition(
     if cell_token is not None:
         df = df.where(F.col("partition_cell") == cell_token)
     return df
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    seed: int = 11,
+    mode: str = "overwrite",
+) -> None:
+    """ANN ingest: assign every vector to its IVF centroid cell
+    (Arrow-batched argmax kernel — one map-side pass, no shuffle) and
+    write parquet partitioned by the cell id. This is the IVF index
+    as a DIRECTORY LAYOUT: a top-k query then reads only its n_probe
+    cells via Catalyst partition pruning — 1/(n_centroids/n_probe) of
+    the bytes at any scale, before a single row is decoded."""
+    from .llm.similarity import ivf_assign_udf
+
+    out = df.withColumn(
+        "ivf_cell", ivf_assign_udf(dim, n_centroids, seed)(F.col(vec_col))
+    )
+    out.write.partitionBy("ivf_cell").mode(mode).parquet(path)
+
+
+def ivf_topk_pruned(
+    spark: SparkSession,
+    path: str,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Top-k over an IVF-partitioned dataset: the probe-cell filter is
+    a partition-column predicate (PartitionFilters in the scan — whole
+    directories skipped at planning time), then the Arrow-batched
+    exact cosine ranks only the probed fraction. Identical results to
+    ``llm.similarity.ivf_topk`` on the raw table."""
+    import numpy as np
+
+    from .llm.similarity import _ivf_centroids, cosine_topk
+
+    cents = _ivf_centroids(len(query_vec), n_centroids, seed)
+    qd = cents @ np.asarray(query_vec, dtype=np.float64)
+    order = sorted(range(n_centroids), key=lambda j: (-qd[j], j))
+    probe = [j + 1 for j in order[:n_probe]]
+    df = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
+    return cosine_topk(df, query_vec, k, vec_col, key_col)
 
 
 def write_bucketed(
