@@ -1164,6 +1164,43 @@ ORDER BY d.doc_id
 """
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup JOIN path under the oracle: 60-bit md5
+    signatures -> pigeonhole chunk equi-join (width-15 chunks, any
+    pair within hamming 3 shares one) -> bit_count refine. The oracle
+    replays signatures, bucketing, and refine in SQL."""
+    from duckdb_geography_spark.llm.dedup import simhash_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, max_hamming=3, blocks=4, n_bits=60, hash_fn="md5"
+    ).orderBy("key_a", "key_b")
+
+
+def _simhash_pairs_sql():
+    sig_body = _SIMHASH_SQL.strip().rstrip()
+    # reuse the signature CTE chain; rebuild as a WITH ... SELECT
+    chunk_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS blk, (sig >> {i * 15}) & {(1 << 15) - 1} AS chunk FROM sigs"
+        for i in range(4)
+    )
+    return f"""
+WITH sigs AS ({sig_body}),
+buckets AS (
+  {chunk_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+    bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM buckets a JOIN buckets b ON a.blk = b.blk AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id)
+SELECT key_a, key_b, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= 3
+ORDER BY key_a, key_b
+"""
+
+
 def _q_lsh_topk(spark, sf_dir):
     from duckdb_geography_spark.llm.similarity import lsh_topk
 
@@ -2008,6 +2045,148 @@ ORDER BY 1, 2
 """
 
 
+def _q_stream_cell_rollup(spark, sf_dir):
+    """Streaming GEO rollup under the oracle: watermark + 1h window
+    counts per level-4 S2 cell of each user's synthetic location,
+    executed by the streaming engine (availableNow, memory sink); the
+    oracle rebuilds the cells with the recursive-CTE lonlat->cell
+    implementation and the rollup with a plain GROUP BY."""
+    import uuid
+
+    from duckdb_geography_spark.streaming import events as SE
+
+    _prep(spark)
+    ev = SE.read_events_stream(spark, sf_dir)
+    out = SE.cell_rollup_stream(ev, level=4)
+    qname = f"cell_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "cell",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("hour", "cell")
+    )
+
+
+def _stream_cell_rollup_sql():
+    from duckdb_geography_spark import synth
+
+    upts = (
+        "SELECT DISTINCT user_id AS k, "
+        "(user_id * 2654435761 % 360000) / 1000.0 - 180.0 AS lon, "
+        "(user_id * 40503 % 180000) / 1000.0 - 90.0 AS lat FROM events"
+    )
+    p4 = synth.cell_parent_sql("c.cell", 4)
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(upts, "_u")}
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  {p4} AS cell,
+  count(*) AS n
+FROM events e JOIN cellids_u c ON e.user_id = c.k
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _q_overlay_suite(spark, sf_dir):
+    """s2_difference and s2_union under the exact oracle, same
+    rect-pair configuration as overlay_intersection: the oracle
+    computes area(A), area(B) and the overlap quad's area with the
+    engine's own spherical-excess formula, then uses the exact
+    identities area(A\\B) = area(A) - area(A^B) and
+    area(A u B) = area(A) + area(B) - area(A^B). A wrong edge split,
+    dropped hole, or winding bug in the overlay engine shifts a
+    km2-rounded area and breaks the hash."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.accessors import s2_area
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+    from duckdb_geography_spark.functions.predicates import (
+        s2_difference,
+        s2_union,
+    )
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(16)
+    xmin, ymin, xmax, ymax = synth.nation_box()
+    shifted = F.format_string(
+        "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+        xmin + 10.3, ymin + 5.7, xmax + 10.3, ymin + 5.7,
+        xmax + 10.3, F.least(ymax + 5.7, F.lit(89.0)),
+        xmin + 10.3, F.least(ymax + 5.7, F.lit(89.0)), xmin + 10.3, ymin + 5.7,
+    )
+    a = s2_geogfromtext(synth.nation_wkt())
+    b = s2_geogfromtext(shifted)
+    staged = nation.select(
+        "n_nationkey", s2_difference(a, b).alias("dg"), s2_union(a, b).alias("ug")
+    )
+    return staged.select(
+        "n_nationkey",
+        F.round(s2_area("dg") / F.lit(1e6), 3).alias("diff_area_km2"),
+        F.round(s2_area("ug") / F.lit(1e6), 3).alias("union_area_km2"),
+    ).orderBy("n_nationkey")
+
+
+def _rect_excess_ctes(tag: str, lx: str, ly: str, hx: str, hy: str) -> str:
+    """CTE pair computing the spherical excess of the geodesic rect
+    with corners (lx,ly)..(hx,hy) — the same two-triangle Van
+    Oosterom & Strackee fan as rect_measures (proven vs s2_area)."""
+    return f"""v{tag} AS (
+  SELECT n_nationkey,
+    cos({ly})*cos({lx}) AS x0, cos({ly})*sin({lx}) AS y0, sin({ly}) AS z0,
+    cos({ly})*cos({hx}) AS x1, cos({ly})*sin({hx}) AS y1, sin({ly}) AS z1,
+    cos({hy})*cos({hx}) AS x2, cos({hy})*sin({hx}) AS y2, sin({hy}) AS z2,
+    cos({hy})*cos({lx}) AS x3, cos({hy})*sin({lx}) AS y3, sin({hy}) AS z3
+  FROM box),
+e{tag} AS (
+  SELECT n_nationkey,
+    2*atan2(
+      x0*(y1*z2 - z1*y2) - y0*(x1*z2 - z1*x2) + z0*(x1*y2 - y1*x2),
+      1 + (x0*x1+y0*y1+z0*z1) + (x1*x2+y1*y2+z1*z2) + (x2*x0+y2*y0+z2*z0)
+    ) + 2*atan2(
+      x0*(y2*z3 - z2*y3) - y0*(x2*z3 - z2*x3) + z0*(x2*y3 - y2*x3),
+      1 + (x0*x2+y0*y2+z0*z2) + (x2*x3+y2*y3+z2*z3) + (x3*x0+y3*y0+z3*z0)
+    ) AS e
+  FROM v{tag})"""
+
+
+def _overlay_suite_sql():
+    """Reuses the overlay_intersection oracle's quad-excess CTEs and
+    adds rect excesses for A and B; difference/union areas follow by
+    inclusion-exclusion (exact identities on the sphere)."""
+    inter = _overlay_intersection_sql()
+    # splice extra CTEs + a new final SELECT onto the shared body
+    body = inter[: inter.rindex("SELECT n_nationkey")].rstrip().rstrip(",") + ",\n"
+    ea = _rect_excess_ctes("A", "x0", "y0", "x1", "y1")
+    eb = _rect_excess_ctes(
+        "B", "bx0", "by0", "bx0 + (x1 - x0)", "least(y1 + radians(5.7), radians(89.0))"
+    )
+    return (
+        body
+        + ea
+        + ",\n"
+        + eb
+        + """
+SELECT t.n_nationkey,
+  round((abs(a.e) - abs(t.e1 + t.e2)) * 6371010.0 * 6371010.0 / 1e6, 3) AS diff_area_km2,
+  round((abs(a.e) + abs(b.e) - abs(t.e1 + t.e2)) * 6371010.0 * 6371010.0 / 1e6, 3) AS union_area_km2
+FROM tri t
+JOIN eA a ON a.n_nationkey = t.n_nationkey
+JOIN eB b ON b.n_nationkey = t.n_nationkey
+ORDER BY t.n_nationkey
+"""
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over documents-as-binary. The stub decode
     kernel is sha256-derived, so DuckDB can replay it exactly:
@@ -2090,12 +2269,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "sessionize_batch": _q_sessionize_batch,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_cell_rollup": _q_stream_cell_rollup,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "embedding_sim_pairs": _q_embedding_pairs,
         "embedding_topk": _q_embedding_topk,
         "minhash_lsh_candidates": _q_minhash_candidates,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_signatures": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "snapped_distance_pairs": _q_snapped_distance,
@@ -2103,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_gate": _q_predicate_gate,
         "dwithin_gate": _q_dwithin_gate,
         "overlay_intersection": _q_overlay_intersection,
+        "overlay_suite": _q_overlay_suite,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -2129,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _DOC_QUALITY_SQL,
         "sessionize_batch": _SESSIONIZE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
+        "stream_cell_rollup": _stream_cell_rollup_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "embedding_sim_pairs": _embedding_pairs_sql(),
         "embedding_topk": _EMBEDDING_TOPK_SQL,
@@ -2140,9 +2323,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "simhash_signatures": _SIMHASH_SQL,
+        "simhash_pairs": _simhash_pairs_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "covering_sizes": _covering_sizes_sql(),
         "bounds_box_agg": _bounds_box_agg_sql(),
         "overlay_intersection": _overlay_intersection_sql(),
+        "overlay_suite": _overlay_suite_sql(),
     }

@@ -445,18 +445,26 @@ def simhash_pairs(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates with hamming(simhash) <= max_hamming.
 
-    Scale shape: split the 64-bit signature into ``blocks`` chunks; by
-    pigeonhole any pair within hamming distance < blocks shares at
+    Scale shape: split the ``n_bits`` signature into ``blocks`` chunks;
+    by pigeonhole any pair within hamming distance < blocks shares at
     least one exact chunk -> equi-join on (block_idx, chunk), then
     refine with the true hamming distance (bit_count(xor)). ``blocks``
-    is raised automatically to keep that recall guarantee."""
-    while blocks <= max_hamming and blocks < 64:
+    is raised automatically to keep that recall guarantee.
+    ``hash_fn='md5'`` (with n_bits=60) makes the whole pipeline
+    DuckDB-oracle-replayable, like the minhash md5 variant."""
+    while blocks <= max_hamming and blocks < n_bits:
         blocks *= 2
-    sig = df.select(F.col(key_col).alias("__key"), simhash(text_col).alias("__sig"))
-    width = 64 // blocks
+    assert n_bits % blocks == 0, (n_bits, blocks)
+    sig = df.select(
+        F.col(key_col).alias("__key"),
+        simhash(text_col, n_bits=n_bits, hash_fn=hash_fn).alias("__sig"),
+    )
+    width = n_bits // blocks
     chunk_keys = F.array(
         *[
             F.struct(
