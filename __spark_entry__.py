@@ -2240,6 +2240,70 @@ ORDER BY media_id, feat_idx
 """
 
 
+def _q_audio_windows(spark, sf_dir):
+    """audio_window_features under the exact oracle. Encodings are
+    chosen so float32 output survives the hash: with 64-sample windows
+    the window sum fits 13 bits, so mean = sum/2^6 is EXACT in
+    float32; rms is squared back and scaled (rms^2 * 64 = sum of
+    squares <= 2^20, float32 relative error ~1.2e-7 keeps the rounding
+    error far below 0.5), recovering the exact integer accumulator.
+    Partial tail windows (n < 64) are excluded — their divisor is not
+    a power of two, so their float32 mean is inexact by construction."""
+    from duckdb_geography_spark.llm import multimodal as mm
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    media = mm.attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "payload",
+        "doc_id",
+    )
+    w = mm.audio_window_features(media, window_bytes=64)
+    return (
+        w.where(F.col("n") == 64)
+        .select(
+            "media_id",
+            "window_idx",
+            F.col("mean").cast("double").alias("mean64"),
+            F.round(F.col("rms").cast("double") * F.col("rms").cast("double") * 64)
+            .cast("long")
+            .alias("sumsq"),
+            "zero_crossings",
+        )
+        .orderBy("media_id", "window_idx")
+    )
+
+
+_AUDIO_WINDOWS_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100),
+idx AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM d),
+b AS (
+  SELECT doc_id, i,
+    ascii(substr(text, CAST(i AS INT), 1)) - 128.0 AS s,
+    CAST(floor((i - 1) / 64) AS INT) AS win
+  FROM idx),
+fullw AS (
+  SELECT doc_id, win FROM b GROUP BY doc_id, win HAVING count(*) = 64),
+agg AS (
+  SELECT b.doc_id, b.win, sum(b.s) AS sm, sum(b.s * b.s) AS sq
+  FROM b JOIN fullw USING (doc_id, win) GROUP BY b.doc_id, b.win),
+nz AS (
+  SELECT doc_id, win, s < 0 AS neg,
+    lag(s < 0) OVER (PARTITION BY doc_id, win ORDER BY i) AS pneg
+  FROM b WHERE s <> 0),
+zc AS (
+  SELECT doc_id, win, count(*) FILTER (pneg IS NOT NULL AND neg <> pneg) AS z
+  FROM nz GROUP BY doc_id, win)
+SELECT a.doc_id AS media_id, a.win AS window_idx,
+  a.sm / 64.0 AS mean64,
+  CAST(a.sq AS BIGINT) AS sumsq,
+  CAST(coalesce(z.z, 0) AS INT) AS zero_crossings
+FROM agg a LEFT JOIN zc z ON a.doc_id = z.doc_id AND a.win = z.win
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2286,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_intersection": _q_overlay_intersection,
         "overlay_suite": _q_overlay_suite,
         "multimodal_features": _q_multimodal_features,
+        "audio_windows": _q_audio_windows,
     }
 
 
@@ -2330,4 +2395,5 @@ def oracle_sql() -> dict[str, str]:
         "bounds_box_agg": _bounds_box_agg_sql(),
         "overlay_intersection": _overlay_intersection_sql(),
         "overlay_suite": _overlay_suite_sql(),
+        "audio_windows": _AUDIO_WINDOWS_SQL,
     }
