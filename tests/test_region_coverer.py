@@ -99,3 +99,16 @@ def test_fixed_level_overflow_raises():
     cov = covering_of_geography(quarter, fixed_level=ei.value.suggested_level)
     assert 0 < len(cov) <= 16384
     assert set(cm.level(cov).tolist()) == {ei.value.suggested_level}
+
+
+def test_fiji_measures_goldens():
+    """BASELINE.md anchors (docs/function-reference.md:79-85,406-412):
+    s2_perimeter(Fiji) matches the reference bit-for-bit; s2_area
+    differs only in the last ~1.7e-15 relative (summation order of the
+    spherical-excess fan vs S2's GetArea), so it is pinned at the mm²
+    level (golden 19353593807.95006, engine ...807.950027)."""
+    from duckdb_geography_spark.geo import ops
+
+    g = from_wkt(FIJI)
+    assert ops.perimeter(g) == 865355.9056990512
+    assert abs(ops.area(g) - 19353593807.95006) < 1e-4
