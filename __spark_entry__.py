@@ -928,6 +928,68 @@ ORDER BY key_a, key_b
 """
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Context-window chunking under the oracle: fixed 500-char chunks
+    with 50 overlap; the gate hashes every chunk (md5) so an off-by-one
+    in a boundary breaks it."""
+    from duckdb_geography_spark.llm.prep import chunk_documents
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, chunk_chars=500, overlap=50)
+        .select("doc_id", "chunk_idx", "n_chars", F.md5("chunk_text").alias("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_DOC_CHUNKS_SQL = """
+WITH s AS (
+  SELECT doc_id, text,
+    unnest(generate_series(1, greatest(length(text), 1), 450)) AS start
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST((start - 1) / 450 AS INTEGER) AS chunk_idx,
+    substr(text, CAST(start AS INTEGER), 500) AS chunk_text
+  FROM s)
+SELECT doc_id, chunk_idx, length(chunk_text) AS n_chars, md5(chunk_text) AS chunk_fp
+FROM c WHERE length(chunk_text) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def _q_doc_prep(spark, sf_dir):
+    """Dataset-prep pass: deterministic content-hash train/held split
+    + PII redaction, gated by the redacted text's md5 (any divergence
+    in the regex chains or the bucket math flips a hash)."""
+    from duckdb_geography_spark.llm.prep import hash_split, redact_pii
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hash_split("text", train_pct=90).alias("split"),
+        F.md5(redact_pii("text")).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+def _doc_prep_sql():
+    from duckdb_geography_spark.llm.prep import PII_PATTERNS
+
+    red = "text"
+    for pat, rep in PII_PATTERNS:
+        pat_sql = pat.replace("\\t", "\\t").replace("\\n", "\\n").replace("'", "''")
+        red = f"regexp_replace({red}, '{pat_sql}', '{rep}', 'g')"
+    return f"""
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+       THEN 'train' ELSE 'held' END AS split,
+  md5({red}) AS redacted_fp
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_rolling_fingerprint(spark, sf_dir):
     from duckdb_geography_spark.llm.textstats import rolling_fingerprint
 
@@ -2334,6 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": _q_sessionize_batch,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_cell_rollup": _q_stream_cell_rollup,
+        "doc_chunks": _q_doc_chunks,
+        "doc_prep": _q_doc_prep,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "embedding_sim_pairs": _q_embedding_pairs,
         "embedding_topk": _q_embedding_topk,
@@ -2377,6 +2441,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": _SESSIONIZE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_cell_rollup": _stream_cell_rollup_sql(),
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "doc_prep": _doc_prep_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "embedding_sim_pairs": _embedding_pairs_sql(),
         "embedding_topk": _EMBEDDING_TOPK_SQL,

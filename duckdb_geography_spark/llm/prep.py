@@ -1,0 +1,90 @@
+"""Dataset-preparation operators for training-data pipelines:
+chunking, deterministic splits, and PII redaction.
+
+All pure Spark Column expressions (JVM codegen, no Python per row) —
+at 100 TB these are map-side passes that fuse into the scan stage —
+and each has an exact DuckDB twin for the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "chunk_documents",
+    "hash_split",
+    "redact_pii",
+    "PII_PATTERNS",
+]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_chars: int = 500,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window packing step. One generate+explode, no shuffle:
+    chunk starts are ``1, 1+stride, ...`` (stride = chunk - overlap),
+    every chunk is ``substr(text, start, chunk_chars)``. Empty docs
+    produce no chunks. Returns (key, chunk_idx, chunk_text, n_chars).
+    """
+    assert 0 <= overlap < chunk_chars
+    stride = chunk_chars - overlap
+    t = _c(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride)
+    )
+    out = df.select(
+        F.col(key_col),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+        t.alias("__t"),
+    ).select(
+        key_col,
+        "chunk_idx",
+        F.substring(F.col("__t"), F.col("__start"), chunk_chars).alias("chunk_text"),
+    )
+    return out.where(F.length("chunk_text") > 0).withColumn(
+        "n_chars", F.length("chunk_text")
+    )
+
+
+def hash_split(
+    text,
+    train_pct: int = 90,
+    buckets: int = 100,
+) -> Column:
+    """Deterministic content-hash split label ('train'/'held'):
+    bucket = first 8 hex chars of md5(text) as an integer, mod
+    ``buckets``. Content-keyed (not row-keyed), so exact duplicates
+    always land in the same split — the leakage-safe assignment — and
+    the oracle replays it byte-for-byte via DuckDB's md5."""
+    bucket = F.conv(F.substring(F.md5(_c(text)), 1, 8), 16, 10).cast("long") % buckets
+    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("held"))
+
+
+#: (pattern, replacement) applied in order; conservative patterns that
+#: parse identically under Java regex (Spark) and RE2 (DuckDB)
+PII_PATTERNS = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("https?://[^ \\t\\n]+", "<URL>"),
+    ("[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text) -> Column:
+    """Rule-based PII scrub (emails, URLs, phone-shaped numbers) as a
+    chain of regexp_replace — a map-side cleaning pass. The pattern
+    list is deliberately restricted to syntax with identical semantics
+    in Java regex and RE2 so the oracle replays it exactly."""
+    out = _c(text)
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

@@ -194,6 +194,62 @@ class TestDedup:
         assert all((i, i + 100000) in got for i in range(10))
 
 
+class TestPrep:
+    def test_chunk_boundaries(self, spark):
+        from duckdb_geography_spark.llm import prep
+
+        text = "".join(chr(ord("a") + i % 26) for i in range(1100))
+        df = spark.createDataFrame([(1, text), (2, ""), (3, "short")], ["doc_id", "text"])
+        rows = sorted(
+            (
+                (r.doc_id, r.chunk_idx, r.chunk_text)
+                for r in prep.chunk_documents(
+                    df, chunk_chars=500, overlap=50
+                ).collect()
+            )
+        )
+        # doc 1: starts at 0, 450, 900 (1-based 1, 451, 901)
+        assert [(d, i) for d, i, _ in rows] == [(1, 0), (1, 1), (1, 2), (3, 0)]
+        assert rows[0][2] == text[0:500]
+        assert rows[1][2] == text[450:950]   # 50-char overlap
+        assert rows[2][2] == text[900:1100]  # short tail kept
+        assert rows[3][2] == "short"
+
+    def test_hash_split_deterministic_and_leak_safe(self, docs):
+        from duckdb_geography_spark.llm import prep
+
+        labeled = docs.select("doc_id", "text", prep.hash_split("text").alias("s"))
+        counts = dict(
+            (r.s, r.c) for r in labeled.groupBy("s").agg(F.count("*").alias("c")).collect()
+        )
+        total = sum(counts.values())
+        assert 0.80 <= counts.get("train", 0) / total <= 0.97
+        # identical content -> identical split, regardless of key
+        dup = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+        a = {r.text: r.s for r in labeled.collect()}
+        b = {
+            r.text: r.s
+            for r in dup.select("text", prep.hash_split("text").alias("s")).collect()
+        }
+        assert a == b
+
+    def test_redact_pii(self, spark):
+        from duckdb_geography_spark.llm import prep
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe+x@example.org or call 555-867-5309"),
+                (2, "see https://example.com/a?b=c#d for details"),
+                (3, "clean text stays clean"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.t for r in df.select("doc_id", prep.redact_pii("text").alias("t")).collect()}
+        assert got[1] == "mail me at <EMAIL> or call <PHONE>"
+        assert got[2] == "see <URL> for details"
+        assert got[3] == "clean text stays clean"
+
+
 class TestConnectedComponents:
     def test_chain_and_singletons(self, spark):
         # chain 1-2-3-4 (diameter 3 forces multiple propagation
