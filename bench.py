@@ -45,6 +45,8 @@ def main() -> None:
         "dedup_exact",
         "text_stats",
         "doc_quality",
+        "doc_prep",
+        "doc_chunks",
         "sessionize_batch",
         "langid",
         "minhash_lsh_candidates",
