@@ -40,6 +40,10 @@ def _prep(spark: SparkSession):
     # the driver's parquet uses TIMESTAMP(NANOS) which Spark rejects;
     # read them as epoch-nanos longs and convert in _t
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin the session timezone so LTZ window boundaries and rendered
+    # wall clocks are deterministic wherever the driver runs (the
+    # oracle compares naive DuckDB strings against date_format output)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 #: columns stored as TIMESTAMP(NANOS) in the driver's parquet
@@ -946,7 +950,7 @@ def _q_doc_chunks(spark, sf_dir):
 _DOC_CHUNKS_SQL = """
 WITH s AS (
   SELECT doc_id, text,
-    unnest(generate_series(1, greatest(length(text), 1), 450)) AS start
+    unnest(generate_series(1, greatest(length(text) - 50, 1), 450)) AS start
   FROM documents),
 c AS (
   SELECT doc_id,
@@ -979,7 +983,9 @@ def _doc_prep_sql():
 
     red = "text"
     for pat, rep in PII_PATTERNS:
-        pat_sql = pat.replace("\\t", "\\t").replace("\\n", "\\n").replace("'", "''")
+        # non-E DuckDB string literals pass backslash escapes through to
+        # RE2 unchanged; only quotes need escaping
+        pat_sql = pat.replace("'", "''")
         red = f"regexp_replace({red}, '{pat_sql}', '{rep}', 'g')"
     return f"""
 SELECT doc_id,
@@ -2086,7 +2092,9 @@ def _q_stream_windowed_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_windowed_counts did not finish in 300s")
     return (
         spark.table(qname)
         .select(
@@ -2128,7 +2136,9 @@ def _q_stream_cell_rollup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_cell_rollup did not finish in 300s")
     return (
         spark.table(qname)
         .select(

@@ -388,6 +388,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence means labels are
+        # still propagating (graph diameter > max_iter) — returning
+        # them would silently split components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -457,9 +465,15 @@ def simhash_pairs(
     is raised automatically to keep that recall guarantee.
     ``hash_fn='md5'`` (with n_bits=60) makes the whole pipeline
     DuckDB-oracle-replayable, like the minhash md5 variant."""
-    while blocks <= max_hamming and blocks < n_bits:
-        blocks *= 2
-    assert n_bits % blocks == 0, (n_bits, blocks)
+    # raise blocks to the next DIVISOR of n_bits that preserves the
+    # pigeonhole guarantee (blocks > max_hamming); doubling alone can
+    # land on a non-divisor for n_bits like 60
+    while blocks <= max_hamming or n_bits % blocks != 0:
+        blocks += 1
+        if blocks > n_bits:
+            raise ValueError(
+                f"no chunk split of {n_bits} bits supports max_hamming={max_hamming}"
+            )
     sig = df.select(
         F.col(key_col).alias("__key"),
         simhash(text_col, n_bits=n_bits, hash_fn=hash_fn).alias("__sig"),

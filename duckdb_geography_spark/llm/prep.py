@@ -39,8 +39,12 @@ def chunk_documents(
     assert 0 <= overlap < chunk_chars
     stride = chunk_chars - overlap
     t = _c(text_col)
+    # a chunk starting at s contributes new content iff s <= len - overlap
+    # (otherwise it is wholly contained in the previous chunk's overlap
+    # region); bounding the start sequence there drops the redundant
+    # fully-duplicated tail chunk without losing any characters
     starts = F.sequence(
-        F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride)
+        F.lit(1), F.greatest(F.length(t) - overlap, F.lit(1)), F.lit(stride)
     )
     out = df.select(
         F.col(key_col),
@@ -66,8 +70,9 @@ def hash_split(
     ``buckets``. Content-keyed (not row-keyed), so exact duplicates
     always land in the same split — the leakage-safe assignment — and
     the oracle replays it byte-for-byte via DuckDB's md5."""
+    threshold = buckets * train_pct // 100
     bucket = F.conv(F.substring(F.md5(_c(text)), 1, 8), 16, 10).cast("long") % buckets
-    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("held"))
+    return F.when(bucket < threshold, F.lit("train")).otherwise(F.lit("held"))
 
 
 #: (pattern, replacement) applied in order; conservative patterns that

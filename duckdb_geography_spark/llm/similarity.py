@@ -47,6 +47,7 @@ __all__ = [
     "lsh_topk",
     "ivf_assign",
     "ivf_assign_udf",
+    "probe_cells",
     "ivf_topk",
 ]
 
@@ -90,6 +91,24 @@ def _stack(v: pd.Series) -> np.ndarray:
     return np.vstack(v.to_numpy()).astype(np.float64)
 
 
+def _valid_mask(v: pd.Series, dim: int) -> np.ndarray:
+    """Rows the kernels can evaluate: non-null vectors of length
+    ``dim``. The Column expressions return NULL for null/mismatched
+    inputs (zip_with pads with null, null poisons the fold); the
+    kernels reproduce that by emitting null for the same rows instead
+    of crashing np.vstack on a ragged batch."""
+    vals = v.to_numpy()
+    return np.array(
+        [x is not None and len(x) == dim for x in vals], dtype=bool
+    )
+
+
+def _stack_valid(v: pd.Series, mask: np.ndarray, dim: int) -> np.ndarray:
+    if not mask.any():
+        return np.empty((0, dim), dtype=np.float64)
+    return np.vstack(v.to_numpy()[mask]).astype(np.float64)
+
+
 def _seq_dot(V: np.ndarray, w: np.ndarray) -> np.ndarray:
     """Per-row dot(V[i], w) with LEFT-TO-RIGHT summation — the last
     prefix-sum element is exactly the sequential fold, matching
@@ -106,16 +125,21 @@ def cosine_score_udf(query_vec: Sequence[float]):
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt(np.cumsum(q * q)[-1])) if len(q) else 0.0
 
+    dim = len(q)
+
     @pandas_udf("double")
     def _score(v: pd.Series) -> pd.Series:
-        V = _stack(v)
-        if V.shape[0] == 0:
-            return pd.Series([], dtype=np.float64)
-        d = _seq_dot(V, q)
-        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            s = np.where((nv == 0.0) | (qn == 0.0), 0.0, d / (nv * qn))
-        return pd.Series(s)
+        mask = _valid_mask(v, dim)
+        out = np.full(len(v), np.nan)
+        V = _stack_valid(v, mask, dim)
+        if V.shape[0]:
+            d = _seq_dot(V, q)
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[mask] = np.where((nv == 0.0) | (qn == 0.0), 0.0, d / (nv * qn))
+        # NaN rows (null/ragged inputs) convert to SQL NULL on the
+        # Arrow path — matching the expression tier's NULL result
+        return pd.Series(out)
 
     return _score
 
@@ -128,33 +152,51 @@ def cosine_pair(a, b) -> Column:
 
     @pandas_udf("double")
     def _pair(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A, B = _stack(va), _stack(vb)
-        if A.shape[0] == 0:
-            return pd.Series([], dtype=np.float64)
-        d = np.cumsum(A * B, axis=1)[:, -1]
-        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
-        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            s = np.where((na == 0.0) | (nb == 0.0), 0.0, d / (na * nb))
-        return pd.Series(s)
+        av, bv = va.to_numpy(), vb.to_numpy()
+        mask = np.array(
+            [
+                x is not None and y is not None and len(x) == len(y)
+                for x, y in zip(av, bv)
+            ],
+            dtype=bool,
+        )
+        out = np.full(len(va), np.nan)
+        if mask.any():
+            # pairs may have per-row dimensions; group by length so each
+            # group stacks into a dense batch
+            lens = np.array([len(x) if m else -1 for x, m in zip(av, mask)])
+            for L in np.unique(lens[lens >= 0]):
+                idx = np.nonzero(lens == L)[0]
+                A = np.vstack(av[idx]).astype(np.float64)
+                B = np.vstack(bv[idx]).astype(np.float64)
+                d = np.cumsum(A * B, axis=1)[:, -1]
+                na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+                nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[idx] = np.where((na == 0.0) | (nb == 0.0), 0.0, d / (na * nb))
+        return pd.Series(out)
 
     return _pair(_c(a), _c(b))
 
 
 def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
     """Arrow-batched hyperplane signature (bit i = sign(v . h_i)) —
-    same planes and same summation order as ``lsh_signature``."""
+    same planes and same summation order as ``lsh_signature``. Null or
+    wrong-dimension vectors yield a NULL signature (the expression
+    tier's CASE falls through to an all-zero signature for those rows;
+    NULL is the stricter semantics — such rows join nothing)."""
     planes = _hyperplanes(dim, n_planes, seed)
 
     @pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
-        V = _stack(v)
-        if V.shape[0] == 0:
-            return pd.Series([], dtype=np.int64)
+        mask = _valid_mask(v, dim)
+        V = _stack_valid(v, mask, dim)
         sig = np.zeros(V.shape[0], dtype=np.int64)
         for i in range(n_planes):
             sig |= (_seq_dot(V, planes[i]) >= 0.0).astype(np.int64) << i
-        return pd.Series(sig)
+        out = np.full(len(v), None, dtype=object)
+        out[mask] = sig
+        return pd.Series(out, dtype=object)
 
     return _sig
 
@@ -167,13 +209,15 @@ def ivf_assign_udf(dim: int, n_centroids: int = 16, seed: int = 11):
 
     @pandas_udf("integer")
     def _assign(v: pd.Series) -> pd.Series:
-        V = _stack(v)
-        if V.shape[0] == 0:
-            return pd.Series([], dtype=np.int32)
-        D = np.empty((V.shape[0], n_centroids), dtype=np.float64)
-        for j in range(n_centroids):
-            D[:, j] = _seq_dot(V, cents[j])
-        return pd.Series((np.argmax(D, axis=1) + 1).astype(np.int32))
+        mask = _valid_mask(v, dim)
+        V = _stack_valid(v, mask, dim)
+        out = np.full(len(v), None, dtype=object)
+        if V.shape[0]:
+            D = np.empty((V.shape[0], n_centroids), dtype=np.float64)
+            for j in range(n_centroids):
+                D[:, j] = _seq_dot(V, cents[j])
+            out[mask] = (np.argmax(D, axis=1) + 1).astype(np.int32)
+        return pd.Series(out, dtype=object)
 
     return _assign
 
@@ -267,6 +311,21 @@ def ivf_assign(vec_col: str, dim: int, n_centroids: int = 16, seed: int = 11) ->
     )
 
 
+def probe_cells(
+    query_vec: Sequence[float],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> List[int]:
+    """The 1-based IVF cells a query probes: its ``n_probe`` centroids
+    ranked by dot product (ties by index) — shared by ``ivf_topk`` and
+    the partition-pruned reader so the two paths can never diverge."""
+    cents = _ivf_centroids(len(query_vec), n_centroids, seed)
+    qd = cents @ np.asarray(query_vec, dtype=np.float64)
+    order = sorted(range(n_centroids), key=lambda j: (-qd[j], j))
+    return [j + 1 for j in order[:n_probe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -286,11 +345,7 @@ def ivf_topk(
     map-side, and finishes with a TakeOrdered top-k. No shuffle, no
     cartesian anywhere."""
     dim = len(query_vec)
-    cents = _ivf_centroids(dim, n_centroids, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qd = cents @ q
-    order = sorted(range(n_centroids), key=lambda j: (-qd[j], j))
-    probe = [j + 1 for j in order[:n_probe]]  # 1-based like array_position
+    probe = probe_cells(query_vec, n_centroids, n_probe, seed)
     cand = (
         df.withColumn("__cent", ivf_assign_udf(dim, n_centroids, seed)(F.col(vec_col)))
         .where(F.col("__cent").isin(probe))

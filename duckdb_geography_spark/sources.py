@@ -114,15 +114,14 @@ def ivf_topk_pruned(
     a partition-column predicate (PartitionFilters in the scan — whole
     directories skipped at planning time), then the Arrow-batched
     exact cosine ranks only the probed fraction. Identical results to
-    ``llm.similarity.ivf_topk`` on the raw table."""
-    import numpy as np
+    ``llm.similarity.ivf_topk`` on the raw table (probe selection is
+    the shared ``probe_cells`` helper, so the two paths cannot
+    diverge). The query vector's length, ``n_centroids`` and ``seed``
+    must match the ``write_ivf_partitioned`` call — a different
+    centroid set would probe wrong-but-existing partitions."""
+    from .llm.similarity import cosine_topk, probe_cells
 
-    from .llm.similarity import _ivf_centroids, cosine_topk
-
-    cents = _ivf_centroids(len(query_vec), n_centroids, seed)
-    qd = cents @ np.asarray(query_vec, dtype=np.float64)
-    order = sorted(range(n_centroids), key=lambda j: (-qd[j], j))
-    probe = [j + 1 for j in order[:n_probe]]
+    probe = probe_cells(query_vec, n_centroids, n_probe, seed)
     df = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
     return cosine_topk(df, query_vec, k, vec_col, key_col)
 

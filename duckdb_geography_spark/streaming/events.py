@@ -38,12 +38,17 @@ __all__ = [
 def _ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """Watermarks require TIMESTAMP (LTZ); fixture parquet arrives as
     timezone-less micros (TIMESTAMP_NTZ) or epoch-nanos longs. Coerce
-    either to LTZ — wall-clock values are unchanged under UTC."""
+    either to LTZ. The NTZ cast interprets the wall clock in the
+    session timezone, so rendering the result (date_format) under the
+    same session round-trips the original wall clock — standard Spark
+    semantics, no session config is mutated here. Pipelines that need
+    timezone-pinned window boundaries should set
+    ``spark.sql.session.timeZone`` themselves (the driver gates pin
+    UTC)."""
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
         df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
     elif dtype == "timestamp_ntz":
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

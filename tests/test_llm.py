@@ -136,6 +136,19 @@ class TestDedup:
         out = dedup.minhash_dedup(both, num_perm=32, bands=8, threshold=0.7)
         assert out.count() <= both.count() - 0.9 * len(planted)
 
+    def test_simhash_pairs_blocks_raise_respects_divisibility(self, spark):
+        # n_bits=60 with max_hamming=4: blocks must rise to a divisor
+        # of 60 (5), not double 4 -> 8 and crash
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+            ["doc_id", "text"],
+        )
+        got = dedup.simhash_pairs(
+            df, max_hamming=4, blocks=4, n_bits=60, hash_fn="md5"
+        ).collect()
+        assert {(r.key_a, r.key_b) for r in got} == {(1, 2)}
+        assert all(r.hamming == 0 for r in got)
+
     def test_minhash_dedup_exact_components_star(self, spark):
         # 1-3 and 2-3 are near-dups but 1-2 is not (Jaccards 0.719 /
         # 0.672 / 0.573 around threshold 0.65): greedy only drops the
@@ -215,6 +228,31 @@ class TestPrep:
         assert rows[2][2] == text[900:1100]  # short tail kept
         assert rows[3][2] == "short"
 
+    def test_chunk_no_fully_contained_tail(self, spark):
+        # a 500-char doc must yield exactly ONE chunk: a second chunk
+        # starting at 451 would be wholly inside the first
+        from duckdb_geography_spark.llm import prep
+
+        df = spark.createDataFrame([(1, "x" * 500), (2, "y" * 530)], ["doc_id", "text"])
+        rows = prep.chunk_documents(df, chunk_chars=500, overlap=50).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(by_doc[1]) == 1           # tail would add nothing
+        assert len(by_doc[2]) == 2           # 530 > 500: tail adds 30 chars
+        assert by_doc[2][1].n_chars == 80    # chars 451..530
+
+    def test_hash_split_buckets_scale(self, spark):
+        from duckdb_geography_spark.llm import prep
+
+        df = spark.createDataFrame([(str(i),) for i in range(2000)], ["text"])
+        frac = (
+            df.select(prep.hash_split("text", train_pct=90, buckets=1000).alias("s"))
+            .where(F.col("s") == "train")
+            .count()
+        ) / 2000
+        assert 0.85 <= frac <= 0.95  # buckets != 100 keeps the 90% target
+
     def test_hash_split_deterministic_and_leak_safe(self, docs):
         from duckdb_geography_spark.llm import prep
 
@@ -263,6 +301,17 @@ class TestConnectedComponents:
             for r in dedup.connected_components(pairs, nodes=nodes).collect()
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_nonconvergence_raises(self, spark):
+        # a 6-node chain needs 5 propagation rounds; max_iter=2 must
+        # raise rather than return silently split components
+        import pytest as _pytest
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], ["key_a", "key_b"]
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iter=2)
 
     def test_matches_python_union_find(self, docs):
         pairs = dedup.minhash_lsh_pairs(docs, num_perm=32, bands=8)
@@ -365,6 +414,33 @@ class TestSimilarity:
             F.sum("d").alias("n")
         ).collect()[0].n
         assert adiff == 0
+
+    def test_vectorized_kernels_null_safe(self, spark, emb):
+        # null / wrong-dimension embeddings must yield NULL, not crash
+        from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+        )
+        bad = spark.createDataFrame(
+            [(900001, None), (900002, [1.0, 2.0])], schema
+        )
+        mixed = emb.select("vec_id", "embedding").limit(5).union(bad)
+        q = [float(x) for x in emb.first().embedding]
+        scores = mixed.select(
+            "vec_id", similarity.cosine_score_udf(q)(F.col("embedding")).alias("s")
+        ).collect()
+        by_id = {r.vec_id: r.s for r in scores}
+        assert by_id[900001] is None and by_id[900002] is None
+        assert sum(v is not None for v in by_id.values()) == 5
+        sigs = mixed.select(
+            similarity.lsh_signature_udf(64, 8, 7)(F.col("embedding")).alias("g")
+        ).collect()
+        assert sum(r.g is None for r in sigs) == 2
+        asg = mixed.select(
+            similarity.ivf_assign_udf(64, 8, 11)(F.col("embedding")).alias("c")
+        ).collect()
+        assert sum(r.c is None for r in asg) == 2
 
     def test_ivf_assign_partitions_all_rows(self, spark, emb):
         asg = emb.select(
