@@ -606,7 +606,9 @@ class _WktParser:
         return np.array(pts, dtype=np.float64)
 
 
-_PREPARED_INDEX_VERSION = 1
+#: v2: struct+float64 framing (v1 was pickle — removed: pickle.loads on
+#: column bytes is an arbitrary-code-execution vector)
+_PREPARED_INDEX_VERSION = 2
 
 
 def _encode_prepared_index(inner: "Geography") -> bytes:
@@ -614,51 +616,107 @@ def _encode_prepared_index(inner: "Geography") -> bytes:
     points/lines/rings, per-ring orientations, per-shell bounding
     caps. Mirrors the reference's serialized S2ShapeIndex role
     (src/s2_functions_io.cpp:365-385) in numpy terms."""
-    import pickle
-
     from . import ops as _ops
 
     parts = _ops.parts_of(inner)
-    payload = pickle.dumps(
-        {
-            "v": _PREPARED_INDEX_VERSION,
-            "points": parts.points,
-            "lines": parts.lines,
-            "polygons": parts.polygons,
-            "orients": parts._orients,
-            "caps": parts._caps,
-        },
-        protocol=4,
-    )
+
+    def arr(a) -> bytes:
+        a = np.ascontiguousarray(a, dtype=np.float64).reshape(-1, 3)
+        return struct.pack("<I", a.shape[0]) + a.tobytes()
+
+    out = [struct.pack("<I", _PREPARED_INDEX_VERSION)]
+    out.append(arr(parts.points if len(parts.points) else np.empty((0, 3))))
+    out.append(struct.pack("<I", len(parts.lines)))
+    for l in parts.lines:
+        out.append(arr(l))
+    out.append(struct.pack("<I", len(parts.polygons)))
+    for rings, orients, cap in zip(parts.polygons, parts._orients, parts._caps):
+        out.append(struct.pack("<I", len(rings)))
+        for r, o in zip(rings, orients):
+            out.append(arr(r))
+            out.append(struct.pack("<i", int(o)))
+        if cap is None:
+            out.append(struct.pack("<B", 0))
+        else:
+            cx, cr = cap
+            out.append(
+                struct.pack("<B", 1)
+                + np.ascontiguousarray(cx, dtype=np.float64).tobytes()
+                + struct.pack("<d", float(cr))
+            )
+    payload = b"".join(out)
     return struct.pack("<I", len(payload)) + payload
 
 
 def _decode_prepared_index(inner: "Geography", buf: bytes, off: int) -> None:
     """Restore the serialized probe index onto ``inner`` (no-op for
-    payloads from before the index existed)."""
+    unknown versions or malformed payloads). The format is plain
+    struct + float64 arrays — deliberately NOT pickle, which would
+    execute attacker-controlled callables from untrusted column bytes.
+    """
     if off + 4 > len(buf):
         return
     (ln,) = struct.unpack_from("<I", buf, off)
     off += 4
     if ln == 0 or off + ln > len(buf):
         return
-    import pickle
-
     from . import ops as _ops
 
+    end = off + ln
     try:
-        d = pickle.loads(buf[off : off + ln])
-        if d.get("v") != _PREPARED_INDEX_VERSION:
+        (ver,) = struct.unpack_from("<I", buf, off)
+        if ver != _PREPARED_INDEX_VERSION:
             return
+        pos = off + 4
+
+        def arr():
+            nonlocal pos
+            (n,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            nbytes = n * 24
+            if pos + nbytes > end:
+                raise ValueError("truncated prepared index")
+            a = np.frombuffer(buf, dtype="<f8", count=n * 3, offset=pos).reshape(n, 3)
+            pos += nbytes
+            return a.copy()
+
+        points = arr()
+        (nlines,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        lines = [arr() for _ in range(nlines)]
+        (npolys,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        polygons, orients, caps = [], [], []
+        for _ in range(npolys):
+            (nrings,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            rings, ros = [], []
+            for _ in range(nrings):
+                rings.append(arr())
+                (o,) = struct.unpack_from("<i", buf, pos)
+                pos += 4
+                ros.append(o)
+            (has_cap,) = struct.unpack_from("<B", buf, pos)
+            pos += 1
+            if has_cap:
+                cx = np.frombuffer(buf, dtype="<f8", count=3, offset=pos).copy()
+                pos += 24
+                (cr,) = struct.unpack_from("<d", buf, pos)
+                pos += 8
+                caps.append((cx, cr))
+            else:
+                caps.append(None)
+            polygons.append(rings)
+            orients.append(ros)
     except Exception:
         return
     parts = _ops._Parts.__new__(_ops._Parts)
     parts.g = inner
-    parts.points = d["points"]
-    parts.lines = d["lines"]
-    parts.polygons = d["polygons"]
-    parts._orients = d["orients"]
-    parts._caps = d["caps"]
+    parts.points = points
+    parts.lines = lines
+    parts.polygons = polygons
+    parts._orients = orients
+    parts._caps = caps
     inner._parts = parts
 
 

@@ -128,6 +128,22 @@ class _Parts:
         ]
         self._caps = [_shell_cap(rings[0]) for rings in self.polygons]
 
+    @classmethod
+    def from_components(cls, points, lines, polygons) -> "_Parts":
+        """Build a parts set directly from xyz components (e.g. the
+        antipodal reflection in max_distance) — orientations and caps
+        are recomputed from the rings, so every method is usable."""
+        out = cls.__new__(cls)
+        out.g = None
+        out.points = points
+        out.lines = lines
+        out.polygons = polygons
+        out._orients = [
+            [gd.ring_orientation(r) for r in rings] for rings in polygons
+        ]
+        out._caps = [_shell_cap(rings[0]) for rings in polygons]
+        return out
+
     def poly_contains(self, x: np.ndarray) -> bool:
         """CLOSED-model containment in any polygon (shell minus holes)."""
         for rings, orients, cap in zip(self.polygons, self._orients, self._caps):
@@ -296,6 +312,23 @@ def contains(g1: Geography, g2: Geography) -> bool:
                     return False
             if a.polygons and _crosses_boundary_transversally(a, r, ring=True):
                 return False
+    # holes of g1 vs g2's interior: all of g2's boundary being covered
+    # does not prevent g2 from spanning ACROSS a hole of g1 (the hole
+    # ring then lies strictly inside g2, crossing nothing). Any hole
+    # vertex strictly inside g2 means g2 contains area excluded from
+    # g1 (matches S2BooleanOperation; geodesic rings, no transversal
+    # crossings survive to this point, so a vertex test suffices).
+    if b.polygons:
+        for rings in a.polygons:
+            for hole in rings[1:]:
+                for i in range(len(hole)):
+                    x = hole[i]
+                    if b.poly_contains(x) and not any(
+                        _point_on_ring_boundary(x, r2)
+                        for rings2 in b.polygons
+                        for r2 in rings2
+                    ):
+                        return False
     return True
 
 
@@ -319,7 +352,6 @@ def _crosses_boundary_transversally(a: "_Parts", chain: np.ndarray, ring=False) 
     for rings in a.polygons:
         for r in rings:
             r1 = np.roll(r, -1, axis=0)
-            d1 = np.einsum("aij,aij->ai", np.cross(c0[:, None, :], c1[:, None, :]), np.broadcast_to(r[None, :, :], (len(c0), len(r), 3)))
             # proper crossing test, strict (boundary touching allowed in CLOSED model)
             A0, A1 = c0[:, None, :], c1[:, None, :]
             B0, B1 = r[None, :, :], r1[None, :, :]
@@ -370,7 +402,13 @@ def distance(g1: Geography, g2: Geography) -> float:
     (src/s2_binary_index_ops.cpp:546-569, :617-648)."""
     if g1.is_empty() or g2.is_empty():
         return INF
-    a, b = parts_of(g1), parts_of(g2)
+    return _parts_min_angle(parts_of(g1), parts_of(g2)) * R
+
+
+def _parts_min_angle(a: "_Parts", b: "_Parts") -> float:
+    """Min angle (radians) between two parts sets; 0 if they
+    intersect. Shared by distance() and max_distance()'s antipode
+    identity."""
     if _parts_intersect(a, b):
         return 0.0
     best = INF
@@ -388,7 +426,7 @@ def distance(g1: Geography, g2: Geography) -> float:
             for i in range(len(a0)):
                 for j in range(len(b0)):
                     best = min(best, gd.segment_segment_min_distance(a0[i], a1[i], b0[j], b1[j]))
-    return best * R
+    return best
 
 
 def _min_angle_point_to_parts(x: np.ndarray, parts: "_Parts") -> float:
@@ -410,11 +448,13 @@ def max_distance(g1: Geography, g2: Geography) -> float:
     """Max geodesic distance in meters; empty -> inf
     (src/s2_binary_index_ops.cpp:571-615).
 
-    Uses the antipode identity: the farthest point of a set from x is
-    at angle pi - min_angle(-x, set), which covers edge-interior
-    maxima (S2FurthestEdgeQuery parity). The max over two sets is
-    attained with a vertex on at least one side, so sweeping each
-    side's vertices against the other set is exact."""
+    Uses the SET-level antipode identity: max_angle(A, B) =
+    pi - min_angle(A, -B), where -B is B reflected through the origin.
+    This covers maxima attained at interior points of BOTH edge sets
+    (when -A's edges cross B's, the min is 0 and the max is exactly
+    pi) — a vertex sweep alone misses those (S2FurthestEdgeQuery
+    parity). Point-only pairs keep the direct chord-max path so the
+    reference goldens stay bit-exact."""
     if g1.is_empty() or g2.is_empty():
         return INF
     a, b = parts_of(g1), parts_of(g2)
@@ -423,17 +463,13 @@ def max_distance(g1: Geography, g2: Geography) -> float:
         return INF
     # vertex-vertex pairs via direct chord math (bit-exact golden path)
     best = float(np.max(gd.angle(va[:, None, :], vb[None, :, :])))
-    # edge-interior maxima via the antipode identity, only for sides
-    # that actually have edges (keeps point-point results chord-exact)
-    for src_v, dst in ((va, b), (vb, a)):
-        if not (dst.lines or dst.polygons):
-            continue
-        edge_parts = _Parts.__new__(_Parts)
-        edge_parts.points = np.empty((0, 3))
-        edge_parts.lines = dst.lines
-        edge_parts.polygons = dst.polygons
-        for v in src_v:
-            best = max(best, math.pi - _min_angle_point_to_parts(-v, edge_parts))
+    if a.lines or a.polygons or b.lines or b.polygons:
+        refl = _Parts.from_components(
+            -b.points if len(b.points) else b.points,
+            [-l for l in b.lines],
+            [[-r for r in rings] for rings in b.polygons],
+        )
+        best = max(best, math.pi - _parts_min_angle(a, refl))
     return best * R
 
 
@@ -647,6 +683,9 @@ def _general_overlay(g1: Geography, g2: Geography, op: str) -> Geography:
         for x in pts2:
             if _covers_point(parts1, x):
                 out_pts.append(x)
+        # a point present in BOTH inputs is collected once from each
+        # side — dedupe like the union branch does
+        out_pts = _dedupe_xyz_points(out_pts)
     elif op == "difference":
         if polys1:
             out_polys = (
@@ -712,16 +751,29 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
     verts = _all_vertices(parts)
     lat = np.degrees(np.arcsin(np.clip(verts[:, 2], -1, 1)))
     lat_lo, lat_hi = float(np.min(lat)), float(np.max(lat))
-    lngs = np.degrees(np.arctan2(verts[:, 1], verts[:, 0]))
-    lng_int = _LngInterval.from_point(lngs[0])
-    for v in lngs[1:]:
-        lng_int.add_point(v)
+    # longitude interval: union of per-EDGE spans (S2 RectBounder's
+    # FromPointPair semantics) — adding vertices one at a time extends
+    # the interval the shortest way toward each new VERTEX, which can
+    # exclude the interior of an edge that runs the other way round
+    lng_int = None
+    if len(parts.points):
+        plngs = np.degrees(np.arctan2(parts.points[:, 1], parts.points[:, 0]))
+        for p in plngs:
+            span = _LngInterval.from_point(float(p))
+            lng_int = span if lng_int is None else lng_int.union(span)
     # edge bulge: a geodesic edge can reach beyond its endpoint latitudes
     for a0, a1 in parts.edges():
         for i in range(len(a0)):
             lo, hi = _edge_lat_extremes(a0[i], a1[i])
             lat_lo = min(lat_lo, lo)
             lat_hi = max(lat_hi, hi)
+            span = _LngInterval.from_point_pair(
+                math.degrees(math.atan2(a0[i][1], a0[i][0])),
+                math.degrees(math.atan2(a1[i][1], a1[i][0])),
+            )
+            lng_int = span if lng_int is None else lng_int.union(span)
+    if lng_int is None:  # no points, no edges
+        return EMPTY_RECT
     # pole containment -> full rect behavior
     north = np.array([0.0, 0.0, 1.0])
     south = np.array([0.0, 0.0, -1.0])
@@ -774,6 +826,23 @@ class _LngInterval:
             p = 180.0
         return _LngInterval(p, p)
 
+    @staticmethod
+    def from_point_pair(p1: float, p2: float) -> "_LngInterval":
+        """Shortest interval containing both points (S1Interval::
+        FromPointPair) — the span of a single geodesic edge."""
+        if p1 == -180.0:
+            p1 = 180.0
+        if p2 == -180.0:
+            p2 = 180.0
+        if _pos_angle(p2 - p1) <= 180.0:
+            return _LngInterval(p1, p2)
+        return _LngInterval(p2, p1)
+
+    def length(self) -> float:
+        if self.is_full():
+            return 360.0
+        return _pos_angle(self.hi - self.lo)
+
     def is_full(self) -> bool:
         return self.lo == -180.0 and self.hi == 180.0
 
@@ -798,13 +867,27 @@ class _LngInterval:
             self.hi = p
 
     def union(self, other: "_LngInterval") -> "_LngInterval":
-        out = _LngInterval(self.lo, self.hi)
-        out.add_point(other.lo)
-        out.add_point(other.hi)
-        # ensure the other interval is fully contained; if not, go full
-        if not (out.contains(other.lo) and out.contains(other.hi)):
-            return _LngInterval(-180.0, 180.0)
-        return out
+        """S1Interval::Union — the smallest interval containing both
+        FULL intervals (not just the other's endpoints)."""
+        full = _LngInterval(-180.0, 180.0)
+        if self.is_full() or other.is_full():
+            return full
+        in_lo, in_hi = self.contains(other.lo), self.contains(other.hi)
+        if in_lo and in_hi:
+            # other ⊆ self, or the two jointly wrap the whole circle
+            if other.length() > self.length():
+                return full
+            return _LngInterval(self.lo, self.hi)
+        if in_lo:
+            return _LngInterval(self.lo, other.hi)
+        if in_hi:
+            return _LngInterval(other.lo, self.hi)
+        if other.contains(self.lo):  # self ⊆ other
+            return _LngInterval(other.lo, other.hi)
+        # disjoint: extend whichever direction adds less arc
+        if _pos_angle(self.lo - other.hi) < _pos_angle(other.lo - self.hi):
+            return _LngInterval(other.lo, self.hi)
+        return _LngInterval(self.lo, other.hi)
 
 
 def _pos_angle(d: float) -> float:

@@ -59,14 +59,24 @@ class _Snap:
         self._by_key: Dict[Tuple[int, int, int], np.ndarray] = {}
 
     def canon(self, p: np.ndarray) -> np.ndarray:
-        base = np.round(p * _KEY_SCALE)
-        # probe the 8-neighborhood of the rounding cell so two points
-        # within EPS straddling a cell boundary still unify
+        scaled = p * _KEY_SCALE
+        base = np.round(scaled)
+        # probe the full 27-neighborhood of the rounding cell (each axis
+        # shifted independently) so two points within EPS straddling a
+        # cell boundary in ANY single axis still unify — a uniform
+        # shift of all three axes would miss e.g. an x-boundary
+        # straddle with y and z mid-cell
         for dx in (0.0, -0.5, 0.5):
-            k = tuple(int(v) for v in np.round(p * _KEY_SCALE + dx))
-            q = self._by_key.get(k)
-            if q is not None and float(np.linalg.norm(q - p)) < 4 * EPS:
-                return q
+            for dy in (0.0, -0.5, 0.5):
+                for dz in (0.0, -0.5, 0.5):
+                    k = (
+                        int(round(scaled[0] + dx)),
+                        int(round(scaled[1] + dy)),
+                        int(round(scaled[2] + dz)),
+                    )
+                    q = self._by_key.get(k)
+                    if q is not None and float(np.linalg.norm(q - p)) < 4 * EPS:
+                        return q
         k = tuple(int(v) for v in base)
         self._by_key[k] = p
         return p

@@ -481,13 +481,15 @@ def token_decode(tokens) -> np.ndarray:
     """Hex token -> cell id; invalid strings -> id 0 (no error)."""
     arr = np.asarray(tokens, dtype=object).ravel()
     out = np.zeros(arr.shape, dtype=np.uint64)
+    hexdigits = set("0123456789abcdefABCDEF")
     for n, t in enumerate(arr.tolist()):
         if not t or not isinstance(t, str) or t == "X" or len(t) > 16:
             continue
-        try:
-            out[n] = U64(int(t.ljust(16, "0"), 16))
-        except ValueError:
-            out[n] = 0
+        # int(, 16) accepts '+'/'-'/whitespace/'0x' — S2's FromToken
+        # rejects anything that is not a bare hex digit
+        if not all(ch in hexdigits for ch in t):
+            continue
+        out[n] = U64(int(t.ljust(16, "0"), 16))
     return out
 
 

@@ -81,6 +81,7 @@ class _GeogRegion:
                 xyz = gd.lonlat_deg_to_xyz(line)
                 edges_a.append(xyz[:-1])
                 edges_b.append(xyz[1:])
+        self.shell_holes = []  # per shell: [(hole_xyz, orient), ...]
         for rings in geog.all_polygons():
             for ri, r in enumerate(rings):
                 if len(r) < 3:
@@ -92,6 +93,9 @@ class _GeogRegion:
                 if ri == 0:
                     self.rings_xyz.append(xyz)
                     self.ring_orients.append(gd.ring_orientation(xyz))
+                    self.shell_holes.append([])
+                elif self.shell_holes:
+                    self.shell_holes[-1].append((xyz, gd.ring_orientation(xyz)))
         self.edge_a = np.concatenate(edges_a) if edges_a else np.empty((0, 3))
         self.edge_b = np.concatenate(edges_b) if edges_b else np.empty((0, 3))
         if self.vertex_lonlat:
@@ -118,29 +122,42 @@ class _GeogRegion:
         xyz /= np.linalg.norm(xyz, axis=1)[:, None]
         return xyz.reshape(n, 4, 3)
 
-    def _points_in_shells(self, pts: np.ndarray) -> np.ndarray:
-        """(p,) bool: point inside any polygon shell (batched winding)."""
+    @staticmethod
+    def _points_in_ring(P: np.ndarray, ring: np.ndarray, orient) -> np.ndarray:
+        """(p,) bool: batched winding test of points against one ring
+        (vertex coincidence counts as inside)."""
+        proj = P @ ring.T  # (p,r)
+        d = ring[None, :, :] - proj[:, :, None] * P[:, None, :]
+        norms = np.linalg.norm(d, axis=2)
+        deg = norms < 1e-14  # a vertex coincides with the point
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d = d / np.where(norms > 0, norms, 1.0)[:, :, None]
+        d_next = np.roll(d, -1, axis=1)
+        cosang = np.clip(np.einsum("pri,pri->pr", d, d_next), -1.0, 1.0)
+        sinang = np.einsum("pri,pi->pr", np.cross(d, d_next), P)
+        total = np.sum(np.arctan2(sinang, cosang), axis=1)
+        # winding must match the ring's orientation: the antipodal
+        # mirror region winds with the opposite sign and is outside
+        return (total * orient > np.pi) | deg.any(axis=1)
+
+    def _points_in_region(self, pts: np.ndarray) -> np.ndarray:
+        """(p,) bool: point inside the polygon REGION (shell minus its
+        holes) — the exact test definite-containment needs."""
         if not self.rings_xyz or not len(pts):
             return np.zeros(len(pts), dtype=bool)
         out = np.zeros(len(pts), dtype=bool)
-        for ring, orient in zip(self.rings_xyz, self.ring_orients):
+        for ring, orient, holes in zip(
+            self.rings_xyz, self.ring_orients, self.shell_holes
+        ):
             todo = ~out
             if not np.any(todo):
                 break
-            P = pts[todo]  # (p,3)
-            proj = P @ ring.T  # (p,r)
-            d = ring[None, :, :] - proj[:, :, None] * P[:, None, :]
-            norms = np.linalg.norm(d, axis=2)
-            deg = norms < 1e-14  # a vertex coincides with the point
-            with np.errstate(invalid="ignore", divide="ignore"):
-                d = d / np.where(norms > 0, norms, 1.0)[:, :, None]
-            d_next = np.roll(d, -1, axis=1)
-            cosang = np.clip(np.einsum("pri,pri->pr", d, d_next), -1.0, 1.0)
-            sinang = np.einsum("pri,pi->pr", np.cross(d, d_next), P)
-            total = np.sum(np.arctan2(sinang, cosang), axis=1)
-            # winding must match the ring's orientation: the antipodal
-            # mirror region winds with the opposite sign and is outside
-            inside = (total * orient > np.pi) | deg.any(axis=1)
+            P = pts[todo]
+            inside = self._points_in_ring(P, ring, orient)
+            for hole, ho in holes:
+                if not np.any(inside):
+                    break
+                inside &= ~self._points_in_ring(P, hole, ho)
             out[np.flatnonzero(todo)[inside]] = True
         return out
 
@@ -161,7 +178,12 @@ class _GeogRegion:
         todo = ~hit
         if self.rings_xyz and np.any(todo):
             flat = corners[todo].reshape(-1, 3)
-            inside = self._points_in_shells(flat).reshape(-1, 4).any(axis=1)
+            # region (shell minus holes): a cell whose corners are all
+            # inside a hole does NOT intersect — shell-only testing
+            # would cover hole interiors (S2Polygon.MayIntersect parity;
+            # cells straddling a hole boundary are caught by the edge-
+            # crossing and vertex tests)
+            inside = self._points_in_region(flat).reshape(-1, 4).any(axis=1)
             hit[np.flatnonzero(todo)[inside]] = True
         todo = ~hit
         if len(self.edge_a) and np.any(todo):
@@ -186,7 +208,7 @@ class _GeogRegion:
             return out
         cx, cy, cz = cm.cellid_to_center_xyz(cells)
         centers = np.stack([cx, cy, cz], axis=1)
-        out |= self._points_in_shells(centers) & todo
+        out |= self._points_in_region(centers) & todo
         rem = todo & ~out
         if np.any(rem):
             idx = np.flatnonzero(rem)
@@ -221,7 +243,9 @@ class _GeogRegion:
         corners = self._cells_corners(cells)
         idx = np.flatnonzero(ok)
         flat = corners[ok].reshape(-1, 3)
-        inside = self._points_in_shells(flat).reshape(-1, 4).all(axis=1)
+        # definite containment must respect holes: a cell whose corners
+        # sit inside a shell may still be entirely inside a hole
+        inside = self._points_in_region(flat).reshape(-1, 4).all(axis=1)
         ok[idx[~inside]] = False
         todo = ok
         if len(self.edge_a) and np.any(todo):

@@ -231,3 +231,92 @@ class TestAntipodeContainment:
         anti = cm.lonlat_to_cellid(np.array([30.0]), np.array([-40.0]))
         lo, hi = cm.range_min(cov), cm.range_max(cov)
         assert not ((lo <= anti[0]) & (anti[0] <= hi)).any()
+
+
+class TestReviewRegressions:
+    """Repros from the round-2 geometry review."""
+
+    def test_max_distance_lines_no_crash(self):
+        from duckdb_geography_spark.geo import ops
+        from duckdb_geography_spark.geo.geography import from_wkt
+
+        d = ops.max_distance(
+            from_wkt("LINESTRING (0 0, 10 0)"), from_wkt("LINESTRING (20 0, 30 0)")
+        )
+        assert 2_000_000 < d < 4_000_000  # ~30 deg of equator
+
+    def test_max_distance_interior_antipodal(self):
+        import math
+
+        from duckdb_geography_spark.geo import ops
+        from duckdb_geography_spark.geo.geography import from_wkt
+
+        # (0,0) on A and (180,0) on B are antipodal interior points:
+        # the true max is pi*R, unreachable by a vertex sweep
+        d = ops.max_distance(
+            from_wkt("LINESTRING (0 -10, 0 10)"),
+            from_wkt("LINESTRING (175 -10, -175 10)"),
+        )
+        assert abs(d - math.pi * ops.R) < 1.0
+
+    def test_contains_respects_holes(self):
+        from duckdb_geography_spark.geo import ops
+        from duckdb_geography_spark.geo.geography import from_wkt
+
+        a = from_wkt(
+            "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (8 8, 12 8, 12 12, 8 12, 8 8))"
+        )
+        b = from_wkt("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        assert not ops.contains(a, b)  # b spans a's hole
+        assert not ops.equals(a, b)
+        inner = from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        assert ops.contains(a, inner)  # away from the hole: still true
+
+    def test_intersection_point_not_duplicated(self):
+        from duckdb_geography_spark.geo import ops
+        from duckdb_geography_spark.geo.geography import from_wkt
+
+        g = ops.intersection(
+            from_wkt("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (30 30, 31 31))"),
+            from_wkt("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (40 40, 41 41))"),
+        )
+        assert g.to_wkt(0).count("1") == 2  # POINT (1 1), not MULTIPOINT ((1 1), (1 1))
+
+    def test_bounds_rect_edge_interior_included(self):
+        from duckdb_geography_spark.geo import ops
+        from duckdb_geography_spark.geo.geography import from_wkt
+
+        # the equator edge from -160 to -20 passes through lon -90
+        xmin, ymin, xmax, ymax = ops.bounds_rect(
+            from_wkt("LINESTRING (0 0, 100 0, -160 0, -20 0)")
+        )
+        covers = (
+            (xmin <= -90.0 <= xmax)
+            if xmin <= xmax
+            else (-90.0 >= xmin or -90.0 <= xmax)
+        )
+        assert covers, (xmin, xmax)
+
+    def test_covering_excludes_hole_interior(self):
+        import numpy as np
+
+        from duckdb_geography_spark.geo.geography import from_wkt
+        from duckdb_geography_spark.s2 import cellmath as cm
+        from duckdb_geography_spark.s2.coverer import _GeogRegion
+
+        holed = from_wkt(
+            "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), (10 10, 30 10, 30 30, 10 30, 10 10))"
+        )
+        region = _GeogRegion(holed)
+        hole_center = cm.parent(cm.lonlat_to_cellid(np.array([20.0]), np.array([20.0])), np.array([8]))
+        assert not region.contains_cell_batch(hole_center)[0]
+        assert not region.may_intersect_batch(hole_center)[0]
+
+    def test_token_decode_rejects_nonhex(self):
+        import numpy as np
+
+        from duckdb_geography_spark.s2 import cellmath as cm
+
+        got = cm.token_decode(["+abc", " 89c", "-1", "89c259", "0x1"])
+        assert list(got[:3]) == [0, 0, 0]
+        assert got[3] != 0 and got[4] == 0
