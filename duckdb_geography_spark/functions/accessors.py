@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd
@@ -77,7 +76,7 @@ def s2_is_valid_reason(geog) -> Column:
     return _is_valid_reason_udf(_c(geog))
 
 
-def _scalar_udf(fn, default=0.0):
+def _scalar_udf(fn):
     @F.pandas_udf(DoubleType())
     def _udf(s: pd.Series) -> pd.Series:
         out = []
@@ -94,8 +93,9 @@ def _scalar_udf(fn, default=0.0):
 _area_udf = _scalar_udf(ops.area)
 _perimeter_udf = _scalar_udf(ops.perimeter)
 _length_udf = _scalar_udf(ops.length)
-_x_udf = _scalar_udf(ops.x_coord, math.nan)
-_y_udf = _scalar_udf(ops.y_coord, math.nan)
+# ops.x_coord / y_coord return NaN themselves for non-point input
+_x_udf = _scalar_udf(ops.x_coord)
+_y_udf = _scalar_udf(ops.y_coord)
 
 
 def s2_area(geog) -> Column:

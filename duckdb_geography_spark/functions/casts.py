@@ -80,7 +80,8 @@ def _geography_to_cell_center_udf(s: pd.Series) -> pd.Series:
             )
         cid = cm.lonlat_to_cellid([p[0]], [p[1]])[0]
         out.append(int(cm.to_signed(np.array([cid]))[0]))
-    return pd.Series(out, dtype=np.int64)
+    # object dtype: int64 cannot carry the Nones NULL inputs produce
+    return pd.Series(out, dtype=object)
 
 
 def s2_geography_to_cell_center(geog) -> Column:
@@ -199,14 +200,14 @@ def _wkb_to_cell(b: bytes, arbitrary: bool) -> int:
 @F.pandas_udf(LongType())
 def _cellfromwkb_udf(s: pd.Series) -> pd.Series:
     return pd.Series(
-        [None if b is None else _wkb_to_cell(bytes(b), False) for b in s], dtype=np.int64
+        [None if b is None else _wkb_to_cell(bytes(b), False) for b in s], dtype=object
     )
 
 
 @F.pandas_udf(LongType())
 def _arbitrarycellfromwkb_udf(s: pd.Series) -> pd.Series:
     return pd.Series(
-        [None if b is None else _wkb_to_cell(bytes(b), True) for b in s], dtype=np.int64
+        [None if b is None else _wkb_to_cell(bytes(b), True) for b in s], dtype=object
     )
 
 

@@ -63,9 +63,11 @@ def tag_kind(s: pd.Series) -> np.ndarray:
     return np.array([b[0] if b is not None else -1 for b in s], dtype=np.int64)
 
 
-def tag_is_empty(s: pd.Series) -> np.ndarray:
+def tag_is_empty(s: pd.Series):
+    """Per-row empty flag; NULL in -> NULL out (object array so the
+    Nones survive — a bool dtype would coerce them to True)."""
     return np.array(
-        [bool(b[1] & 1) if b is not None else True for b in s], dtype=bool
+        [bool(b[1] & 1) if b is not None else None for b in s], dtype=object
     )
 
 

@@ -37,25 +37,6 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _prefilter(b1, b2):
-    """(skip, value): covering pre-filter from encoded prefixes only.
-
-    Mirrors ExecutePredicate's early-outs
-    (src/s2_binary_index_ops.cpp:287-312, CoveringMayIntersect
-    :450-461): empty -> definite false; disjoint coverings ->
-    definite false.
-    """
-    if b1 is None or b2 is None:
-        return True, None
-    if (b1[1] & 1) or (b2[1] & 1):
-        return True, False
-    c1 = U.tag_covering(b1)
-    c2 = U.tag_covering(b2)
-    if len(c1) and len(c2) and not ops.coverings_overlap(c1, c2):
-        return True, False
-    return False, None
-
-
 def _batch_overlap(s1: pd.Series, s2: pd.Series):
     """Vectorized covering-overlap over a whole Arrow batch.
 
@@ -210,23 +191,6 @@ def s2_difference(geog1, geog2) -> Column:
 def s2_union(geog1, geog2) -> Column:
     """Binary overlay AvB (src/s2_binary_index_ops.cpp:413-448)."""
     return _union_udf(_c(geog1), _c(geog2))
-
-
-def _cell_center_pair(b1, b2):
-    """Fast path: both operands are snapped cell centers
-    (src/s2_binary_index_ops.cpp:521-528, :633-640)."""
-    from ..geo.geography import KIND_CELL_CENTER
-
-    if b1[0] == KIND_CELL_CENTER and b2[0] == KIND_CELL_CENTER:
-        c1 = U.tag_covering(b1)
-        c2 = U.tag_covering(b2)
-        if len(c1) == 1 and len(c2) == 1:
-            x1 = np.stack(cm.cellid_to_center_xyz(c1), axis=1)
-            x2 = np.stack(cm.cellid_to_center_xyz(c2), axis=1)
-            from ..geo import geodesy as gd
-
-            return float(gd.angle(x1, x2)[0]) * gd.EARTH_RADIUS_METERS
-    return None
 
 
 def _batch_distance(s1: pd.Series, s2: pd.Series, slow_fn=None) -> np.ndarray:

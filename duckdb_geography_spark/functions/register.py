@@ -48,6 +48,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         return cm.to_unsigned(s.to_numpy(np.int64, na_value=-1))
 
     r("s2_cellfromlonlat", C._cellfromlonlat_udf)
+    r("s2_cell_is_valid", _np_udf(BooleanType(), lambda s: pd.Series(cm.is_valid(u(s)))))
     r("s2_cell_token", _np_udf(StringType(), lambda s: pd.Series(cm.token_encode(u(s)))))
     r("s2_cell_from_token", _np_udf(LongType(), lambda s: pd.Series(cm.to_signed(cm.token_decode(s.to_numpy(object))))))
     r("s2_cell_level", _np_udf(IntegerType(), lambda s: pd.Series(cm.level(u(s)).astype("int32"))))
@@ -60,6 +61,8 @@ def register_sql_functions(spark: SparkSession) -> None:
     r("s2_cell_debug_string", C._cell_debug_string_udf)
     r("s2_cell_from_debug_string", C._cell_from_debug_string_udf)
     r("s2_cell_edge_neighbor", C._cell_edge_neighbor_udf)
+    r("s2_cell_center_lon", C._cell_center_lon_udf)
+    r("s2_cell_center_lat", C._cell_center_lat_udf)
 
     # io
     @F.pandas_udf(StringType())

@@ -47,11 +47,9 @@ def to_geoarrow_table(df: DataFrame, geog_col: str = "geog") -> pa.Table:
     results, and :func:`write_geoparquet_dir` for anything large."""
     wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
     tbl = pa.Table.from_pandas(wkb_df.toPandas(), preserve_index=False)
-    idx = tbl.schema.get_field_index(geog_col)
-    field = tbl.schema.field(idx).with_metadata(
-        {k.encode(): v.encode() for k, v in GEOARROW_META.items()}
-    )
-    return tbl.set_column(idx, field, tbl.column(idx))
+    # single source of truth for the field tagging (shared with the
+    # distributed write_geoparquet_dir path)
+    return tbl.cast(_tag_schema(tbl.schema, geog_col))
 
 
 def write_geoparquet_dir(
@@ -64,7 +62,11 @@ def write_geoparquet_dir(
     carries the same geoarrow.wkb field metadata the reference writes
     (src/s2_geoarrow.cpp:48-84). The directory must be on storage all
     executors can reach (local dir in local mode, shared/dist FS on a
-    cluster).
+    cluster). Files land under temp names and are renamed on success,
+    so failed tasks never leave truncated parquet; a retry after a
+    successful rename can still produce a duplicate part — run with
+    speculative execution off, or write through a committing sink
+    (write.parquet on the WKB frame) when exactly-once matters.
     """
     import os
 
@@ -79,16 +81,24 @@ def write_geoparquet_dir(
         import pyarrow.parquet as _pq
 
         writer = None
-        path = os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet")
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(dir_path, "_tmp-" + name)
+        path = os.path.join(dir_path, name)
         rows = 0
+        # write under a _tmp- name and rename on success: a task that
+        # dies mid-write leaves only a _tmp- file the reader skips, so
+        # retries never surface truncated parquet. (A retry AFTER a
+        # successful rename can still duplicate a part — full
+        # exactly-once needs a commit protocol; see docstring.)
         for batch in batches:
             if writer is None:
-                writer = _pq.ParquetWriter(path, _tag_schema(batch.schema, geog_col))
+                writer = _pq.ParquetWriter(tmp, _tag_schema(batch.schema, geog_col))
             writer.write_batch(batch)
             rows += batch.num_rows
         if writer is None:
             return  # empty partition: no file
         writer.close()
+        os.rename(tmp, path)
         yield _pa.RecordBatch.from_pydict({"path": [path], "rows": [rows]})
 
     receipts = wkb_df.mapInArrow(_write, "path string, rows long").collect()
@@ -102,7 +112,9 @@ def read_geoparquet_dir(
     through Spark's parallel parquet scan (the geoarrow tagging lives
     in each file's footer; the WKB decode is the same worker-side
     path as any other scan)."""
-    df = spark.read.parquet(dir_path)
+    df = (
+        spark.read.option("pathGlobFilter", "part-*.parquet").parquet(dir_path)
+    )
     return df.withColumn(geog_col, s2_geogfromwkb(F.col(geog_col)))
 
 
@@ -120,8 +132,15 @@ def from_geoarrow_table(
         if name != "geoarrow.wkb":
             raise ValueError(f"column {geog_col!r} is not geoarrow.wkb (got {name!r})")
         ext = json.loads(meta.get(b"ARROW:extension:metadata", b"{}") or b"{}")
-        if ext.get("edges") not in (None, "spherical"):
-            raise ValueError("only spherical-edge geoarrow data is supported")
+        # the geoarrow spec's default for an omitted "edges" key is
+        # PLANAR: accepting it silently would reinterpret planar
+        # polygons as geodesic ones (edges shift by up to tens of km)
+        if ext.get("edges") != "spherical":
+            raise ValueError(
+                "only spherical-edge geoarrow data is supported; "
+                f"got edges={ext.get('edges')!r} (omitted means planar; "
+                "pass strict=False to import anyway)"
+            )
     pdf = table.to_pandas()
     df = spark.createDataFrame(pdf)
     return df.withColumn(geog_col, s2_geogfromwkb(F.col(geog_col)))

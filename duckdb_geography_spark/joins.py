@@ -148,9 +148,10 @@ def cell_containment_join(
     ``s2_cell_parent(cell, level)``, a pure bit expression that stays
     in WholeStageCodegen. Only the (small) region side pays the
     covering UDF, and only candidate pairs pay the exact refine.
-    Refinement tests leaf-cell containment in the region covering
-    (``s2_cell_contains``, also pure columns) and optionally the exact
-    polygon predicate.
+    (A separate ``s2_cell_contains`` pre-refine would be tautological
+    here: both join sides are exactly level-``level`` cells, so every
+    equi-join match already satisfies containment — the bit test is
+    the join key itself.)
     """
     # spread the covering UDF across workers even when the region
     # table is tiny (one 25-row partition would serialize the coverer)
@@ -218,6 +219,8 @@ def distance_join(
         r_renamed = r_renamed.withColumnRenamed(col, col + "_r")
         if rk == col:
             rk = col + "_r"
+        if rgeog_out == col:
+            rgeog_out = col + "_r"
 
     l_cells = lk_df.withColumn(
         "__cell", F.explode(s2_covering_fixed_level(left_geog, level))

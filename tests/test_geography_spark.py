@@ -440,3 +440,35 @@ class TestAgg:
 
         r = one(bounds_box_agg_df(df, "g"))
         assert (r.xmin, r.ymin, r.xmax, r.ymax) == (180.0, 57.29577951308232, -180.0, 0.0)
+
+
+def test_null_rows_flow_through_casts_and_accessors(spark):
+    """NULL geography/WKB rows must yield NULL, not crash the task
+    (int64 pandas Series cannot hold None) or coerce to a value
+    (isempty used to map NULL -> true)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from duckdb_geography_spark.functions.accessors import s2_isempty
+    from duckdb_geography_spark.functions.casts import (
+        s2_arbitrarycellfromwkb,
+        s2_cellfromwkb,
+        s2_geography_to_cell_center,
+    )
+    from duckdb_geography_spark.functions.io import s2_aswkb, s2_geogfromtext
+
+    schema = StructType([StructField("b", BinaryType())])
+    df = spark.createDataFrame([(None,)], schema).withColumn(
+        "g", s2_geogfromtext(F.lit("POINT (1 2)"))
+    )
+    row = df.select(
+        s2_geography_to_cell_center(F.lit(None).cast("binary")).alias("cc"),
+        s2_cellfromwkb("b").alias("cw"),
+        s2_arbitrarycellfromwkb("b").alias("ca"),
+        s2_isempty(F.lit(None).cast("binary")).alias("e"),
+        s2_isempty("g").alias("e2"),
+        s2_cellfromwkb(s2_aswkb("g")).alias("cw2"),
+    ).collect()[0]
+    assert row.cc is None and row.cw is None and row.ca is None
+    assert row.e is None and row.e2 is False
+    assert row.cw2 is not None
