@@ -54,8 +54,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in _NANO_TS and field.dataType.simpleString() == "bigint":
+            # integer division: double's 53-bit mantissa cannot hold
+            # current-era nanos, so (col / 1000) would shift many
+            # timestamps by 1 us
             df = df.withColumn(
-                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )
     # the test-fixture parquet is one row group per table, so the scan
     # is a single partition and ALL map-side work (codegen expressions,

@@ -360,6 +360,7 @@ def connected_components(
     if nodes is not None:
         n = n.unionAll(nodes.select(F.col(nodes.columns[0]).alias("node")))
     labels = n.distinct().select("node", F.col("node").alias("label")).localCheckpoint()
+    changed = None  # None = the loop never ran (max_iter <= 0)
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -394,7 +395,8 @@ def connected_components(
         # them would silently split components
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter"
+            + (f"({changed} labels still changing); " if changed is not None else "")
+            + "raise max_iter"
         )
     return labels.select("node", F.col("label").alias("component"))
 

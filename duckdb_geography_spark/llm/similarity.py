@@ -85,12 +85,6 @@ def _query_lit(query_vec: Sequence[float]) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _stack(v: pd.Series) -> np.ndarray:
-    if len(v) == 0:
-        return np.empty((0, 0), dtype=np.float64)
-    return np.vstack(v.to_numpy()).astype(np.float64)
-
-
 def _valid_mask(v: pd.Series, dim: int) -> np.ndarray:
     """Rows the kernels can evaluate: non-null vectors of length
     ``dim``. The Column expressions return NULL for null/mismatched
@@ -302,8 +296,10 @@ def ivf_assign(vec_col: str, dim: int, n_centroids: int = 16, seed: int = 11) ->
     """IVF coarse-quantizer assignment: 1-based index of the centroid
     with the largest dot product. Norm of the vector cancels in the
     argmax (centroids are unit), so this equals the cosine argmax.
-    Pure map-side expression — at scale this is the write-time
-    partition key (one pass, no shuffle)."""
+    Expression tier (the DuckDB oracle's twin): note the dots array is
+    evaluated twice (array_position + array_max are one expression and
+    interpreted HOFs get no subexpression elimination) — use
+    ``ivf_assign_udf`` for the write-time hot path."""
     cents = _ivf_centroids(dim, n_centroids, seed)
     return F.expr(
         f"array_position({_dots_expr(vec_col, cents)}, "
@@ -409,7 +405,15 @@ def lsh_neardup_pairs(
     twin is embedding_neardup_pairs."""
     assert max_hamming < blocks and n_planes % blocks == 0
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # inference costs a Spark job and needs a non-null first row —
+        # pass dim explicitly in pipelines
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim (empty DataFrame or null first "
+                "row); pass dim= explicitly"
+            )
+        dim = len(head[0])
     sig = lsh_signature_udf(dim, n_planes, seed)(F.col(vec_col))
     base = df.select(F.col(key_col).alias("__key"), F.col(vec_col).alias("__v"), sig.alias("__sig"))
     width = n_planes // blocks

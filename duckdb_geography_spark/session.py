@@ -17,10 +17,14 @@ def get_spark(app_name: str = "duckdb_geography_spark", cpus: str | int = "*",
     """Local-mode session with the configuration this engine assumes.
 
     AQE on (runtime re-planning / skew joins), Arrow on (pandas UDF
-    transfer). ``shuffle_partitions`` defaults to the core count —
-    at cluster scale you would size it to data volume instead.
+    transfer). ``shuffle_partitions`` defaults to the core count when
+    it is numeric (Spark's 200 default drowns small fixtures in empty
+    partitions) — at cluster scale you would size it to data volume
+    instead. Configs apply only when the session is first created.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", cpus)
+    if shuffle_partitions is None and str(cpus).isdigit():
+        shuffle_partitions = int(cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -47,7 +47,10 @@ def _ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     UTC)."""
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # integer division: (col / 1000) routes through double, whose
+        # 53-bit mantissa cannot represent current-era nanos exactly —
+        # many values would shift by 1 us across window boundaries
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     elif dtype == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
@@ -56,10 +59,16 @@ def _ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet directory (each file
     is one micro-batch under Trigger.AvailableNow — test- and
-    backfill-friendly). Handles the driver's TIMESTAMP(NANOS) parquet
-    columns via nanosAsLong + conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    backfill-friendly). TIMESTAMP(NANOS) parquet needs the session's
+    nanosAsLong flag; probe first and only set it when the file
+    actually requires it (the flag changes the schema every later
+    parquet read in the session sees, so don't flip it gratuitously).
+    """
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source needs a directory; glob-filter the events file
     df = (
         spark.readStream.schema(schema)
@@ -99,9 +108,12 @@ def cell_rollup_stream(events: DataFrame, level: int = 4) -> DataFrame:
     At scale the cell id is also the natural partition key for the
     sink (write.partitionBy on the cell token prunes reads)."""
     from ..functions import cells as C
+    from .. import synth
 
-    lon = (F.col("user_id") * 2654435761 % 360000) / 1000.0 - 180.0
-    lat = (F.col("user_id") * 40503 % 180000) / 1000.0 - 90.0
+    # the synthetic lon/lat recipe is the oracle contract — reuse the
+    # one definition so the streaming rollup can't drift from it
+    lon = synth.cust_lon("user_id")
+    lat = synth.cust_lat("user_id")
     cell = C.s2_cell_parent(C.s2_cellfromlonlat(lon, lat), level)
     return (
         _ensure_event_time(events).withWatermark("ts", "2 hours")
@@ -150,37 +162,59 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(end, unit="s")],
+                    "session_start": [pd.Timestamp(int(start), unit="us")],
+                    "session_end": [pd.Timestamp(int(end), unit="us")],
                     "n_events": [n],
                     "total_value": [total],
                 }
             )
             return
-        rows = pd.concat(list(pdfs))
-        ts = rows["ts"].astype("int64") / 1e9
-        lo, hi = float(ts.min()), float(ts.max())
-        n_new = int(len(rows))
-        v_new = float(rows["value"].sum())
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # exact integer microseconds: float SECONDS carry fractional-us
+        # noise that cannot round-trip through the us-resolution output
+        # timestamps (state doubles hold us values exactly: < 2^53)
+        ts = (rows["ts"].astype("int64").to_numpy() // 1000).astype("int64")
+        vals = rows["value"].to_numpy()
+        # split the batch itself at > gap silences: a backfill or bursty
+        # source delivers a user's whole history in one micro-batch, and
+        # collapsing it to (min, max) would merge every session into one
+        gap_us = gap * 1e6
+        runs = []  # (start, end, n, total)
+        run_s = 0
+        for i in range(1, len(ts)):
+            if ts[i] - ts[i - 1] > gap_us:
+                seg = slice(run_s, i)
+                runs.append(
+                    (float(ts[run_s]), float(ts[i - 1]), i - run_s, float(vals[seg].sum()))
+                )
+                run_s = i
+        runs.append(
+            (float(ts[run_s]), float(ts[-1]), len(ts) - run_s, float(vals[run_s:].sum()))
+        )
         closed = []
         if state.exists:
             (start, end, n, total) = state.get
-            if lo - end > gap:
+            first = runs[0]
+            if first[0] - end > gap_us:
                 closed.append((start, end, n, total))
-                start, end, n, total = lo, hi, n_new, v_new
             else:
-                start, end = min(start, lo), max(end, hi)
-                n, total = n + n_new, total + v_new
-        else:
-            start, end, n, total = lo, hi, n_new, v_new
+                runs[0] = (
+                    min(start, first[0]),
+                    max(end, first[1]),
+                    n + first[2],
+                    total + first[3],
+                )
+        # every run but the last is followed by a > gap silence: closed
+        closed.extend(runs[:-1])
+        start, end, n, total = runs[-1]
         state.update((start, end, n, total))
         state.setTimeoutDuration(int(gap * 1000))
         for (s, e, cn, ct) in closed:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(s, unit="s")],
-                    "session_end": [pd.Timestamp(e, unit="s")],
+                    "session_start": [pd.Timestamp(int(s), unit="us")],
+                    "session_end": [pd.Timestamp(int(e), unit="us")],
                     "n_events": [cn],
                     "total_value": [ct],
                 }

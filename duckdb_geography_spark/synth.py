@@ -215,7 +215,7 @@ def cellfromlonlat_cte(points_sql: str, suffix: str = "") -> str:
     SELECT k, f,
       CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
       CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
-    FROM st_in_disguise_nope_use_uv) ,
+    FROM uv) ,
   lut(o, ij, d, no) AS (VALUES {lut_rows}),
   hil AS (
     SELECT k, f,
@@ -232,7 +232,6 @@ def cellfromlonlat_cte(points_sql: str, suffix: str = "") -> str:
     SELECT k, {_sgn("(CAST(f AS HUGEINT) * 2305843009213693952 + CAST(pos AS HUGEINT)*2 + 1)")} AS cell
     FROM hil WHERE lev = -1)
 """
-    out = out.replace("st_in_disguise_nope_use_uv", "uv")
     if suffix:
         for name in ("pts", "xyz", "fc", "uv", "st", "lut", "hil", "cellids"):
             out = out_replace_token(out, name, name + suffix)

@@ -75,6 +75,43 @@ def test_sessionize(spark):
         assert r.n_events >= 1
 
 
+def test_sessionize_splits_gaps_within_one_microbatch(spark, tmp_path):
+    # a backfill delivers a user's whole history in ONE micro-batch:
+    # the >gap silence inside the batch must still split sessions
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [t0, t0 + dt.timedelta(minutes=10), t0 + dt.timedelta(hours=2)],
+            "user_id": [7, 7, 7],
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    d = tmp_path / "one_batch"
+    d.mkdir()
+    rows.to_parquet(d / "b0.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(d / "b0.parquet")).schema
+    src = spark.readStream.schema(schema).parquet(str(d))
+    out = SE.sessionize(src, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("s_split")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM s_split ORDER BY session_start").collect()
+    # first session (2 events, 10-min span) closes INSIDE the batch;
+    # the t0+2h session stays open in state
+    assert len(got) == 1
+    assert got[0].n_events == 2 and got[0].total_value == 3.0
+
+
 def test_sessionize_batch(spark):
     import datetime as dt
 
