@@ -78,7 +78,14 @@ def ring_signed_area(ring_xyz: np.ndarray) -> float:
     v0 = ring_xyz[0]
     v1 = ring_xyz[1:-1]
     v2 = ring_xyz[2:]
-    triple = np.einsum("ij,ij->i", np.cross(np.broadcast_to(v0, v1.shape), v1), v2)
+    # v0.(v1 x v2) == v0.((v1-v0) x (v2-v0)) exactly, but the
+    # difference form avoids the catastrophic cancellation that makes
+    # the raw triple pure noise for tiny rings (a leaf-cell quad is
+    # ~1e-9 rad across: raw cross products carry ~1e-16 absolute error
+    # against a ~1e-19 signal, so even the SIGN came out random)
+    d1 = v1 - v0
+    d2 = v2 - v0
+    triple = np.einsum("ij,ij->i", np.cross(d1, d2), np.broadcast_to(v0, d1.shape))
     denom = 1.0 + v1 @ v0 + np.einsum("ij,ij->i", v1, v2) + v2 @ v0
     return float(np.sum(2.0 * np.arctan2(triple, denom)))
 

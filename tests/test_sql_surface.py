@@ -79,3 +79,34 @@ def test_unnest_covering_sql(spark):
     )
     rows = out.collect()
     assert 1 <= len(rows) <= 8
+
+
+def test_cell_selfcheck_sums(spark):
+    """cell_ops.test:302-311 sanity goldens: every city's leaf cell
+    polygon intersects the city point (sum = 243), and every country
+    intersects its arbitrary covering cell (sum = 177) — end-to-end
+    through cellfromlonlat / arbitrarycellfromwkb / cell->geography /
+    s2_intersects on the sample tables."""
+    # Spark rejects Python UDFs directly inside aggregate arguments
+    # (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION) — project
+    # the flag in a subquery first
+    n = spark.sql(
+        """
+        SELECT sum(v) AS n FROM (
+          SELECT CAST(s2_intersects(
+            s2_cell_to_geography(s2_cellfromlonlat(s2_x(geog), s2_y(geog))),
+            geog) AS INT) AS v
+          FROM s2_data_cities)
+        """
+    ).collect()[0].n
+    assert n == 243
+    m = spark.sql(
+        """
+        SELECT sum(v) AS n FROM (
+          SELECT CAST(s2_intersects(
+            s2_cell_to_geography(s2_arbitrarycellfromwkb(s2_aswkb(geog))),
+            geog) AS INT) AS v
+          FROM s2_data_countries)
+        """
+    ).collect()[0].n
+    assert m == 177
