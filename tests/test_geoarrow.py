@@ -28,6 +28,33 @@ def test_strict_rejects_untagged(spark):
         GA.from_geoarrow_table(spark, tbl)
 
 
+def test_strict_rejects_planar_and_omitted_edges(spark):
+    """Reference parity (test/python/test_geoarrow.py
+    test_reject_planar_edges): geoarrow.wkb WITHOUT explicit
+    edges=spherical must be refused — the spec's default for an
+    omitted key is planar, and silently reinterpreting planar
+    polygons as geodesic shifts long edges by kilometers."""
+    import pyarrow as pa
+
+    for ext_meta in (b"{}", b'{"edges": "planar"}'):
+        field = pa.field(
+            "geog",
+            pa.binary(),
+            metadata={
+                b"ARROW:extension:name": b"geoarrow.wkb",
+                b"ARROW:extension:metadata": ext_meta,
+            },
+        )
+        point_wkb = bytes.fromhex(
+            "01010000000000000000002440000000000000" "3440"
+        )
+        tbl = pa.table([pa.array([point_wkb])], schema=pa.schema([field]))
+        with pytest.raises(ValueError, match="spherical"):
+            GA.from_geoarrow_table(spark, tbl)
+        # non-strict mode imports anyway (explicit opt-in)
+        assert GA.from_geoarrow_table(spark, tbl, strict=False).count() == 1
+
+
 def test_geoparquet_roundtrip(spark, tmp_path):
     path = str(tmp_path / "cities.parquet")
     cities = D.s2_data_cities(spark).limit(10)
