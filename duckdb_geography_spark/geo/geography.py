@@ -669,10 +669,20 @@ def _decode_prepared_index(inner: "Geography", buf: bytes, off: int) -> None:
             return
         pos = off + 4
 
+        def scalar(fmt: str, size: int):
+            # Every read — scalar or array — must stay inside the declared
+            # payload [off, end); a crafted length prefix must not let us
+            # silently consume adjacent column bytes as index data.
+            nonlocal pos
+            if pos + size > end:
+                raise ValueError("truncated prepared index")
+            v = struct.unpack_from(fmt, buf, pos)[0]
+            pos += size
+            return v
+
         def arr():
             nonlocal pos
-            (n,) = struct.unpack_from("<I", buf, pos)
-            pos += 4
+            n = scalar("<I", 4)
             nbytes = n * 24
             if pos + nbytes > end:
                 raise ValueError("truncated prepared index")
@@ -681,33 +691,32 @@ def _decode_prepared_index(inner: "Geography", buf: bytes, off: int) -> None:
             return a.copy()
 
         points = arr()
-        (nlines,) = struct.unpack_from("<I", buf, pos)
-        pos += 4
+        nlines = scalar("<I", 4)
         lines = [arr() for _ in range(nlines)]
-        (npolys,) = struct.unpack_from("<I", buf, pos)
-        pos += 4
+        npolys = scalar("<I", 4)
         polygons, orients, caps = [], [], []
         for _ in range(npolys):
-            (nrings,) = struct.unpack_from("<I", buf, pos)
-            pos += 4
+            nrings = scalar("<I", 4)
             rings, ros = [], []
             for _ in range(nrings):
                 rings.append(arr())
-                (o,) = struct.unpack_from("<i", buf, pos)
-                pos += 4
-                ros.append(o)
-            (has_cap,) = struct.unpack_from("<B", buf, pos)
-            pos += 1
+                ros.append(scalar("<i", 4))
+            has_cap = scalar("<B", 1)
             if has_cap:
+                if pos + 24 > end:
+                    raise ValueError("truncated prepared index")
                 cx = np.frombuffer(buf, dtype="<f8", count=3, offset=pos).copy()
                 pos += 24
-                (cr,) = struct.unpack_from("<d", buf, pos)
-                pos += 8
+                cr = scalar("<d", 8)
                 caps.append((cx, cr))
             else:
                 caps.append(None)
             polygons.append(rings)
             orients.append(ros)
+        if pos != end:
+            # Trailing garbage means the payload wasn't what the length
+            # prefix claimed — reject rather than build a wrong index.
+            raise ValueError("prepared index length mismatch")
     except Exception:
         return
     parts = _ops._Parts.__new__(_ops._Parts)

@@ -853,6 +853,24 @@ class _LngInterval:
             return self.lo <= p <= self.hi
         return p >= self.lo or p <= self.hi
 
+    def is_inverted(self) -> bool:
+        return self.lo > self.hi
+
+    def contains_interval(self, other: "_LngInterval") -> bool:
+        """Interval (not just endpoint) containment — S1Interval::Contains.
+
+        Needed because both endpoints of ``other`` lying inside ``self``
+        does NOT imply other ⊆ self when the two jointly wrap the circle
+        (e.g. self=[-170,170], other=(160,-160) through the antimeridian).
+        """
+        if self.is_inverted():
+            if other.is_inverted():
+                return other.lo >= self.lo and other.hi <= self.hi
+            return other.lo >= self.lo or other.hi <= self.hi
+        if other.is_inverted():
+            return self.is_full()
+        return other.lo >= self.lo and other.hi <= self.hi
+
     def add_point(self, p: float) -> None:
         """Extend by the shorter side (S1Interval::AddPoint)."""
         if p == -180.0:
@@ -874,10 +892,14 @@ class _LngInterval:
             return full
         in_lo, in_hi = self.contains(other.lo), self.contains(other.hi)
         if in_lo and in_hi:
-            # other ⊆ self, or the two jointly wrap the whole circle
-            if other.length() > self.length():
-                return full
-            return _LngInterval(self.lo, self.hi)
+            # other ⊆ self, or the two jointly wrap the whole circle.
+            # A length comparison is NOT sufficient to tell these apart
+            # (self=[-170,170] vs other=(160,-160): other is shorter yet
+            # not contained) — use real interval containment like
+            # S1Interval::Union does.
+            if self.contains_interval(other):
+                return _LngInterval(self.lo, self.hi)
+            return full
         if in_lo:
             return _LngInterval(self.lo, other.hi)
         if in_hi:

@@ -83,6 +83,10 @@ class _GeogRegion:
                 edges_b.append(xyz[1:])
         self.shell_holes = []  # per shell: [(hole_xyz, orient), ...]
         for rings in geog.all_polygons():
+            # Track whether THIS polygon's shell was kept: if a degenerate
+            # shell (<3 vertices) is skipped, its holes must be dropped too,
+            # not attached to the previous polygon's shell.
+            shell_kept = False
             for ri, r in enumerate(rings):
                 if len(r) < 3:
                     continue
@@ -94,7 +98,8 @@ class _GeogRegion:
                     self.rings_xyz.append(xyz)
                     self.ring_orients.append(gd.ring_orientation(xyz))
                     self.shell_holes.append([])
-                elif self.shell_holes:
+                    shell_kept = True
+                elif shell_kept:
                     self.shell_holes[-1].append((xyz, gd.ring_orientation(xyz)))
         self.edge_a = np.concatenate(edges_a) if edges_a else np.empty((0, 3))
         self.edge_b = np.concatenate(edges_b) if edges_b else np.empty((0, 3))
