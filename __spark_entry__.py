@@ -733,7 +733,16 @@ def _q_bounds_box_agg(spark, sf_dir):
     wrap = cust.where(F.abs(F.col("lon")) >= 150.0).select(
         F.lit("WRAP").alias("grp"), "geog"
     )
-    return bounds_box_agg_df(half.unionAll(wrap), "geog", ["grp"]).orderBy("grp")
+    agg = bounds_box_agg_df(half.unionAll(wrap), "geog", ["grp"])
+    # endpoints are exact point lon/lats, but numpy and DuckDB libm can
+    # disagree by 1 ulp on atan2/asin — round like every other gate
+    return agg.select(
+        "grp",
+        F.round("xmin", 6).alias("xmin"),
+        F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"),
+        F.round("ymax", 6).alias("ymax"),
+    ).orderBy("grp")
 
 
 def _bounds_box_agg_sql():
@@ -766,9 +775,11 @@ wrap AS (
     max(CASE WHEN lon < 0 THEN lon END) AS xmax,
     max(lat) AS ymax
   FROM snapped WHERE abs(lon0) >= 150.0)
-SELECT grp, xmin, ymin, xmax, ymax FROM half
+SELECT grp, round(xmin, 6) AS xmin, round(ymin, 6) AS ymin,
+       round(xmax, 6) AS xmax, round(ymax, 6) AS ymax FROM half
 UNION ALL
-SELECT grp, xmin, ymin, xmax, ymax FROM wrap
+SELECT grp, round(xmin, 6) AS xmin, round(ymin, 6) AS ymin,
+       round(xmax, 6) AS xmax, round(ymax, 6) AS ymax FROM wrap
 ORDER BY grp
 """
 
@@ -1340,6 +1351,82 @@ def _ivf_topk_sql():
     from duckdb_geography_spark.llm.similarity import _ivf_centroids
 
     cents = _ivf_centroids(64, 16, 11)
+    vals = ",\n    ".join(
+        f"({j + 1}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cents(j, c) AS (
+  VALUES
+    {vals}
+),
+probe AS (
+  SELECT cents.j FROM cents, q
+  ORDER BY list_dot_product(q.qv, cents.c) DESC, cents.j
+  LIMIT 4),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0),
+asg AS (
+  SELECT vec_id, v,
+    (SELECT list(list_dot_product(v, c) ORDER BY j) FROM cents) AS cd
+  FROM e),
+cand AS (
+  SELECT vec_id, v FROM asg
+  WHERE list_indexof(cd, list_max(cd)) IN (SELECT j FROM probe))
+SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS score
+FROM cand c, q
+ORDER BY score DESC, c.vec_id
+LIMIT 10
+"""
+
+
+def _q_ivf_trained_topk(spark, sf_dir):
+    """IVF top-k with TRAINED centroids: deterministic spherical
+    k-means on the 256 smallest vec_ids (llm/similarity.py::
+    train_ivf_centroids), then the same probe/rank pipeline as
+    ivf_topk. The oracle replays training bit-for-bit (same numpy
+    routine on the same pandas-read sample) and embeds the resulting
+    centroid literals."""
+    from duckdb_geography_spark.llm.similarity import (
+        ivf_topk,
+        ivf_training_sample,
+        train_ivf_centroids,
+    )
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") != 0)
+    cents = train_ivf_centroids(
+        ivf_training_sample(base, sample_size=256), n_centroids=16, seed=11
+    )
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        base, [float(x) for x in q], k=10, n_centroids=16, n_probe=4, centroids=cents
+    )
+
+
+def _ivf_trained_topk_sql():
+    """Trained-centroid oracle. The training replay reads the SAME
+    sample the Spark query uses (the 256 smallest non-query vec_ids)
+    from the driver's correctness scale factor — sf0.01, the scale the
+    brief pins for oracle comparison. Training is float64 numpy either
+    way, so the centroid literals are bit-identical."""
+    import pandas as _pd
+
+    from duckdb_geography_spark.llm.similarity import train_ivf_centroids
+
+    pdf = _pd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pdf = pdf[pdf["vec_id"] != 0].sort_values("vec_id").head(256)
+    import numpy as _np
+
+    sample = _np.array(
+        [[float(x) for x in v] for v in pdf["embedding"]], dtype=_np.float64
+    )
+    cents = train_ivf_centroids(sample, n_centroids=16, seed=11)
     vals = ",\n    ".join(
         f"({j + 1}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
         for j, c in enumerate(cents)
@@ -2380,6 +2467,746 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# round-3 oracle gates: the previously pytest-only SURVEY rows
+# ---------------------------------------------------------------------------
+
+#: fixture level for vertex/neighbor/union gates; the (7.3, 5.1) and
+#: (40.1, 20.7) nation offsets keep every level-8 cell >= 2 cells away
+#: from any face boundary (checked numerically for all 25 nation keys),
+#: so ij-offset neighbor oracles never have to model cross-face wrap.
+_FIX_LEVEL = 8
+
+_PTS_A = (
+    "SELECT n_nationkey AS k, (n_nationkey %% 6) * 60.0 - 180.0 + %s AS lon, "
+    "floor(n_nationkey / 6) * 30.0 - 60.0 + %s AS lat FROM nation"
+)
+
+
+def _nation_pts_sql(dx: float, dy: float) -> str:
+    return _PTS_A % (dx, dy)
+
+
+def _nation_xy(n="n_nationkey"):
+    xmin = (F.col(n) % 6) * 60.0 - 180.0
+    ymin = F.floor(F.col(n) / 6) * 30.0 - 60.0
+    return xmin, ymin
+
+
+def _q_prepare_gate(spark, sf_dir):
+    """s2_prepare contract: '<S2ShapeIndex N b>' astext with N = the
+    plain encoded size (reference src/s2_functions_io.cpp:365-385),
+    small-geography passthrough (64-byte threshold, :373-379), and
+    prepared-vs-plain predicate equality over inside/outside points
+    (odd nation keys probe a point east of the box's meridian edge —
+    exact in both engines, no latitude-bulge ambiguity)."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.io import (
+        s2_astext,
+        s2_geogfromtext,
+        s2_prepare,
+    )
+    from duckdb_geography_spark.functions.predicates import (
+        s2_contains,
+        s2_intersects,
+    )
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    poly = s2_geogfromtext(synth.nation_wkt())
+    pt = s2_geogfromtext(
+        F.format_string(
+            "POINT (%.1f %.1f)",
+            xmin + 7.3 + (F.col("n_nationkey") % 2).cast("double") * 50.0,
+            ymin + 5.1,
+        )
+    )
+    small = s2_geogfromtext(F.format_string("POINT (%.1f %.1f)", xmin + 1.0, ymin + 1.0))
+    staged = nation.select(
+        "n_nationkey",
+        poly.alias("g"),
+        s2_prepare(poly).alias("pg"),
+        pt.alias("pt"),
+        s2_prepare(small).alias("small"),
+    )
+    return staged.select(
+        "n_nationkey",
+        (
+            s2_astext("pg")
+            == F.format_string("<S2ShapeIndex %d b>", F.octet_length("g"))
+        ).alias("fmt_ok"),
+        F.substring(s2_astext("small"), 1, 5).alias("small_head"),
+        s2_contains("pg", "pt").alias("pin"),
+        (s2_contains("pg", "pt") == s2_contains("g", "pt")).alias("eq_contains"),
+        (s2_intersects("pg", "pt") == s2_intersects("g", "pt")).alias("eq_intersects"),
+    ).orderBy("n_nationkey")
+
+
+_PREPARE_GATE_SQL = """
+SELECT n_nationkey, true AS fmt_ok, 'POINT' AS small_head,
+       (n_nationkey % 2 = 0) AS pin,
+       true AS eq_contains, true AS eq_intersects
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def _q_cellfromwkb_gate(spark, sf_dir):
+    """s2_cellfromwkb / s2_arbitrarycellfromwkb (cell_ops.test:92-161):
+    a WKB point extracts its leaf cell, a WKB linestring's FIRST vertex
+    drives the arbitrary variant, and an empty point yields the
+    sentinel. WKB is synthesized in-engine (aswkb of parsed WKT); the
+    oracle recomputes the leaf ids with the recursive-CTE projection."""
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.casts import (
+        s2_arbitrarycellfromwkb,
+        s2_cellfromwkb,
+    )
+    from duckdb_geography_spark.functions.io import s2_aswkb, s2_geogfromtext
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    pt = F.format_string("POINT (%.1f %.1f)", xmin + 7.3, ymin + 5.1)
+    ln = F.format_string(
+        "LINESTRING (%.1f %.1f, %.1f %.1f)", xmin, ymin, xmin + 55.0, ymin + 25.0
+    )
+    staged = nation.select(
+        "n_nationkey",
+        s2_aswkb(s2_geogfromtext(pt)).alias("wpt"),
+        s2_aswkb(s2_geogfromtext(ln)).alias("wln"),
+        s2_aswkb(s2_geogfromtext(F.lit("POINT EMPTY"))).alias("wempty"),
+    )
+    return staged.select(
+        "n_nationkey",
+        C.s2_cell_token(s2_cellfromwkb("wpt")).alias("pt_token"),
+        C.s2_cell_token(s2_arbitrarycellfromwkb("wln")).alias("ln_token"),
+        s2_arbitrarycellfromwkb("wempty").alias("empty_sentinel"),
+    ).orderBy("n_nationkey")
+
+
+def _cellfromwkb_sql():
+    from duckdb_geography_spark import synth
+
+    ln_pts = (
+        "SELECT n_nationkey AS k, (n_nationkey % 6) * 60.0 - 180.0 AS lon, "
+        "floor(n_nationkey / 6) * 30.0 - 60.0 AS lat FROM nation"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(_nation_pts_sql(7.3, 5.1))},
+{synth.cellfromlonlat_cte(ln_pts, "_l").lstrip()}
+SELECT a.k AS n_nationkey,
+  {synth.cell_token_sql("a.cell")} AS pt_token,
+  {synth.cell_token_sql("b.cell")} AS ln_token,
+  CAST(-1 AS BIGINT) AS empty_sentinel
+FROM cellids a JOIN cellids_l b ON b.k = a.k
+ORDER BY a.k
+"""
+
+
+def _q_cell_vertex_gate(spark, sf_dir):
+    """s2_cell_vertex k=0..3 (CCW from (u_lo, v_lo), reference
+    src/s2_cell_ops.cpp:578-627) of the level-8 fixture cell; the
+    oracle rebuilds the corner unit vectors from the inverse-Hilbert
+    ij walk + st->uv quadratic + face frame."""
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.accessors import s2_x, s2_y
+    from duckdb_geography_spark.functions.casts import s2_cell_vertex
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    cell = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1), _FIX_LEVEL)
+    staged = nation.select("n_nationkey", cell.alias("c"))
+    cols = ["n_nationkey"]
+    out = staged
+    for v in range(4):
+        out = out.withColumn(f"v{v}", s2_cell_vertex(F.col("c"), v))
+    for v in range(4):
+        cols.append(F.round(s2_x(f"v{v}"), 6).alias(f"lon{v}"))
+        cols.append(F.round(s2_y(f"v{v}"), 6).alias(f"lat{v}"))
+    return out.select(*cols).orderBy("n_nationkey")
+
+
+def _cell_vertex_sql():
+    """The engine's s2_cell_vertex returns a point GEOGRAPHY, and the
+    single-point encode snaps to the leaf cell center (~1e-9 deg), so
+    the oracle replays the same snap: corner -> lon/lat -> leaf cell
+    (forward CTE) -> center (inverse CTE) -> round."""
+    from duckdb_geography_spark import synth
+
+    long_rows = " UNION ALL ".join(
+        f"SELECT k*10 + {v} AS k, degrees(atan2(y{v}, x{v})) AS lon, "
+        f"degrees(atan2(z{v}, sqrt(x{v}*x{v}+y{v}*y{v}))) AS lat FROM corners"
+        for v in range(4)
+    )
+    agg = ", ".join(
+        f"max(CASE WHEN k % 10 = {v} THEN lon6 END) AS lon{v}, "
+        f"max(CASE WHEN k % 10 = {v} THEN lat6 END) AS lat{v}"
+        for v in range(4)
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(_nation_pts_sql(7.3, 5.1))},
+{synth.cellij_cte("SELECT k, cell FROM cellids").lstrip()},
+{synth.cellcorners_cte("SELECT k, f, i, j FROM cij", _FIX_LEVEL).lstrip()},
+{synth.cellfromlonlat_cte(long_rows, "_v").lstrip()},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_v", "_v").lstrip()},
+snapped AS (
+  SELECT k,
+    round(degrees(atan2(y, x)), 6) AS lon6,
+    round(degrees(atan2(z, sqrt(x*x + y*y))), 6) AS lat6
+  FROM centers_v)
+SELECT k // 10 AS n_nationkey, {agg}
+FROM snapped GROUP BY k // 10 ORDER BY 1
+"""
+
+
+def _q_cell_neighbor_gate(spark, sf_dir):
+    """s2_cell_edge_neighbor 0-3 (down/right/up/left,
+    src/s2_cell_ops.cpp:904-932) as tokens + out-of-range sentinel;
+    the oracle re-encodes the ij-offset neighbors through the
+    forward-Hilbert CTE (fixture cells are interior, see _FIX_LEVEL)."""
+    from duckdb_geography_spark.functions import cells as C
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    cell = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1), _FIX_LEVEL)
+    staged = nation.select("n_nationkey", cell.alias("c"))
+    names = ["down", "right", "up", "left"]
+    sel = ["n_nationkey"]
+    for v, nm in enumerate(names):
+        sel.append(C.s2_cell_token(C.s2_cell_edge_neighbor(F.col("c"), v)).alias(f"tok_{nm}"))
+    sel.append(C.s2_cell_edge_neighbor(F.col("c"), 7).alias("oob_sentinel"))
+    return staged.select(*sel).orderBy("n_nationkey")
+
+
+def _cell_neighbor_sql():
+    from duckdb_geography_spark import synth
+
+    size = 1 << (30 - _FIX_LEVEL)
+    nb = f"""
+  SELECT k*10 + vid AS k, f,
+    (i - (i % {size})) + CASE vid WHEN 1 THEN {size} WHEN 3 THEN -1 ELSE 0 END AS i,
+    (j - (j % {size})) + CASE vid WHEN 0 THEN -1 WHEN 2 THEN {size} ELSE 0 END AS j
+  FROM cij, (SELECT unnest([0,1,2,3]) AS vid)"""
+    tok = synth.cell_token_sql(synth.cell_parent_sql("cell", _FIX_LEVEL))
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(_nation_pts_sql(7.3, 5.1))},
+{synth.cellij_cte("SELECT k, cell FROM cellids").lstrip()},
+{synth.cellfromfij_cte(nb, "_n").lstrip()}
+SELECT k // 10 AS n_nationkey,
+  max(CASE WHEN k % 10 = 0 THEN {tok} END) AS tok_down,
+  max(CASE WHEN k % 10 = 1 THEN {tok} END) AS tok_right,
+  max(CASE WHEN k % 10 = 2 THEN {tok} END) AS tok_up,
+  max(CASE WHEN k % 10 = 3 THEN {tok} END) AS tok_left,
+  CAST(-1 AS BIGINT) AS oob_sentinel
+FROM cellids_n GROUP BY k // 10 ORDER BY 1
+"""
+
+
+def _q_cell_union_gate(spark, sf_dir):
+    """LIST->S2_CELL_UNION normalize (4 siblings merge to the parent,
+    contained cells drop, src/s2_cell_ops.cpp:95-132), the dissolved
+    union border (S2_CELL_UNION->GEOGRAPHY), and the single-cell
+    polygon cast. The oracle's areas come from the corner CTE's
+    spherical excess: dissolve preserves area, so union area ==
+    area(P) + area(Q) exactly."""
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.accessors import s2_area
+    from duckdb_geography_spark.functions.casts import (
+        s2_cell_to_cell_union,
+        s2_cell_to_geography,
+        s2_cell_union_normalize,
+        s2_cell_union_to_geography,
+    )
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    p = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1), _FIX_LEVEL)
+    q = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 40.1, ymin + 20.7), _FIX_LEVEL)
+    lst = F.array(
+        *[C.s2_cell_child(p, k) for k in range(4)], q, C.s2_cell_child(q, 2)
+    )
+    staged = nation.select(
+        "n_nationkey",
+        p.alias("p"),
+        s2_cell_union_normalize(lst).alias("norm"),
+    )
+    return staged.select(
+        "n_nationkey",
+        F.size("norm").alias("n_norm"),
+        F.concat_ws(
+            ",", F.array_sort(F.transform("norm", lambda c: C.s2_cell_token(c)))
+        ).alias("toks"),
+        F.round(s2_area(s2_cell_union_to_geography("norm")) / F.lit(1e6), 3).alias(
+            "union_km2"
+        ),
+        F.round(s2_area(s2_cell_to_geography("p")) / F.lit(1e6), 3).alias("p_km2"),
+        F.size(s2_cell_to_cell_union("p")).alias("singleton_n"),
+    ).orderBy("n_nationkey")
+
+
+def _cell_union_sql():
+    from duckdb_geography_spark import synth
+
+    parent = synth.cell_parent_sql("cell", _FIX_LEVEL)
+    tok_a = synth.cell_token_sql(f"a.{'cell'}")
+    # tokens of the two normalized cells, sorted lexicographically
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(_nation_pts_sql(7.3, 5.1))},
+{synth.cellfromlonlat_cte(_nation_pts_sql(40.1, 20.7), "_b").lstrip()},
+pcells AS (SELECT k, {parent} AS cell FROM cellids),
+qcells AS (SELECT k, {parent} AS cell FROM cellids_b),
+{synth.cellij_cte("SELECT k, cell FROM cellids").lstrip()},
+{synth.cellij_cte("SELECT k, cell FROM cellids_b", "_b").lstrip()},
+{synth.cellcorners_cte("SELECT k, f, i, j FROM cij", _FIX_LEVEL).lstrip()},
+{synth.cellcorners_cte("SELECT k, f, i, j FROM cij_b", _FIX_LEVEL, "_b").lstrip()},
+toks AS (
+  SELECT p.k,
+    {synth.cell_token_sql("p.cell")} AS tp,
+    {synth.cell_token_sql("q.cell")} AS tq
+  FROM pcells p JOIN qcells q USING (k)),
+area_p AS (SELECT k, {synth.quad_excess_area_sql()} AS ap FROM corners),
+area_q AS (SELECT k, {synth.quad_excess_area_sql()} AS aq FROM corners_b),
+areas AS (
+  SELECT k, ap, aq FROM area_p JOIN area_q USING (k))
+SELECT t.k AS n_nationkey,
+  2 AS n_norm,
+  least(t.tp, t.tq) || ',' || greatest(t.tp, t.tq) AS toks,
+  round((a.ap + a.aq) / 1e6, 3) AS union_km2,
+  round(a.ap / 1e6, 3) AS p_km2,
+  1 AS singleton_n
+FROM toks t JOIN areas a ON a.k = t.k
+ORDER BY t.k
+"""
+
+
+def _q_bounds_box_gate(spark, sf_dir):
+    """s2_bounds_box with geodesic-edge latitude bulge
+    (src/s2_bounds.cpp:147-202) on the nation rect, plus a polygon
+    crossing the antimeridian (xmin > xmax wrap form). The oracle is
+    the closed-form apex latitude atan(tan(|y|)/cos(dlon/2)) of an
+    equal-latitude geodesic, with the engine's -180 -> 180
+    normalization replayed."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.bounds import s2_bounds_box
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    am = F.format_string(
+        "POLYGON ((150 %.1f, -155 %.1f, -155 %.1f, 150 %.1f, 150 %.1f))",
+        ymin, ymin, ymin + 25.0, ymin + 25.0, ymin,
+    )
+    staged = nation.select(
+        "n_nationkey",
+        s2_bounds_box(s2_geogfromtext(synth.nation_wkt())).alias("b"),
+        s2_bounds_box(s2_geogfromtext(am)).alias("am"),
+    )
+    return staged.select(
+        "n_nationkey",
+        F.round(F.col("b.xmin"), 6).alias("xmin6"),
+        F.round(F.col("b.ymin"), 6).alias("ymin6"),
+        F.round(F.col("b.xmax"), 6).alias("xmax6"),
+        F.round(F.col("b.ymax"), 6).alias("ymax6"),
+        F.round(F.col("am.xmin"), 6).alias("am_xmin6"),
+        F.round(F.col("am.xmax"), 6).alias("am_xmax6"),
+        F.round(F.col("am.ymax"), 6).alias("am_ymax6"),
+    ).orderBy("n_nationkey")
+
+
+_BOUNDS_BOX_GATE_SQL = """
+WITH g AS (
+  SELECT n_nationkey,
+    (n_nationkey % 6) * 60.0 - 180.0 AS x0,
+    floor(n_nationkey / 6) * 30.0 - 60.0 AS y0,
+    (n_nationkey % 6) * 60.0 - 180.0 + 55.0 AS x1,
+    floor(n_nationkey / 6) * 30.0 - 60.0 + 25.0 AS y1
+  FROM nation),
+apex AS (
+  SELECT n_nationkey, x0, y0, x1, y1,
+    CASE WHEN y1 > 0 THEN degrees(atan(tan(radians(y1)) / cos(radians(27.5)))) ELSE y1 END AS ymax_b,
+    CASE WHEN y0 < 0 THEN -degrees(atan(tan(radians(-y0)) / cos(radians(27.5)))) ELSE y0 END AS ymin_b
+  FROM g)
+SELECT n_nationkey,
+  round(CASE WHEN x0 = -180.0 THEN 180.0 ELSE x0 END, 6) AS xmin6,
+  round(ymin_b, 6) AS ymin6,
+  round(x1, 6) AS xmax6,
+  round(ymax_b, 6) AS ymax6,
+  150.0 AS am_xmin6,
+  -155.0 AS am_xmax6,
+  round(CASE WHEN y1 > 0 THEN degrees(atan(tan(radians(y1)) / cos(radians(27.5)))) ELSE y1 END, 6) AS am_ymax6
+FROM apex ORDER BY n_nationkey
+"""
+
+
+def _q_validity_gate(spark, sf_dir):
+    """_novalidate parse paths + s2_is_valid / s2_is_valid_reason
+    (accessors.test:33-40 pins 'Vertices %d and %d are identical'),
+    carried through the WKB codec: odd nation keys parse a polyline
+    with a duplicate adjacent vertex via novalidate, re-encode to WKB,
+    re-parse via s2_geogfromwkb_novalidate, and both forms must report
+    the same invalidity."""
+    from duckdb_geography_spark.functions.accessors import (
+        s2_is_valid,
+        s2_is_valid_reason,
+    )
+    from duckdb_geography_spark.functions.io import (
+        s2_aswkb,
+        s2_geogfromtext_novalidate,
+        s2_geogfromwkb_novalidate,
+    )
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    dup = F.format_string(
+        "LINESTRING (%.1f %.1f, %.1f %.1f, %.1f %.1f)",
+        xmin, ymin, xmin, ymin, xmin + 55.0, ymin + 25.0,
+    )
+    good = F.format_string(
+        "LINESTRING (%.1f %.1f, %.1f %.1f)", xmin, ymin, xmin + 55.0, ymin + 25.0
+    )
+    wkt = F.when(F.col("n_nationkey") % 2 == 1, dup).otherwise(good)
+    staged = nation.select(
+        "n_nationkey", s2_geogfromtext_novalidate(wkt).alias("g")
+    ).withColumn("g2", s2_geogfromwkb_novalidate(s2_aswkb(F.col("g"))))
+    return staged.select(
+        "n_nationkey",
+        s2_is_valid("g").alias("valid_txt"),
+        s2_is_valid_reason("g").alias("reason"),
+        s2_is_valid("g2").alias("valid_wkb"),
+        s2_is_valid_reason("g2").alias("reason_wkb"),
+    ).orderBy("n_nationkey")
+
+
+_VALIDITY_GATE_SQL = """
+SELECT n_nationkey,
+  (n_nationkey % 2 = 0) AS valid_txt,
+  CASE WHEN n_nationkey % 2 = 1 THEN 'Vertices 0 and 1 are identical' ELSE '' END AS reason,
+  (n_nationkey % 2 = 0) AS valid_wkb,
+  CASE WHEN n_nationkey % 2 = 1 THEN 'Vertices 0 and 1 are identical' ELSE '' END AS reason_wkb
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def _q_debug_string_gate(spark, sf_dir):
+    """S2_CELL <-> VARCHAR debug-string casts (cell_ops.test:169-178):
+    'face/digits' render at leaf and level 8, the parse round-trip
+    back to a token, and the malformed-string sentinel. The oracle
+    renders the string with hugeint digit math over the CTE cell id."""
+    from duckdb_geography_spark.functions import cells as C
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation").repartition(32)
+    xmin, ymin = _nation_xy()
+    leaf = C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1)
+    c8 = C.s2_cell_parent(leaf, _FIX_LEVEL)
+    staged = nation.select("n_nationkey", leaf.alias("leaf"), c8.alias("c8"))
+    return staged.select(
+        "n_nationkey",
+        C.s2_cell_debug_string("c8").alias("dbg8"),
+        C.s2_cell_debug_string("leaf").alias("dbg_leaf"),
+        C.s2_cell_token(
+            C.s2_cell_from_debug_string(C.s2_cell_debug_string("c8"))
+        ).alias("rt_tok"),
+        C.s2_cell_from_debug_string(F.lit("not/acell")).alias("bad_sentinel"),
+    ).orderBy("n_nationkey")
+
+
+def _debug_string_sql():
+    from duckdb_geography_spark import synth
+
+    p8 = synth.cell_parent_sql("cell", _FIX_LEVEL)
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(_nation_pts_sql(7.3, 5.1))}
+SELECT k AS n_nationkey,
+  {synth.cell_debug_string_sql(p8, _FIX_LEVEL)} AS dbg8,
+  {synth.cell_debug_string_sql("cell", 30)} AS dbg_leaf,
+  {synth.cell_token_sql(p8)} AS rt_tok,
+  CAST(-1 AS BIGINT) AS bad_sentinel
+FROM cellids ORDER BY k
+"""
+
+
+def _q_geoarrow_roundtrip(spark, sf_dir):
+    """GeoArrow interop (src/s2_geoarrow.cpp): export the nation
+    polygons to a pyarrow table whose column carries the geoarrow.wkb
+    extension tag (spherical edges), import it back, and verify the
+    geometry survives (spherical-excess area). The export/import pair
+    runs driver-side over the 25-row dimension — the documented
+    interop scope; write_geoparquet_dir is the distributed path."""
+    from duckdb_geography_spark import geoarrow, synth
+    from duckdb_geography_spark.functions.accessors import s2_area
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation")
+    df = nation.select(
+        "n_nationkey", s2_geogfromtext(synth.nation_wkt()).alias("geog")
+    )
+    tbl = geoarrow.to_geoarrow_table(df, "geog")
+    meta = tbl.schema.field("geog").metadata or {}
+    name_ok = meta.get(b"ARROW:extension:name") == b"geoarrow.wkb"
+    edges_ok = b'"edges": "spherical"' in meta.get(b"ARROW:extension:metadata", b"") or (
+        b"spherical" in meta.get(b"ARROW:extension:metadata", b"")
+    )
+    back = geoarrow.from_geoarrow_table(spark, tbl, "geog")
+    return back.select(
+        "n_nationkey",
+        F.round(s2_area("geog") / F.lit(1e6), 3).alias("area_km2"),
+        F.lit(bool(name_ok)).alias("meta_name_ok"),
+        F.lit(bool(edges_ok)).alias("meta_edges_ok"),
+    ).orderBy("n_nationkey")
+
+
+def _nation_area_sql_select(alias="area_km2"):
+    """Shared oracle fragment: spherical-excess area (km^2, 3 dp) of
+    the nation rect — the same 2*atan2 triangle split as the engine."""
+    from duckdb_geography_spark import synth
+
+    return f"""
+corners AS (
+  SELECT n_nationkey,
+    radians({synth.NATION_XMIN_SQL}) AS lx, radians({synth.NATION_YMIN_SQL}) AS ly,
+    radians({synth.NATION_XMAX_SQL}) AS hx, radians({synth.NATION_YMAX_SQL}) AS hy
+  FROM nation),
+v AS (
+  SELECT n_nationkey,
+    cos(ly)*cos(lx) AS x0, cos(ly)*sin(lx) AS y0, sin(ly) AS z0,
+    cos(ly)*cos(hx) AS x1, cos(ly)*sin(hx) AS y1, sin(ly) AS z1,
+    cos(hy)*cos(hx) AS x2, cos(hy)*sin(hx) AS y2, sin(hy) AS z2,
+    cos(hy)*cos(lx) AS x3, cos(hy)*sin(lx) AS y3, sin(hy) AS z3
+  FROM corners),
+tri AS (
+  SELECT n_nationkey,
+    2*atan2(
+      x0*(y1*z2 - z1*y2) - y0*(x1*z2 - z1*x2) + z0*(x1*y2 - y1*x2),
+      1 + (x0*x1+y0*y1+z0*z1) + (x1*x2+y1*y2+z1*z2) + (x2*x0+y2*y0+z2*z0)
+    ) AS e1,
+    2*atan2(
+      x0*(y2*z3 - z2*y3) - y0*(x2*z3 - z2*x3) + z0*(x2*y3 - y2*x3),
+      1 + (x0*x2+y0*y2+z0*z2) + (x2*x3+y2*y3+z2*z3) + (x3*x0+y3*y0+z3*z0)
+    ) AS e2
+  FROM v),
+areas AS (
+  SELECT n_nationkey,
+    round(abs(e1 + e2) * 6371010.0 * 6371010.0 / 1e6, 3) AS {alias}
+  FROM tri)
+"""
+
+
+def _geoarrow_roundtrip_sql():
+    return f"""
+WITH {_nation_area_sql_select().lstrip()}
+SELECT n_nationkey, area_km2,
+  true AS meta_name_ok, true AS meta_edges_ok
+FROM areas ORDER BY n_nationkey
+"""
+
+
+def _q_data_tables_gate(spark, sf_dir):
+    """Sample-data tables + lookups + dependency listing + s2() smoke
+    (src/s2_data.cpp, src/s2_dependencies.cpp; data.test:23-39 pins
+    the 243/177 cardinalities). One row: counts, the Vancouver point's
+    snapped coordinates, Germany's polygon area, and the dependency
+    names (versions excluded — environment-dependent)."""
+    from duckdb_geography_spark.functions.accessors import s2_area, s2_x, s2_y
+    from duckdb_geography_spark.functions.data import (
+        s2,
+        s2_data_cities,
+        s2_data_countries,
+        s2_dependencies,
+    )
+
+    _prep(spark)
+    cities = s2_data_cities(spark)
+    countries = s2_data_countries(spark)
+    n_cities = cities.agg(F.count("*").alias("n_cities"))
+    n_countries = countries.agg(F.count("*").alias("n_countries"))
+    van = cities.where(F.col("name") == "Vancouver").select(
+        F.round(s2_x("geog"), 6).alias("van_x6"),
+        F.round(s2_y("geog"), 6).alias("van_y6"),
+        F.col("population").alias("van_pop"),
+    )
+    ger = countries.where(F.col("name") == "Germany").select(
+        F.round(s2_area("geog") / F.lit(1e6), 3).alias("germany_km2")
+    )
+    deps = s2_dependencies(spark).agg(
+        F.count("*").alias("n_deps"),
+        F.concat_ws(",", F.array_sort(F.collect_list("dependency"))).alias("dep_names"),
+    )
+    smoke = spark.range(1).select(s2(spark).alias("smoke"))
+    # single-row combine: pad each piece to a common schema, union, and
+    # take max per column — no join at all (a crossJoin/constant-key
+    # join folds to BroadcastNestedLoopJoin, which the plan-shape
+    # suite forbids even for 1x1 rows)
+    fields = {
+        "n_cities": "bigint",
+        "n_countries": "bigint",
+        "van_x6": "double",
+        "van_y6": "double",
+        "van_pop": "bigint",
+        "germany_km2": "double",
+        "n_deps": "bigint",
+        "dep_names": "string",
+        "smoke": "string",
+    }
+    pieces = []
+    for piece in (n_cities, n_countries, van, ger, deps, smoke):
+        have = set(piece.columns)
+        pieces.append(
+            piece.select(
+                *[
+                    (F.col(c) if c in have else F.lit(None)).cast(t).alias(c)
+                    for c, t in fields.items()
+                ]
+            )
+        )
+    u = pieces[0]
+    for p in pieces[1:]:
+        u = u.unionAll(p)
+    return u.agg(*[F.max(c).alias(c) for c in fields])
+
+
+def _data_tables_sql():
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.data import PINNED_CITIES, PINNED_COUNTRIES
+
+    van = next(r for r in PINNED_CITIES if r[0] == "Vancouver")
+    lon, lat = van[2].replace("POINT (", "").rstrip(")").split()
+    ger = next(r for r in PINNED_COUNTRIES if r[0] == "Germany")
+    import re as _re
+
+    nums = [float(x) for x in _re.findall(r"-?\d+\.?\d*", ger[2])]
+    xs = nums[0::2]
+    ys = nums[1::2]
+    gx0, gx1, gy0, gy1 = min(xs), max(xs), min(ys), max(ys)
+    area = f"""
+v AS (
+  SELECT cos(radians({gy0}))*cos(radians({gx0})) AS x0, cos(radians({gy0}))*sin(radians({gx0})) AS y0, sin(radians({gy0})) AS z0,
+         cos(radians({gy0}))*cos(radians({gx1})) AS x1, cos(radians({gy0}))*sin(radians({gx1})) AS y1, sin(radians({gy0})) AS z1,
+         cos(radians({gy1}))*cos(radians({gx1})) AS x2, cos(radians({gy1}))*sin(radians({gx1})) AS y2, sin(radians({gy1})) AS z2,
+         cos(radians({gy1}))*cos(radians({gx0})) AS x3, cos(radians({gy1}))*sin(radians({gx0})) AS y3, sin(radians({gy1})) AS z3),
+tri AS (
+  SELECT 2*atan2(
+      x0*(y1*z2 - z1*y2) - y0*(x1*z2 - z1*x2) + z0*(x1*y2 - y1*x2),
+      1 + (x0*x1+y0*y1+z0*z1) + (x1*x2+y1*y2+z1*z2) + (x2*x0+y2*y0+z2*z0)) AS e1,
+    2*atan2(
+      x0*(y2*z3 - z2*y3) - y0*(x2*z3 - z2*x3) + z0*(x2*y3 - y2*x3),
+      1 + (x0*x2+y0*y2+z0*z2) + (x2*x3+y2*y3+z2*z3) + (x3*x0+y3*y0+z3*z0)) AS e2
+  FROM v)"""
+    pts = f"SELECT 0 AS k, {lon} AS lon, {lat} AS lat"
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(pts)},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids").lstrip()},
+{area.lstrip()}
+SELECT 243 AS n_cities, 177 AS n_countries,
+  round(degrees(atan2(c.y, c.x)), 6) AS van_x6,
+  round(degrees(atan2(c.z, sqrt(c.x*c.x + c.y*c.y))), 6) AS van_y6,
+  {van[1]} AS van_pop,
+  round(abs(t.e1 + t.e2) * 6371010.0 * 6371010.0 / 1e6, 3) AS germany_km2,
+  5 AS n_deps,
+  'duckdb_geography_spark,numpy,pandas,pyarrow,pyspark' AS dep_names,
+  's2' AS smoke
+FROM centers c, tri t
+"""
+
+
+def _q_tsv_roundtrip(spark, sf_dir):
+    """TSV ingestion with a WKT geography column (the reference's
+    data.test:19-44 cities.tsv pattern): the query materializes a
+    deterministic 25-row TSV from the nation keys, reads it back
+    through read_tsv_geography, and reports the parsed (snapped)
+    coordinates; the oracle replays the snap with the CTE projection."""
+    import os as _os
+
+    from duckdb_geography_spark.functions.accessors import s2_x, s2_y
+    from duckdb_geography_spark.sources import read_tsv_geography
+
+    _prep(spark)
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/duckdb_geography_spark_gates/{sf_tag}/nation_pts.tsv"
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    import pandas as _pd
+
+    keys = _pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])[
+        "n_nationkey"
+    ].sort_values()
+    with open(path, "w") as fh:
+        fh.write("k\tgeog\n")
+        for k in keys:
+            lon = (int(k) % 6) * 60.0 - 180.0 + 7.3
+            lat = (int(k) // 6) * 30.0 - 60.0 + 5.1
+            fh.write(f"{int(k)}\tPOINT ({lon:.1f} {lat:.1f})\n")
+    df = read_tsv_geography(spark, path, wkt_col="geog")
+    return df.select(
+        F.col("k").cast("int").alias("n_nationkey"),
+        F.round(s2_x("geog"), 6).alias("px6"),
+        F.round(s2_y("geog"), 6).alias("py6"),
+    ).orderBy("n_nationkey")
+
+
+def _tsv_roundtrip_sql():
+    from duckdb_geography_spark import synth
+
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(_nation_pts_sql(7.3, 5.1))},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids").lstrip()}
+SELECT CAST(k AS INT) AS n_nationkey,
+  round(degrees(atan2(y, x)), 6) AS px6,
+  round(degrees(atan2(z, sqrt(x*x + y*y))), 6) AS py6
+FROM centers ORDER BY 1
+"""
+
+
+def _q_partitioned_sink_gate(spark, sf_dir):
+    """Cell-token partitioned parquet sink + full read-back (the
+    reference's COPY ... PARTITION_BY partition_cell recipe,
+    docs/function-reference.md:748-768): per-partition-token customer
+    counts must survive the write/read round-trip. Partition pruning
+    on the token column is plan-asserted in tests/test_sources.py; the
+    oracle recomputes every token with the CTE projection + parent."""
+    import os as _os
+
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.sources import write_partitioned_by_cell
+
+    _prep(spark)
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/duckdb_geography_spark_gates/{sf_tag}/cust_by_cell"
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat()).alias("cell"),
+    )
+    write_partitioned_by_cell(cust, path, cell_col="cell", level=4)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("partition_cell").cast("string").alias("partition_cell"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("partition_cell")
+    )
+
+
+def _partitioned_sink_sql():
+    from duckdb_geography_spark import synth
+
+    pts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, "
+        f"{synth.CUST_LAT_SQL} AS lat FROM customer"
+    )
+    tok = synth.cell_token_sql(synth.cell_parent_sql("cell", 4))
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(pts)}
+SELECT {tok} AS partition_cell, count(*) AS n
+FROM cellids GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2420,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_trained_topk": _q_ivf_trained_topk,
         "snapped_distance_pairs": _q_snapped_distance,
         "box_ops": _q_box_ops,
         "predicate_gate": _q_predicate_gate,
@@ -2428,6 +3256,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_suite": _q_overlay_suite,
         "multimodal_features": _q_multimodal_features,
         "audio_windows": _q_audio_windows,
+        "prepare_gate": _q_prepare_gate,
+        "cellfromwkb_gate": _q_cellfromwkb_gate,
+        "cell_vertex_gate": _q_cell_vertex_gate,
+        "cell_neighbor_gate": _q_cell_neighbor_gate,
+        "cell_union_gate": _q_cell_union_gate,
+        "bounds_box_gate": _q_bounds_box_gate,
+        "validity_gate": _q_validity_gate,
+        "debug_string_gate": _q_debug_string_gate,
+        "geoarrow_roundtrip": _q_geoarrow_roundtrip,
+        "data_tables_gate": _q_data_tables_gate,
+        "tsv_roundtrip": _q_tsv_roundtrip,
+        "partitioned_sink_gate": _q_partitioned_sink_gate,
     }
 
 
@@ -2470,9 +3310,22 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "ivf_trained_topk": _ivf_trained_topk_sql(),
         "covering_sizes": _covering_sizes_sql(),
         "bounds_box_agg": _bounds_box_agg_sql(),
         "overlay_intersection": _overlay_intersection_sql(),
         "overlay_suite": _overlay_suite_sql(),
         "audio_windows": _AUDIO_WINDOWS_SQL,
+        "prepare_gate": _PREPARE_GATE_SQL,
+        "cellfromwkb_gate": _cellfromwkb_sql(),
+        "cell_vertex_gate": _cell_vertex_sql(),
+        "cell_neighbor_gate": _cell_neighbor_sql(),
+        "cell_union_gate": _cell_union_sql(),
+        "bounds_box_gate": _BOUNDS_BOX_GATE_SQL,
+        "validity_gate": _VALIDITY_GATE_SQL,
+        "debug_string_gate": _debug_string_sql(),
+        "geoarrow_roundtrip": _geoarrow_roundtrip_sql(),
+        "data_tables_gate": _data_tables_sql(),
+        "tsv_roundtrip": _tsv_roundtrip_sql(),
+        "partitioned_sink_gate": _partitioned_sink_sql(),
     }

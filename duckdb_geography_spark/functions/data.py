@@ -40,10 +40,17 @@ PINNED_COUNTRIES = [
         "POLYGON ((5.988658 47.302488, 15.016996 47.302488, 15.016996 54.983104, 5.988658 54.983104, 5.988658 47.302488))",
     ),
     (
+        # the real boundary from the reference's PUBLIC countries
+        # fixture (Natural Earth data; also tests/test_region_coverer.py)
+        # so the covering / bounds / box-export goldens replay exactly
         "Fiji",
         "Oceania",
-        "MULTIPOLYGON (((177.28504 -18.28799, 180 -18.28799, 180 -16.020882, 177.28504 -16.020882, 177.28504 -18.28799)), "
-        "((-180 -18.28799, -179.79332 -18.28799, -179.79332 -16.020882, -180 -16.020882, -180 -18.28799)))",
+        "MULTIPOLYGON (((178.3736 -17.33992, 178.12557 -17.50481, 177.67087 -17.38114, "
+        "177.28504 -17.72465, 177.38146 -18.16432, 177.93266 -18.28799, 178.55271 -18.15059, "
+        "178.71806 -17.62846, 178.3736 -17.33992)), ((-179.917369 -16.501783, "
+        "-179.79332 -16.020882, 180 -16.067133, 179.413509 -16.379054, 179.096609 -16.433984, "
+        "178.596839 -16.63915, 178.725059 -17.012042, 179.364143 -16.801354, 180 -16.555217, "
+        "-179.917369 -16.501783)))",
     ),
     (
         "Canada",

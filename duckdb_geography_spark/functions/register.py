@@ -123,6 +123,105 @@ def register_sql_functions(spark: SparkSession) -> None:
     r("s2_cellfromwkb", X._cellfromwkb_udf)
     r("s2_arbitrarycellfromwkb", X._arbitrarycellfromwkb_udf)
     r("s2_cell_vertex", X._cell_vertex_udf)
+    r(
+        "s2_cell_to_cell_union",
+        _np_udf(
+            ArrayType(LongType()),
+            lambda s: pd.Series(
+                [[int(v)] if cm.is_valid(u(pd.Series([v])))[0] else [] for v in s],
+                dtype=object,
+            ),
+        ),
+    )
+
+    # bounds aggregate: GROUPED_AGG UDFs can't return structs, so the
+    # SQL surface exposes the [xmin, ymin, xmax, ymax] array form; wrap
+    # with named_struct(...) for the struct shape (see bounds.py)
+    from .bounds import _bounds_box_agg_arr
+
+    r("s2_bounds_box_agg", _bounds_box_agg_arr)
+
+    # covering at a fixed level: the reference requires a constant level
+    # (src/s2_bounds.cpp:90-99); the SQL surface receives it as a column,
+    # so enforce constancy per batch with the reference's error message
+    from ..s2.coverer import covering_of_encoded
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _covering_fixed_sql_udf(s: pd.Series, lev: pd.Series) -> pd.Series:
+        levels = lev.dropna().unique()
+        if len(levels) > 1:
+            raise ValueError("s2_covering_fixed_level(): level must be a constant")
+        out = []
+        for b, l in zip(s, lev):
+            if b is None or l is None:
+                out.append(None)
+                continue
+            cells = covering_of_encoded(bytes(b), fixed_level=int(l))
+            out.append([int(v) for v in cells.view(np.int64)])
+        return pd.Series(out, dtype=object)
+
+    r("s2_covering_fixed_level", _covering_fixed_sql_udf)
+
+    # scalar sample-data lookups (src/s2_data.cpp:143-190; errors on
+    # unknown names like the reference)
+    from .data import s2_data_city as _city
+    from .data import s2_data_country as _country
+
+    @F.pandas_udf("binary")
+    def _data_city_udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if n is None else _city(str(n)) for n in s], dtype=object)
+
+    @F.pandas_udf("binary")
+    def _data_country_udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if n is None else _country(str(n)) for n in s], dtype=object)
+
+    r("s2_data_city", _data_city_udf)
+    r("s2_data_country", _data_country_udf)
+
+    # box constructor / intersects / struct are pure expressions on the
+    # DataFrame surface; SQL gets thin equivalents so the reference
+    # corpus replays 1:1 (src/s2_bounds.cpp:494-603)
+    @F.pandas_udf("struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    def _box_sql_udf(w: pd.Series, s: pd.Series, e: pd.Series, n: pd.Series) -> pd.DataFrame:
+        # literals arrive as DECIMAL from the SQL parser — go through
+        # float() (nearest-double of the decimal text), not numpy's
+        # Decimal path
+        def dbl(col):
+            return [None if v is None else float(v) for v in col]
+
+        return pd.DataFrame(
+            {"xmin": dbl(w), "ymin": dbl(s), "xmax": dbl(e), "ymax": dbl(n)},
+            dtype="float64",
+        )
+
+    r("s2_box", _box_sql_udf)
+
+    @F.pandas_udf(BooleanType())
+    def _box_intersects_sql_udf(a: pd.DataFrame, b: pd.DataFrame) -> pd.Series:
+        def lng_overlap(alo, ahi, blo, bhi):
+            def contains(lo, hi, p):
+                return (lo <= p <= hi) if lo <= hi else (p >= lo or p <= hi)
+
+            return (
+                contains(alo, ahi, blo)
+                or contains(alo, ahi, bhi)
+                or contains(blo, bhi, alo)
+                or contains(blo, bhi, ahi)
+            )
+
+        out = []
+        for x, y in zip(a.itertuples(index=False), b.itertuples(index=False)):
+            lat = x.ymin <= y.ymax and y.ymin <= x.ymax
+            out.append(bool(lat and lng_overlap(x.xmin, x.xmax, y.xmin, y.xmax)))
+        return pd.Series(out, dtype=object)
+
+    r("s2_box_intersects", _box_intersects_sql_udf)
+
+    @F.pandas_udf("struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    def _box_struct_sql_udf(b: pd.DataFrame) -> pd.DataFrame:
+        return b  # boxes already travel as plain structs
+
+    r("s2_box_struct", _box_struct_sql_udf)
 
     # smoke (reference: src/geography_extension.cpp:18-27)
     spark.udf.register("s2", lambda: "s2", StringType())

@@ -359,7 +359,20 @@ def _crosses_boundary_transversally(a: "_Parts", chain: np.ndarray, ring=False) 
             db = gd._det3(A0, A1, B1)
             dc = gd._det3(B0, B1, A0)
             dd = gd._det3(B0, B1, A1)
-            if np.any((da * db < 0) & (dc * dd < 0) & gd._same_hemisphere(A0, A1, B0, B1)):
+            crossing = (da * db < 0) & (dc * dd < 0) & gd._same_hemisphere(A0, A1, B0, B1)
+            # Edge pairs sharing a vertex (adjacent ring edges, or the
+            # chain tested against itself) can't cross transversally
+            # (two sub-180° geodesics meeting at an endpoint intersect
+            # again only at the antipode), but their dets are rounding
+            # noise (~1e-17, sign arbitrary) instead of exact zeros —
+            # mask them out rather than trust the sign test.
+            shared = (
+                np.all(A0 == B0, axis=-1)
+                | np.all(A0 == B1, axis=-1)
+                | np.all(A1 == B0, axis=-1)
+                | np.all(A1 == B1, axis=-1)
+            )
+            if np.any(crossing & ~shared):
                 return True
     return False
 

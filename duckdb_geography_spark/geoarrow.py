@@ -31,6 +31,15 @@ GEOARROW_META = {
 }
 
 
+def s2_register_geoarrow_extensions() -> bool:
+    """Reference parity: SELECT * FROM s2_register_geoarrow_extensions()
+    returns true (test/sql/geography/geoarrow.test:6-9). The reference
+    registers geoarrow extension types with its Arrow runtime; pyarrow
+    field metadata needs no registration, so this is a no-op that
+    exists for API parity and always succeeds."""
+    return True
+
+
 def _tag_schema(schema: pa.Schema, geog_col: str) -> pa.Schema:
     idx = schema.get_field_index(geog_col)
     field = schema.field(idx).with_metadata(

@@ -49,6 +49,8 @@ __all__ = [
     "ivf_assign_udf",
     "probe_cells",
     "ivf_topk",
+    "train_ivf_centroids",
+    "ivf_training_sample",
 ]
 
 
@@ -195,11 +197,17 @@ def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
     return _sig
 
 
-def ivf_assign_udf(dim: int, n_centroids: int = 16, seed: int = 11):
+def ivf_assign_udf(dim: int, n_centroids: int = 16, seed: int = 11, centroids=None):
     """Arrow-batched IVF coarse-quantizer assignment (1-based argmax
     centroid, first-wins ties — exactly ``array_position`` of
-    ``array_max`` in the expression form)."""
-    cents = _ivf_centroids(dim, n_centroids, seed)
+    ``array_max`` in the expression form). ``centroids`` overrides the
+    seeded quantizer with trained rows (train_ivf_centroids)."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _ivf_centroids(dim, n_centroids, seed)
+    )
+    n_centroids = len(cents)
 
     @pandas_udf("integer")
     def _assign(v: pd.Series) -> pd.Series:
@@ -274,10 +282,85 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 def _ivf_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
     """Deterministic unit centroids (fixed seed). Random directions
     are a plain Voronoi quantizer — recall comes from n_probe, and
-    determinism is what lets the SQL oracle replay the partition."""
+    determinism is what lets the SQL oracle replay the partition.
+    Untrained fallback: prefer :func:`train_ivf_centroids` on a data
+    sample (better-balanced cells, higher recall at the same
+    n_probe)."""
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((n_centroids, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    sample: np.ndarray,
+    n_centroids: int = 16,
+    seed: int = 11,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd's) on a driver-side sample —
+    deterministic end to end so the DuckDB oracle can replay the
+    resulting quantizer: seeded greedy kmeans++ init, fixed iteration
+    count, argmax-dot assignment with first-wins ties, empty cells
+    reseeded to the currently worst-quantized sample vector.
+
+    The sample is the only data that touches the driver; at 100 TB the
+    caller collects a bounded deterministic sample
+    (:func:`ivf_training_sample`), trains here in milliseconds, and
+    ships the centroid literals back into the distributed assignment.
+    Returns (n_centroids, dim) unit rows."""
+    X = np.asarray(sample, dtype=np.float64)
+    if X.ndim != 2 or len(X) < n_centroids:
+        raise ValueError("training sample must be 2-D with >= n_centroids rows")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    # greedy kmeans++ on the sphere: first pick seeded, then each next
+    # centroid is the sample point with the smallest max-dot to the
+    # chosen set (deterministic argmin, first-wins)
+    first = int(rng.integers(len(Xn)))
+    chosen = [first]
+    best_dot = Xn @ Xn[first]
+    for _ in range(1, n_centroids):
+        nxt = int(np.argmin(best_dot))
+        chosen.append(nxt)
+        best_dot = np.maximum(best_dot, Xn @ Xn[nxt])
+    C = Xn[chosen].copy()
+    for _ in range(iters):
+        D = Xn @ C.T  # (n, k)
+        assign = np.argmax(D, axis=1)
+        quality = D[np.arange(len(Xn)), assign]
+        newC = np.zeros_like(C)
+        for j in range(n_centroids):
+            members = Xn[assign == j]
+            if len(members) == 0:
+                # deterministic reseed: worst-quantized sample vector
+                worst = int(np.argmin(quality))
+                newC[j] = Xn[worst]
+                quality[worst] = np.inf  # don't reuse for another empty cell
+            else:
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                newC[j] = m / n if n > 1e-30 else C[j]
+        C = newC
+    return C
+
+
+def ivf_training_sample(
+    df: "DataFrame",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    sample_size: int = 256,
+) -> np.ndarray:
+    """Bounded deterministic training sample: the ``sample_size``
+    smallest keys (a TakeOrdered — no full sort, no shuffle), stacked
+    driver-side. Order-stable at any parallelism, so training is
+    reproducible run to run."""
+    rows = (
+        df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+        .orderBy("k")
+        .limit(int(sample_size))
+        .collect()
+    )
+    return np.array([[float(x) for x in r.v] for r in rows], dtype=np.float64)
 
 
 def _dots_expr(vec_col: str, mat: np.ndarray) -> str:
@@ -312,11 +395,17 @@ def probe_cells(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    centroids=None,
 ) -> List[int]:
     """The 1-based IVF cells a query probes: its ``n_probe`` centroids
     ranked by dot product (ties by index) — shared by ``ivf_topk`` and
     the partition-pruned reader so the two paths can never diverge."""
-    cents = _ivf_centroids(len(query_vec), n_centroids, seed)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _ivf_centroids(len(query_vec), n_centroids, seed)
+    )
+    n_centroids = len(cents)
     qd = cents @ np.asarray(query_vec, dtype=np.float64)
     order = sorted(range(n_centroids), key=lambda j: (-qd[j], j))
     return [j + 1 for j in order[:n_probe]]
@@ -331,6 +420,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``n_probe`` centroid
     cells closest to the query, exact-rank the probed rows.
@@ -341,9 +431,11 @@ def ivf_topk(
     map-side, and finishes with a TakeOrdered top-k. No shuffle, no
     cartesian anywhere."""
     dim = len(query_vec)
-    probe = probe_cells(query_vec, n_centroids, n_probe, seed)
+    probe = probe_cells(query_vec, n_centroids, n_probe, seed, centroids)
     cand = (
-        df.withColumn("__cent", ivf_assign_udf(dim, n_centroids, seed)(F.col(vec_col)))
+        df.withColumn(
+            "__cent", ivf_assign_udf(dim, n_centroids, seed, centroids)(F.col(vec_col))
+        )
         .where(F.col("__cent").isin(probe))
         .drop("__cent")
     )

@@ -76,6 +76,43 @@ def read_cell_partition(
     return df
 
 
+CENTROIDS_FILE = "_ivf_centroids.json"
+
+
+def _persist_centroids(path: str, cents, n_centroids: int, seed: int, trained: bool):
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, CENTROIDS_FILE), "w") as fh:
+        json.dump(
+            {
+                "n_centroids": int(n_centroids),
+                "seed": int(seed),
+                "trained": bool(trained),
+                "centroids": [[float(x) for x in row] for row in cents],
+            },
+            fh,
+        )
+
+
+def load_ivf_centroids(path: str):
+    """Centroids persisted beside an IVF layout, or None for layouts
+    written before training existed (callers fall back to the seeded
+    quantizer with the recorded seed)."""
+    import json
+    import os
+
+    p = os.path.join(path, CENTROIDS_FILE)
+    if not os.path.exists(p):
+        return None
+    import numpy as np
+
+    with open(p) as fh:
+        meta = json.load(fh)
+    return np.asarray(meta["centroids"], dtype=np.float64)
+
+
 def write_ivf_partitioned(
     df: DataFrame,
     path: str,
@@ -84,19 +121,43 @@ def write_ivf_partitioned(
     n_centroids: int = 16,
     seed: int = 11,
     mode: str = "overwrite",
+    train: bool = True,
+    sample_size: int = 256,
+    key_col: str = "vec_id",
 ) -> None:
     """ANN ingest: assign every vector to its IVF centroid cell
     (Arrow-batched argmax kernel — one map-side pass, no shuffle) and
     write parquet partitioned by the cell id. This is the IVF index
     as a DIRECTORY LAYOUT: a top-k query then reads only its n_probe
     cells via Catalyst partition pruning — 1/(n_centroids/n_probe) of
-    the bytes at any scale, before a single row is decoded."""
-    from .llm.similarity import ivf_assign_udf
+    the bytes at any scale, before a single row is decoded.
 
+    ``train=True`` (default) runs deterministic spherical k-means on a
+    bounded driver-side sample (the ``sample_size`` smallest keys) so
+    cells follow the data distribution instead of random directions;
+    the centroids are persisted next to the layout
+    (``_ivf_centroids.json``) and re-loaded by ``ivf_topk_pruned`` —
+    a query with mismatched centroids would probe wrong-but-existing
+    partitions."""
+    from .llm.similarity import (
+        ivf_assign_udf,
+        ivf_training_sample,
+        train_ivf_centroids,
+    )
+
+    cents = None
+    if train:
+        sample = ivf_training_sample(df, vec_col, key_col, sample_size)
+        cents = train_ivf_centroids(sample, n_centroids, seed)
     out = df.withColumn(
-        "ivf_cell", ivf_assign_udf(dim, n_centroids, seed)(F.col(vec_col))
+        "ivf_cell", ivf_assign_udf(dim, n_centroids, seed, cents)(F.col(vec_col))
     )
     out.write.partitionBy("ivf_cell").mode(mode).parquet(path)
+    if cents is None:
+        from .llm.similarity import _ivf_centroids
+
+        cents = _ivf_centroids(dim, n_centroids, seed)
+    _persist_centroids(path, cents, n_centroids, seed, trained=train)
 
 
 def ivf_topk_pruned(
@@ -116,12 +177,15 @@ def ivf_topk_pruned(
     exact cosine ranks only the probed fraction. Identical results to
     ``llm.similarity.ivf_topk`` on the raw table (probe selection is
     the shared ``probe_cells`` helper, so the two paths cannot
-    diverge). The query vector's length, ``n_centroids`` and ``seed``
-    must match the ``write_ivf_partitioned`` call — a different
-    centroid set would probe wrong-but-existing partitions."""
+    diverge). The quantizer is loaded from the layout's persisted
+    ``_ivf_centroids.json`` (written by ``write_ivf_partitioned``), so
+    trained layouts probe with their trained centroids; layouts from
+    before training existed fall back to the seeded quantizer — the
+    ``n_centroids`` / ``seed`` args must then match the write call."""
     from .llm.similarity import cosine_topk, probe_cells
 
-    probe = probe_cells(query_vec, n_centroids, n_probe, seed)
+    cents = load_ivf_centroids(path)
+    probe = probe_cells(query_vec, n_centroids, n_probe, seed, cents)
     df = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
     return cosine_topk(df, query_vec, k, vec_col, key_col)
 

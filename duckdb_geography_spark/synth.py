@@ -313,3 +313,173 @@ def cell_token_sql(cell: str) -> str:
         f"CASE WHEN {cell} = 0 THEN 'X' ELSE "
         f"regexp_replace(lpad(lower(hex({u})), 16, '0'), '0+$', '') END"
     )
+
+
+def cellfromfij_cte(fij_sql: str, suffix: str = "") -> str:
+    """Forward Hilbert traversal from LEAF ``(k, f, i, j)`` rows
+    produced by ``fij_sql`` — relation ``cellids(k, cell)`` (signed
+    BIGINT). The ij-space twin of :func:`cellfromlonlat_cte` used by
+    oracles that construct cells geometrically (edge neighbors,
+    ij-offset probes) rather than from lon/lat."""
+    from .s2.cellmath import IJ_TO_POS, POS_TO_ORIENT
+
+    lut_rows = ",".join(
+        "({},{},{},{})".format(
+            o, ij, int(IJ_TO_POS[o][ij]), o ^ int(POS_TO_ORIENT[int(IJ_TO_POS[o][ij])])
+        )
+        for o in range(4)
+        for ij in range(4)
+    )
+    out = f"""
+  fij AS ({fij_sql}),
+  lut(o, ij, d, no) AS (VALUES {lut_rows}),
+  hil AS (
+    SELECT k, f, i, j, 29 AS lev, CAST(0 AS BIGINT) AS pos, f % 2 AS o
+    FROM fij
+    UNION ALL
+    SELECT h.k, h.f, h.i, h.j, h.lev - 1, h.pos*4 + l.d, l.no
+    FROM hil h JOIN lut l
+      ON l.o = h.o AND l.ij = ((h.i >> h.lev) & 1)*2 + ((h.j >> h.lev) & 1)
+    WHERE h.lev >= 0),
+  cellids AS (
+    SELECT k, {_sgn("(CAST(f AS HUGEINT) * 2305843009213693952 + CAST(pos AS HUGEINT)*2 + 1)")} AS cell
+    FROM hil WHERE lev = -1)
+"""
+    if suffix:
+        for name in ("fij", "lut", "hil", "cellids"):
+            out = out_replace_token(out, name, name + suffix)
+    return out
+
+
+def cellij_cte(cells_sql: str, suffix: str = "") -> str:
+    """Inverse Hilbert walk: LEAF cell ids (rows ``(k, cell)``) ->
+    relation ``cij(k, f, i, j)`` of leaf ij coordinates. The shared
+    front half of :func:`cellcenter_xyz_cte`, exposed for oracles
+    that need the ij square itself (vertices, neighbors, levels)."""
+    from .s2.cellmath import POS_TO_IJ, POS_TO_ORIENT
+
+    lut_rows = ",".join(
+        "({},{},{},{},{})".format(
+            o,
+            d,
+            int(POS_TO_IJ[o][d]) >> 1,
+            int(POS_TO_IJ[o][d]) & 1,
+            o ^ int(POS_TO_ORIENT[d]),
+        )
+        for o in range(4)
+        for d in range(4)
+    )
+    u = _uns("cell")
+    out = f"""
+  cells_in AS ({cells_sql}),
+  cface AS (
+    SELECT k, cell,
+      CAST({u} // CAST(2305843009213693952 AS HUGEINT) AS BIGINT) AS f,
+      CAST(({u} % CAST(2305843009213693952 AS HUGEINT)) // 2 AS BIGINT) AS pos
+    FROM cells_in),
+  ilut(o, d, ib, jb, no) AS (VALUES {lut_rows}),
+  walk AS (
+    SELECT k, f, pos, 29 AS lev,
+      CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j, f % 2 AS o
+    FROM cface
+    UNION ALL
+    SELECT w.k, w.f, w.pos, w.lev - 1,
+      w.i * 2 + l.ib, w.j * 2 + l.jb, l.no
+    FROM walk w JOIN ilut l
+      ON l.o = w.o AND l.d = ((w.pos >> (2 * w.lev)) & 3)
+    WHERE w.lev >= 0),
+  cij AS (SELECT k, f, i, j FROM walk WHERE lev = -1)
+"""
+    if suffix:
+        for name in ("cells_in", "cface", "ilut", "walk", "cij"):
+            out = out_replace_token(out, name, name + suffix)
+    return out
+
+
+#: st->uv quadratic projection as a SQL lambda over an st expression
+def _st_to_uv_sql(s: str) -> str:
+    return (
+        f"(CASE WHEN {s} >= 0.5 THEN (1.0/3.0) * (4*({s})*({s}) - 1) "
+        f"ELSE (1.0/3.0) * (1 - 4*(1-({s}))*(1-({s}))) END)"
+    )
+
+
+def _face_xyz_sql(f: str, u: str, v: str):
+    """(rx, ry, rz) face-frame expressions for face ``f`` and uv."""
+    rx = f"CASE {f} WHEN 0 THEN 1.0 WHEN 1 THEN -({u}) WHEN 2 THEN -({u}) WHEN 3 THEN -1.0 WHEN 4 THEN ({v}) ELSE ({v}) END"
+    ry = f"CASE {f} WHEN 0 THEN ({u}) WHEN 1 THEN 1.0 WHEN 2 THEN -({v}) WHEN 3 THEN -({v}) WHEN 4 THEN -1.0 ELSE ({u}) END"
+    rz = f"CASE {f} WHEN 0 THEN ({v}) WHEN 1 THEN ({v}) WHEN 2 THEN 1.0 WHEN 3 THEN -({u}) WHEN 4 THEN -({u}) ELSE -1.0 END"
+    return rx, ry, rz
+
+
+def cellcorners_cte(cij_sql: str, level: int, suffix: str = "") -> str:
+    """From LEAF ij rows ``(k, f, i, j)`` (e.g. the ``cij`` relation of
+    :func:`cellij_cte`): the 4 corner unit vectors of the level-
+    ``level`` ancestor cell, CCW from (u_lo, v_lo) — the same ordering
+    as ``cellmath.cell_vertex_lonlat``. Relation ``corners(k, x0, y0,
+    z0, ..., x3, y3, z3)`` (normalized)."""
+    size = 1 << (30 - level)
+    cols = []
+    for vid in range(4):
+        iexpr = "ilo" if vid in (0, 3) else "ihi"
+        jexpr = "jlo" if vid < 2 else "jhi"
+        u = _st_to_uv_sql(f"({iexpr} / 1073741824.0)")
+        v = _st_to_uv_sql(f"({jexpr} / 1073741824.0)")
+        rx, ry, rz = _face_xyz_sql("f", u, v)
+        cols.append(f"({rx}) AS rx{vid}, ({ry}) AS ry{vid}, ({rz}) AS rz{vid}")
+    raw_cols = ",\n      ".join(cols)
+    norm_cols = ",\n      ".join(
+        f"rx{v} / sqrt(rx{v}*rx{v} + ry{v}*ry{v} + rz{v}*rz{v}) AS x{v}, "
+        f"ry{v} / sqrt(rx{v}*rx{v} + ry{v}*ry{v} + rz{v}*rz{v}) AS y{v}, "
+        f"rz{v} / sqrt(rx{v}*rx{v} + ry{v}*ry{v} + rz{v}*rz{v}) AS z{v}"
+        for v in range(4)
+    )
+    out = f"""
+  csq AS (
+    SELECT k, f,
+      i - (i % {size}) AS ilo, i - (i % {size}) + {size} AS ihi,
+      j - (j % {size}) AS jlo, j - (j % {size}) + {size} AS jhi
+    FROM ({cij_sql})),
+  crawq AS (
+    SELECT k, f,
+      {raw_cols}
+    FROM csq),
+  corners AS (
+    SELECT k,
+      {norm_cols}
+    FROM crawq)
+"""
+    if suffix:
+        for name in ("csq", "crawq", "corners"):
+            out = out_replace_token(out, name, name + suffix)
+    return out
+
+
+def quad_excess_area_sql(rel: str = "corners", radius: float = 6371010.0) -> str:
+    """Spherical-excess area (m^2) of the 4-corner quad in ``rel``
+    (wide x0..z3 columns), split into triangles (0,1,2) + (0,2,3) with
+    the 2*atan2 per-triangle excess — the same formula the wkb_codec
+    oracle uses, so both engines share the float math."""
+
+    def tri(a, b, c):
+        return (
+            f"2*atan2("
+            f"x{a}*(y{b}*z{c} - z{b}*y{c}) - y{a}*(x{b}*z{c} - z{b}*x{c}) + z{a}*(x{b}*y{c} - y{b}*x{c}), "
+            f"1 + (x{a}*x{b}+y{a}*y{b}+z{a}*z{b}) + (x{b}*x{c}+y{b}*y{c}+z{b}*z{c}) + (x{c}*x{a}+y{c}*y{a}+z{c}*z{a}))"
+        )
+
+    return f"abs({tri(0, 1, 2)} + {tri(0, 2, 3)}) * {radius!r} * {radius!r}"
+
+
+def cell_debug_string_sql(cell: str, level: int) -> str:
+    """'face/digits' debug string of a level-``level`` cell id —
+    digit_k = (id >> (2*(30-k)+1)) & 3 for k=1..level (string twin of
+    cellmath.debug_string)."""
+    u = _uns(cell)
+    parts = [f"CAST(CAST({u} // CAST(2305843009213693952 AS HUGEINT) AS BIGINT) AS VARCHAR)", "'/'"]
+    for k in range(1, level + 1):
+        shift = 2 * (30 - k) + 1
+        parts.append(
+            f"CAST(CAST(({u} // CAST({1 << shift} AS HUGEINT)) % 4 AS BIGINT) AS VARCHAR)"
+        )
+    return " || ".join(parts)

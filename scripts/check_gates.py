@@ -1,0 +1,74 @@
+"""Driver-style side-by-side check of queries() vs oracle_sql().
+
+Usage: python scripts/check_gates.py [query ...] [--sf DIR]
+With no query names, checks every registered query.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+
+import __spark_entry__ as e
+from duckdb_geography_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf = a.split("=", 1)[1]
+    spark = get_spark(cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+    qs, osql = e.queries(), e.oracle_sql()
+    names = args or list(qs)
+    n_ok = 0
+    for name in names:
+        try:
+            got = qs[name](spark, sf).toPandas()
+            if name not in osql:
+                print(f"{name}: NO-ORACLE rows={len(got)}")
+                continue
+            want = con.sql(osql[name]).df()
+            gcols, wcols = sorted(got.columns), sorted(want.columns)
+            if gcols != wcols:
+                print(f"{name}: SCHEMA-MISMATCH {gcols} vs {wcols}")
+                continue
+            got = got[gcols].sort_values(gcols).reset_index(drop=True)
+            want = want[wcols].sort_values(wcols).reset_index(drop=True)
+            if got.shape != want.shape:
+                print(f"{name}: ROWS-MISMATCH {got.shape} vs {want.shape}")
+                continue
+            bad = None
+            for c in gcols:
+                g, w = got[c], want[c]
+                if g.dtype.kind == "f" or w.dtype.kind == "f":
+                    eq = np.isclose(
+                        g.astype(float), w.astype(float), rtol=0, atol=0, equal_nan=True
+                    )
+                else:
+                    eq = g.astype(str).to_numpy() == w.astype(str).to_numpy()
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad = (c, i, g.iloc[i], w.iloc[i])
+                    break
+            if bad:
+                print(f"{name}: VALUE-MISMATCH col={bad[0]} row={bad[1]} got={bad[2]!r} want={bad[3]!r}")
+            else:
+                n_ok += 1
+                print(f"{name}: OK ({got.shape[0]} rows)")
+        except Exception as ex:
+            print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+    print(f"== {n_ok}/{len(names)} OK")
+
+
+if __name__ == "__main__":
+    main()

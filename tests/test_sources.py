@@ -89,11 +89,31 @@ def test_ivf_partitioned_topk_prunes_and_matches(spark, tmp_path):
     base = emb.where(F.col("vec_id") != 0)
     path = str(tmp_path / "ivf")
     S.write_ivf_partitioned(base, path, n_centroids=8)
+    # the write trained + persisted centroids next to the layout
+    cents = S.load_ivf_centroids(path)
+    assert cents is not None and cents.shape == (8, 64)
     pruned = S.ivf_topk_pruned(spark, path, q, k=5, n_centroids=8, n_probe=3)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # the probe filter must prune DIRECTORIES (partition filter), not
     # rows (pushed filter): reading n_probe/n_centroids of the bytes
     assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # same trained quantizer on the raw table -> identical results
+    raw = similarity.ivf_topk(base, q, k=5, n_centroids=8, n_probe=3, centroids=cents)
+    assert [(r.vec_id, r.score) for r in pruned.collect()] == [
+        (r.vec_id, r.score) for r in raw.collect()
+    ]
+
+
+def test_ivf_untrained_layout_still_works(spark, tmp_path):
+    from duckdb_geography_spark import sources as S
+    from duckdb_geography_spark.llm import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    base = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf_seeded")
+    S.write_ivf_partitioned(base, path, n_centroids=8, train=False)
+    pruned = S.ivf_topk_pruned(spark, path, q, k=5, n_centroids=8, n_probe=3)
     raw = similarity.ivf_topk(base, q, k=5, n_centroids=8, n_probe=3)
     assert [(r.vec_id, r.score) for r in pruned.collect()] == [
         (r.vec_id, r.score) for r in raw.collect()
