@@ -2365,7 +2365,9 @@ def _q_multimodal_features(spark, sf_dir):
         "payload",
         "doc_id",
     )
-    feats = mm.decode_image_features(media)
+    # kernel pinned to the stub tier: the oracle models the
+    # byte-derived pseudo-decode, independent of installed media libs
+    feats = mm.decode_image_features(media, kernel="stub")
     return (
         feats.select(
             "media_id",
@@ -2420,7 +2422,7 @@ def _q_audio_windows(spark, sf_dir):
         "payload",
         "doc_id",
     )
-    w = mm.audio_window_features(media, window_bytes=64)
+    w = mm.audio_window_features(media, window_bytes=64, kernel="stub")
     return (
         w.where(F.col("n") == 64)
         .select(

@@ -39,6 +39,7 @@ from .geo import geodesy as gd
 
 __all__ = [
     "covering_join",
+    "covering_range_join",
     "cell_containment_join",
     "distance_join",
     "broadcast_spatial_join",
@@ -126,6 +127,124 @@ def covering_join(
 
     pairs = l_cells.join(r_cells, "__cell").drop("__cell")
     pairs = pairs.dropDuplicates([lk, rk])
+    if refine is not None:
+        pairs = pairs.where(refine(F.col(left_geog), F.col(rgeog_out)))
+    drop = [c for c, synth in ((lk, lk_synth), (rk, rk_synth)) if synth]
+    return pairs.drop(*drop)
+
+
+def _range_covering_udf(max_cells: int, coarse_level: int):
+    """Adaptive (mixed-level) covering, with cells coarser than
+    ``coarse_level`` split into their level-``coarse_level``
+    descendants so every emitted cell has a unique coarse ancestor
+    (the range join's bucket key). Bounded fan-out: a face cell
+    splits into 4^coarse_level cells."""
+    from .s2 import cellmath as cm
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+                continue
+            cells = covering_of_encoded(bytes(b), max_cells=max_cells)
+            levs = cm.level(cells)
+            keep = cells[levs >= coarse_level]
+            emitted = [keep]
+            for c, lv in zip(cells[levs < coarse_level], levs[levs < coarse_level]):
+                kids = np.array([c], dtype=np.uint64)
+                for _ in range(int(coarse_level - lv)):
+                    kids = np.repeat(kids, 4)
+                    ks = np.tile(np.arange(4), len(kids) // 4)
+                    kids = cm.child(kids, ks)
+                emitted.append(kids)
+            allc = np.concatenate(emitted) if emitted else np.empty(0, np.uint64)
+            out.append([int(v) for v in allc.view(np.int64)])
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
+def _uns_ord(col: Column) -> Column:
+    """Order-preserving unsigned->signed map (XOR the sign bit): cell
+    ids on faces 4-5 have the high bit set and compare wrong as signed
+    longs; after the flip, signed BETWEEN implements unsigned order."""
+    return col.bitwiseXOR(F.lit(-(2**63)))
+
+
+def covering_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    left_level: int = 10,
+    max_cells: int = 8,
+    coarse_level: int = 4,
+    left_geog: str = "geog",
+    right_geog: str = "geog",
+    left_key: Optional[str] = None,
+    right_key: Optional[str] = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Mixed-level covering join — the fallback when a fixed-level
+    covering overflows (CoveringOverflowError: planet-scale regions
+    would need millions of level-8 cells).
+
+    The reference documents this as the range form
+    (docs/function-reference.md:810-813: ``range_min/range_max``
+    BETWEEN); the Spark-shaped version keeps it an EQUI-join:
+
+    - right (the big-geometry side) takes an ADAPTIVE covering
+      (``max_cells`` cells at whatever levels fit — O(1) cells per
+      region no matter its size), split so every cell is at level >=
+      ``coarse_level``;
+    - both sides bucket on the level-``coarse_level`` ancestor (two
+      covering cells can only overlap if one contains the other, and
+      then they share that ancestor) — a plain shuffle-hash equi-join,
+      AQE-skew-splittable, NEVER a cartesian;
+    - candidates refine with the unsigned Hilbert range-overlap test
+      (``range_min <= other.range_max AND ...`` — the BETWEEN form)
+      as a pure Column predicate, then the exact geometry predicate.
+
+    Put the side with huge geographies on the RIGHT; the left side
+    pays a fixed-level covering at ``left_level`` (>= coarse_level).
+    """
+    if left_level < coarse_level:
+        raise ValueError("left_level must be >= coarse_level")
+    refine = _PREDICATES[predicate] if predicate != "mayintersect" else None
+
+    lk_df, lk, lk_synth = _with_key(left, left_key, "__lkey")
+    rk_df, rk, rk_synth = _with_key(right, right_key, "__rkey")
+
+    rgeog_out = right_geog if right_geog != left_geog else right_geog + "_r"
+    r_renamed = rk_df.withColumnRenamed(right_geog, rgeog_out)
+    overlap = set(lk_df.columns) & set(r_renamed.columns)
+    for col in overlap:
+        r_renamed = r_renamed.withColumnRenamed(col, col + "_r")
+        if rk == col:
+            rk = col + "_r"
+        if rgeog_out == col:
+            rgeog_out = col + "_r"
+
+    l_cells = lk_df.withColumn(
+        "__lcell", F.explode(s2_covering_fixed_level(left_geog, left_level))
+    ).withColumn("__bucket", C.s2_cell_parent(F.col("__lcell"), coarse_level))
+    r_cells = r_renamed.withColumn(
+        "__rcell", F.explode(_range_covering_udf(max_cells, coarse_level)(F.col(rgeog_out)))
+    ).withColumn("__bucket", C.s2_cell_parent(F.col("__rcell"), coarse_level))
+    if broadcast_right:
+        r_cells = F.broadcast(r_cells)
+
+    lmin = _uns_ord(C.s2_cell_range_min(F.col("__lcell")))
+    lmax = _uns_ord(C.s2_cell_range_max(F.col("__lcell")))
+    rmin = _uns_ord(C.s2_cell_range_min(F.col("__rcell")))
+    rmax = _uns_ord(C.s2_cell_range_max(F.col("__rcell")))
+    pairs = (
+        l_cells.join(r_cells, "__bucket")
+        .where((lmin <= rmax) & (rmin <= lmax))
+        .drop("__bucket", "__lcell", "__rcell")
+        .dropDuplicates([lk, rk])
+    )
     if refine is not None:
         pairs = pairs.where(refine(F.col(left_geog), F.col(rgeog_out)))
     drop = [c for c, synth in ((lk, lk_synth), (rk, rk_synth)) if synth]

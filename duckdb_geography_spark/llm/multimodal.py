@@ -1,12 +1,20 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 The Spark-side contract is real and tested — schemas, Arrow batch
-shapes, ``mapInPandas`` pipelines, partition sizing — while the codec
-kernels (image/audio decode) are deterministic fakes behind
-``DECODERS``, clearly marked: this container ships no media
-libraries, so decode produces stable pseudo-features derived from the
-bytes. Swap the kernel for a real decoder (PIL/ffmpeg) in production
-without touching any Spark plumbing.
+shapes, ``mapInPandas`` pipelines, partition sizing. Codec kernels
+come in two tiers selected AT CALL TIME on each worker:
+
+- **real** — PIL (images) / soundfile (audio) when importable;
+- **stub** — deterministic byte-derived fakes for containers without
+  media libraries (this test container), and for oracle-paired gated
+  queries whose DuckDB twin models the byte semantics.
+
+``kernel`` on each operator: ``"auto"`` (default — real if the
+library imports on the worker, stub otherwise), ``"real"`` (raise if
+the library is missing), ``"stub"`` (always the deterministic fake).
+Selection happens inside the serialized closure, so heterogeneous
+clusters pick per-worker and ``"auto"`` never crashes a worker that
+lacks the library.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ __all__ = [
     "sample_video_frames",
     "resize_images",
     "audio_window_features",
+    "image_decode_kernel",
 ]
 
 #: canonical multimodal row schema: opaque payload + typed metadata
@@ -64,12 +73,10 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def _fake_image_decode(payload: bytes, feat_dim: int = 8):
-    """STUB KERNEL — deterministic pseudo-decode.
-
-    Real deployments replace this with PIL/torchvision; it exists so
-    the distributed plumbing (batching, schema, shuffle) is testable
-    in this container. Raises for empty payloads like a real decoder
-    would."""
+    """STUB KERNEL — deterministic pseudo-decode derived from the
+    payload bytes (stable pseudo-features so the distributed plumbing
+    is testable without media libraries). Raises for empty payloads
+    like a real decoder would."""
     if not payload:
         raise NotImplementedError("empty media payload; real decoder required")
     digest = hashlib.sha256(payload).digest()
@@ -78,6 +85,61 @@ def _fake_image_decode(payload: bytes, feat_dim: int = 8):
     rng = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     feats = (rng[:feat_dim] / 255.0).astype(np.float32)
     return width, height, 3, feats
+
+
+def _pil_image_decode(payload: bytes, feat_dim: int = 8):
+    """REAL KERNEL — PIL decode: true dimensions, RGB channel count,
+    and a ``feat_dim``-band mean-intensity feature vector."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    if not payload:
+        raise NotImplementedError("empty media payload")
+    img = Image.open(BytesIO(payload)).convert("RGB")
+    w, h = img.size
+    small = img.resize((feat_dim, 1))
+    px = np.asarray(small, dtype=np.float32) / 255.0  # (1, feat_dim, 3)
+    feats = px.mean(axis=2).ravel()[:feat_dim].astype(np.float32)
+    return w, h, 3, feats
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _select(kernel: str, real_ok, real_fn, stub_fn, lib: str):
+    """Worker-side kernel choice (runs inside the serialized closure).
+    Python's import cache makes the availability probe free per row."""
+    if kernel == "stub":
+        return stub_fn
+    if kernel == "real":
+        if not real_ok():
+            raise ImportError(f"kernel='real' but {lib} is not importable on this worker")
+        return real_fn
+    if kernel != "auto":
+        raise ValueError(f"kernel must be 'auto' | 'real' | 'stub', got {kernel!r}")
+    return real_fn if real_ok() else stub_fn
+
+
+def image_decode_kernel(kernel: str = "auto"):
+    """The image decode callable the current environment would use —
+    exposed for kernel-selection tests and capability probes."""
+    return _select(kernel, _pil_available, _pil_image_decode, _fake_image_decode, "PIL")
 
 
 DECODERS = {"image": _fake_image_decode}
@@ -102,17 +164,22 @@ def attach_media(df: DataFrame, payload_col: str, id_col: str, kind: str = "imag
     )
 
 
-def decode_image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+def decode_image_features(
+    media: DataFrame, feat_dim: int = 8, kernel: str = "auto"
+) -> DataFrame:
     """mapInPandas decode: Arrow-batched, one Python worker pass,
     output schema fixed — the real 100 TB shape for media decode
     (batch size controlled by spark.sql.execution.arrow.maxRecordsPerBatch;
-    repartition upstream so a batch of payloads fits executor memory)."""
+    repartition upstream so a batch of payloads fits executor memory).
+    ``kernel``: 'auto' = PIL when importable on the worker, else the
+    deterministic stub; 'real' / 'stub' force a tier."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _select(kernel, _pil_available, _pil_image_decode, _fake_image_decode, "PIL")
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, c, feats = DECODERS["image"](bytes(payload), feat_dim)
+                w, h, c, feats = fn(bytes(payload), feat_dim)
                 rows.append((mid, w, h, c, [float(x) for x in feats]))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "channels", "features"]
@@ -148,16 +215,34 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(split, out_schema)
 
 
-def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def _fake_resize(raw: bytes, nbytes: int) -> bytes:
+    """STUB resample: tile + cut the payload to the target size."""
+    reps = -(-nbytes // len(raw))
+    return (raw * reps)[:nbytes]
+
+
+def _pil_resize(raw: bytes, width: int, height: int) -> bytes:
+    """REAL resample: PIL decode + Lanczos resize -> raw RGB bytes."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(raw)).convert("RGB")
+    return img.resize((width, height), Image.LANCZOS).tobytes()
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, kernel: str = "auto"
+) -> DataFrame:
     """Resize plumbing: (media_id, payload, meta) -> same schema with
-    the payload replaced by a ``width x height x 3`` buffer and the
-    meta updated. The RESAMPLING kernel is the deterministic stub
-    (bytes tiled/truncated to the target size — swap for PIL's
-    ``Image.resize`` in production); the Spark side is the real shape:
-    one mapInPandas pass, fixed output schema, output size known
-    up-front so executors can size batches (a 64x64x3 output is 12 KiB
-    per row regardless of input size — resize EARLY in a pipeline to
-    cap downstream shuffle width)."""
+    the payload replaced by a ``width x height x 3`` RGB buffer and the
+    meta updated. Kernel tiers: PIL ``Image.resize`` when importable
+    ('auto'/'real'), deterministic tile-and-cut stub otherwise. The
+    Spark side is the real shape either way: one mapInPandas pass,
+    fixed output schema, output size known up-front so executors can
+    size batches (a 64x64x3 output is 12 KiB per row regardless of
+    input size — resize EARLY in a pipeline to cap downstream shuffle
+    width)."""
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -178,6 +263,11 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
     nbytes = width * height * 3
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = kernel == "real" or (kernel == "auto" and _pil_available())
+        if kernel == "real" and not _pil_available():
+            raise ImportError("kernel='real' but PIL is not importable on this worker")
+        if kernel not in ("auto", "real", "stub"):
+            raise ValueError(f"kernel must be 'auto' | 'real' | 'stub', got {kernel!r}")
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -186,8 +276,11 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
                     raise NotImplementedError(
                         "empty media payload; real decoder required"
                     )
-                reps = -(-nbytes // len(raw))  # STUB kernel: tile + cut
-                out = (raw * reps)[:nbytes]
+                out = (
+                    _pil_resize(raw, width, height)
+                    if use_real
+                    else _fake_resize(raw, nbytes)
+                )
                 rows.append(
                     (mid, out, ("application/octet-stream", nbytes, width, height))
                 )
@@ -196,14 +289,31 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
     return media.select("media_id", "payload").mapInPandas(_resize, out_schema)
 
 
-def audio_window_features(media: DataFrame, window_bytes: int = 1024) -> DataFrame:
+def _fake_audio_samples(raw: bytes) -> np.ndarray:
+    """STUB codec: payload bytes as centered uint8 PCM samples."""
+    return np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+
+
+def _soundfile_audio_samples(raw: bytes) -> np.ndarray:
+    """REAL codec: soundfile decode (wav/flac/ogg...), channels
+    averaged to mono float64."""
+    from io import BytesIO
+
+    import soundfile as sf
+
+    data, _rate = sf.read(BytesIO(raw), dtype="float64", always_2d=True)
+    return data.mean(axis=1)
+
+
+def audio_window_features(
+    media: DataFrame, window_bytes: int = 1024, kernel: str = "auto"
+) -> DataFrame:
     """Windowed audio features: one row per fixed-size window with
-    byte-level mean / RMS / zero-crossing counts. The WINDOWING and
-    the statistics are real vectorized numpy over the Arrow batch
-    (only the codec step — payload bytes standing in for PCM samples —
-    is the stub; swap the ``samples = frombuffer`` line for a real
-    decode). Output rows are (media_id, window_idx, n, mean, rms,
-    zero_crossings)."""
+    mean / RMS / zero-crossing counts. The windowing and statistics
+    are vectorized numpy over the Arrow batch; the codec tier is
+    soundfile when importable ('auto'/'real') and bytes-as-PCM
+    otherwise ('stub'). Output rows are (media_id, window_idx, n,
+    mean, rms, zero_crossings)."""
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -216,6 +326,13 @@ def audio_window_features(media: DataFrame, window_bytes: int = 1024) -> DataFra
     )
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = _select(
+            kernel,
+            _soundfile_available,
+            _soundfile_audio_samples,
+            _fake_audio_samples,
+            "soundfile",
+        )
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -224,8 +341,7 @@ def audio_window_features(media: DataFrame, window_bytes: int = 1024) -> DataFra
                     raise NotImplementedError(
                         "empty media payload; real decoder required"
                     )
-                # STUB codec: bytes as centered int16-ish samples
-                samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+                samples = codec(raw)
                 for w in range(-(-len(samples) // window_bytes)):
                     win = samples[w * window_bytes : (w + 1) * window_bytes]
                     signs = np.signbit(win[win != 0.0])

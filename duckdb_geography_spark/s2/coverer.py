@@ -377,8 +377,9 @@ class CoveringOverflowError(ValueError):
         self.cap = cap
         super().__init__(
             f"fixed-level covering at level {level} exceeds {cap} cells; "
-            f"re-run with level<={suggested_level} (or use a range/broadcast join "
-            f"for planet-scale regions)"
+            f"re-run with level<={suggested_level}, or use "
+            f"joins.covering_range_join (mixed-level adaptive covering + "
+            f"range refine) for planet-scale regions"
         )
 
 

@@ -109,3 +109,117 @@ def test_level_for_radius():
     assert J.level_for_radius_meters(2_000_000) <= 4
     assert J.level_for_radius_meters(100) >= 13
     assert J.level_for_radius_meters(0) == 30
+
+
+class TestCoveringRangeJoin:
+    """The CoveringOverflowError fallback: mixed-level adaptive
+    covering + coarse-bucket equi-join + unsigned range refine
+    (reference range form, docs/function-reference.md:810-813)."""
+
+    HEMISPHERE = (
+        "POLYGON ((-90 -75, 0 -75, 90 -75, 90 0, 90 75, 0 75, -90 75, -90 0, -90 -75))"
+    )
+
+    @pytest.fixture(scope="class")
+    def overflow(self, spark):
+        from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+        cities = D.s2_data_cities(spark).cache()
+        regions = spark.createDataFrame(
+            [("HEMI", self.HEMISPHERE), ("GERMANYISH", 
+              "POLYGON ((5 47, 15 47, 15 55, 5 55, 5 47))")],
+            ["rname", "wkt"],
+        ).select("rname", s2_geogfromtext("wkt").alias("geog")).cache()
+        naive = (
+            regions.crossJoin(
+                cities.select(F.col("name").alias("city"), F.col("geog").alias("cgeog"))
+            )
+            .where(G.s2_intersects("geog", "cgeog"))
+            .select("rname", "city")
+        )
+        truth = {(r.rname, r.city) for r in naive.collect()}
+        return cities, regions, truth
+
+    def test_fixed_level_overflows(self, spark, overflow):
+        cities, regions, _ = overflow
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="covering_range_join"):
+            J.covering_join(
+                cities.select(F.col("name").alias("city"), "geog"),
+                regions,
+                predicate="intersects",
+                level=12,
+                left_key="city",
+                right_key="rname",
+            ).collect()
+
+    def test_range_join_matches_naive(self, spark, overflow):
+        cities, regions, truth = overflow
+        got = J.covering_range_join(
+            cities.select(F.col("name").alias("city"), "geog"),
+            regions,
+            predicate="intersects",
+            left_level=10,
+            max_cells=8,
+            coarse_level=4,
+            left_key="city",
+            right_key="rname",
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert {(r.rname, r.city) for r in got.collect()} == truth
+
+    def test_range_join_coarse_region(self, spark, overflow):
+        """coarse_level above some covering-cell levels: the splitter
+        must explode coarse cells into coarse_level descendants, not
+        drop them."""
+        cities, regions, truth = overflow
+        got = J.covering_range_join(
+            cities.select(F.col("name").alias("city"), "geog"),
+            regions,
+            predicate="intersects",
+            left_level=8,
+            max_cells=4,  # hemisphere covering will include level<4 cells
+            coarse_level=4,
+            left_key="city",
+            right_key="rname",
+        )
+        assert {(r.rname, r.city) for r in got.collect()} == truth
+
+
+def test_covering_join_skew(spark):
+    """100x-scale question: what happens when every point lands in ONE
+    cell (worst-case key skew)? The covering join must still be an
+    equi-join (AQE skew-split eligible), produce exact results, and
+    carry no cartesian shape."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    n = 20000
+    # all points inside one ~0.7deg region -> one level-4 covering cell
+    pts = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 100 / 1000.0 + 10.0).alias("lon"),
+            (F.col("id") % 97 / 1000.0 + 10.0).alias("lat"),
+        )
+    )
+    region = spark.createDataFrame(
+        [("R", "POLYGON ((9.9 9.9, 10.2 9.9, 10.2 10.2, 9.9 10.2, 9.9 9.9))")],
+        ["rname", "wkt"],
+    ).select("rname", s2_geogfromtext("wkt").alias("geog"))
+    joined = J.cell_containment_join(
+        pts.withColumn("cell", C.s2_cellfromlonlat("lon", "lat")),
+        region,
+        point_cell="cell",
+        region_geog="geog",
+        level=4,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exact: every point is strictly inside the region
+    assert joined.count() == n

@@ -516,6 +516,82 @@ class TestSimilarity:
         assert None not in counts
 
 
+class TestMultimodalKernelSelection:
+    """The codec tiers select at call time: real PIL/soundfile when
+    importable, deterministic stub otherwise; 'real' raises without
+    the library; 'stub' always forces the fake. The real-kernel code
+    path is exercised with a minimal in-process stand-in module (the
+    container ships no media libs)."""
+
+    def test_auto_selects_stub_without_pil(self):
+        assert not mm._pil_available()
+        assert mm.image_decode_kernel("auto") is mm._fake_image_decode
+        assert mm.image_decode_kernel("stub") is mm._fake_image_decode
+
+    def test_real_raises_without_pil(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="PIL"):
+            mm.image_decode_kernel("real")
+        with _pytest.raises(ValueError, match="kernel must be"):
+            mm.image_decode_kernel("bogus")
+
+    def test_real_kernel_with_fake_pil(self, monkeypatch):
+        """Drive _pil_image_decode through a minimal PIL.Image
+        stand-in implementing the exact API surface the kernel uses
+        (open/convert/size/resize/ndarray conversion)."""
+        import sys
+        import types
+
+        class _Img:
+            def __init__(self, w, h):
+                self.size = (w, h)
+
+            def convert(self, mode):
+                assert mode == "RGB"
+                return self
+
+            def resize(self, wh, *a):
+                return _Small(wh)
+
+        class _Small:
+            def __init__(self, wh):
+                self._wh = wh
+
+            def __array__(self, dtype=None, copy=None):
+                w, h = self._wh
+                return np.full((h, w, 3), 128, dtype=dtype or np.uint8)
+
+        image_mod = types.ModuleType("PIL.Image")
+        image_mod.open = lambda fh: _Img(40, 30)
+        pil_mod = types.ModuleType("PIL")
+        pil_mod.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+        monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+        assert mm._pil_available()
+        assert mm.image_decode_kernel("auto") is mm._pil_image_decode
+        w, h, c, feats = mm._pil_image_decode(b"payload", feat_dim=8)
+        assert (w, h, c) == (40, 30, 3)
+        assert len(feats) == 8
+        assert np.allclose(feats, 128 / 255.0)
+
+    def test_real_audio_with_fake_soundfile(self, monkeypatch):
+        import sys
+        import types
+
+        sf_mod = types.ModuleType("soundfile")
+
+        def _read(fh, dtype="float64", always_2d=True):
+            data = np.array([[0.5, -0.5], [1.0, 0.0]], dtype=np.float64)
+            return data, 16000
+
+        sf_mod.read = _read
+        monkeypatch.setitem(sys.modules, "soundfile", sf_mod)
+        assert mm._soundfile_available()
+        samples = mm._soundfile_audio_samples(b"wavbytes")
+        assert np.allclose(samples, [0.0, 0.5])  # channel mean
+
+
 class TestMultimodal:
     def test_image_decode_plumbing(self, spark, docs):
         media = mm.attach_media(
