@@ -332,36 +332,67 @@ GROUP BY r_name ORDER BY r_name
 
 
 def _q_cell_bitops(spark, sf_dir):
-    from duckdb_geography_spark import synth
-    from duckdb_geography_spark.functions import cells as C
+    """Pure-JVM cell bit ops, built as selectExpr SQL STRINGS.
 
+    The Column-API version of this query spent 1.3-2.9s of DRIVER time
+    constructing the expression trees (every C.s2_cell_* helper is
+    dozens of Py4J round trips) against ~0.35s of actual execution at
+    sf0.1. A handful of selectExpr strings hand the whole tree to the
+    JVM parser in 3 calls; semantics are identical to the Column
+    helpers in functions/cells.py (same long-domain bit math — the
+    sf0.01 oracle hash is the proof)."""
     _prep(spark)
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    # build each shared subexpression ONCE and reference it by name in
-    # later stages: inlining `cell` (a ~100-node expression) into every
-    # output column multiplies both the Python/Py4J construction cost
-    # and the analyzer's tree size (this query: 1.8s -> ~0.3s build)
+    # level-5 constants (cells.py::s2_cell_parent math)
+    lsb5 = 1 << (2 * (30 - 5))
+    mask5 = (~(2 * lsb5 - 1)) & 0xFFFFFFFFFFFFFFFF
+    mask5 = mask5 - (1 << 64) if mask5 >= (1 << 63) else mask5
+    q5 = lsb5 // 4
+    # shiftleft instead of multiply: face 4/5 << 61 wraps negative,
+    # which ANSI-mode multiplication would reject as overflow
+    cell = (
+        "(shiftleft(CAST(c_custkey % 6 AS BIGINT), 61)"
+        " + (c_custkey * 2654435761L % 1152921504606846976L) * 2 + 1)"
+    )
+    dec = "CAST(conv(rpad(token, 16, '0'), 16, 10) AS DECIMAL(20,0))"
+    tok_rt = (
+        f"CAST(CASE WHEN {dec} > CAST('9223372036854775807' AS DECIMAL(20,0)) "
+        f"THEN {dec} - CAST('18446744073709551616' AS DECIMAL(21,0)) "
+        f"ELSE {dec} END AS BIGINT)"
+    )
     return (
-        cust.select(
-            "c_custkey",
-            synth.key_cell("c_custkey").alias("cell"),
-        )
-        .select("*", C.s2_cell_parent("cell", 5).alias("parent5"))
-        .select(
+        cust.selectExpr("c_custkey", f"{cell} AS cell")
+        .selectExpr(
             "c_custkey",
             "cell",
-            C.s2_cell_level("cell").alias("level"),
-            "parent5",
-            C.s2_cell_range_min("parent5").alias("rmin5"),
-            C.s2_cell_range_max("parent5").alias("rmax5"),
-            C.s2_cell_token("cell").alias("token"),
-            C.s2_cell_contains("parent5", F.col("cell")).alias("parent_contains"),
+            "CAST(30 - (bit_count((cell & -cell) - 1) div 2) AS INT) AS level",
+            f"((cell & {mask5}L) | {lsb5}L) AS parent5",
+            "CASE WHEN cell = 0 THEN 'X' ELSE "
+            "regexp_replace(lpad(lower(hex(cell)), 16, '0'), '0+$', '') END AS token",
         )
-        .withColumn("token_rt", C.s2_cell_from_token("token"))
-        .withColumn("child0", C.s2_cell_child("parent5", 0))
-        .withColumn("child3", C.s2_cell_child("parent5", 3))
-        .withColumn("inter_pc", C.s2_cell_intersects("parent5", F.col("cell")))
-        .withColumn("inter_cc", C.s2_cell_intersects("child0", F.col("child3")))
+        .selectExpr(
+            "c_custkey",
+            "cell",
+            "level",
+            "parent5",
+            "(parent5 - (parent5 & -parent5) + 1) AS rmin5",
+            "(parent5 + (parent5 & -parent5) - 1) AS rmax5",
+            "token",
+            f"{tok_rt} AS token_rt",
+            "(parent5 - (parent5 & -parent5) + 1 <= cell "
+            "AND cell <= parent5 + (parent5 & -parent5) - 1) AS parent_contains",
+            f"(parent5 - {lsb5}L + {q5}L) AS child0",
+            f"(parent5 - {lsb5}L + {q5}L + 2L * {q5}L * 3) AS child3",
+        )
+        .selectExpr(
+            "*",
+            # intersects = contains either way (ranges in the signed
+            # domain: operands share their face bits here)
+            "((parent5 - (parent5 & -parent5) + 1 <= cell AND cell <= parent5 + (parent5 & -parent5) - 1)"
+            " OR (cell - (cell & -cell) + 1 <= parent5 AND parent5 <= cell + (cell & -cell) - 1)) AS inter_pc",
+            "((child0 - (child0 & -child0) + 1 <= child3 AND child3 <= child0 + (child0 & -child0) - 1)"
+            " OR (child3 - (child3 & -child3) + 1 <= child0 AND child0 <= child3 + (child3 & -child3) - 1)) AS inter_cc",
+        )
         .select(
             "c_custkey", "cell", "level", "parent5", "rmin5", "rmax5",
             "token", "token_rt", "parent_contains",
@@ -403,11 +434,22 @@ def _q_cellfromlonlat(spark, sf_dir):
         "c_custkey", synth.cust_lon().alias("lon"), synth.cust_lat().alias("lat")
     )
     leaf = C.s2_cellfromlonlat("lon", "lat")
-    return cust.select(
-        "c_custkey",
-        leaf.alias("cell"),
-        C.s2_cell_token(C.s2_cell_parent(leaf, 10)).alias("token10"),
-    ).orderBy("c_custkey")
+    # materialize the UDF column once, then derive token10 with ONE
+    # selectExpr string (the Column-helper tree cost driver time; the
+    # parent/token math is plain long/string expressions)
+    lsb10 = 1 << (2 * (30 - 10))
+    mask10 = (~(2 * lsb10 - 1)) & 0xFFFFFFFFFFFFFFFF
+    mask10 = mask10 - (1 << 64) if mask10 >= (1 << 63) else mask10
+    return (
+        cust.select("c_custkey", leaf.alias("cell"))
+        .selectExpr(
+            "c_custkey",
+            "cell",
+            "CASE WHEN cell = 0 THEN 'X' ELSE regexp_replace(lpad(lower(hex("
+            f"(cell & {mask10}L) | {lsb10}L)), 16, '0'), '0+$', '') END AS token10",
+        )
+        .orderBy("c_custkey")
+    )
 
 
 def _cellfromlonlat_sql():
