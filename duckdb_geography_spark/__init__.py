@@ -17,3 +17,13 @@ Design (SURVEY.md):
 from __future__ import annotations
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy GeoCol export (the fluent `geo()` helper must be imported
+    # from .fluent — the bare name collides with the geo subpackage)
+    if name == "GeoCol":
+        from . import fluent
+
+        return fluent.GeoCol
+    raise AttributeError(name)

@@ -5,10 +5,12 @@ models, src/include/global_options.hpp:11-14; empty-input behaviors
 from src/s2_binary_index_ops.cpp and src/s2_accessors.cpp — see each
 function).
 
-Overlay status (v1): empty/disjoint/containment cases implement the
-reference's documented quirks exactly; the general partial-overlap
-polygon clip is not yet implemented and raises ``NotImplementedError``
-(tracked gap; the reference gets this from S2BooleanOperation).
+Overlay status: complete. Empty/disjoint/containment cases implement
+the reference's documented quirks exactly, and the general
+partial-overlap clip routes through the edge-classification overlay
+engine (``_general_overlay`` -> geo/overlay.py — our clean-room
+equivalent of the reference's S2BooleanOperation), oracle-verified by
+the overlay_intersection / overlay_suite driver gates.
 """
 
 from __future__ import annotations

@@ -107,12 +107,29 @@ def ngram_jaccard(a, b, n: int = 3) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def _assert_small(df: DataFrame, max_rows, scale_path: str, caller: str) -> None:
+    """Guard rail on the documented quadratic baselines: they exist to
+    validate the scale paths on small candidate sets, and an
+    accidental call over a big table would plan an all-pairs join.
+    Pass ``max_rows=None`` to opt out explicitly."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{caller} is a quadratic all-pairs baseline and the input has "
+            f"{n} rows (> max_rows={max_rows}); use {scale_path} at scale, "
+            f"or pass max_rows=None to force the quadratic plan"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with n-gram Jaccard >= threshold (key_a < key_b).
 
@@ -123,6 +140,7 @@ def ngram_jaccard_pairs(
     Gram sets are materialized per document *before* the pair join
     (not per pair), and the probe side is repartitioned so the
     nested-loop join parallelizes instead of running on one task."""
+    _assert_small(df, max_rows, "minhash_lsh_pairs + ngram refine", "ngram_jaccard_pairs")
     sc = df.sparkSession.sparkContext
     grams = df.select(F.col(key_col).alias("__k"), ngram_set(text_col, n).alias("__g"))
     a = grams.select(F.col("__k").alias("key_a"), F.col("__g").alias("ga")).repartition(
@@ -515,9 +533,11 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     threshold: float = 0.95,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (key_a < key_b). Brute-force; use
     similarity.lsh_buckets for candidate generation at scale."""
+    _assert_small(df, max_rows, "similarity.lsh_neardup_pairs", "embedding_neardup_pairs")
     from .similarity import cosine_sim
 
     a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))

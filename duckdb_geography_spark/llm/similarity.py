@@ -255,10 +255,14 @@ def cosine_topk_all(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     other: Optional[DataFrame] = None,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """For every row, its exact top-k nearest neighbors (brute force):
     cross join + window rank. Quadratic — the correctness baseline the
     LSH path is validated against."""
+    from .dedup import _assert_small
+
+    _assert_small(df, max_rows, "lsh_topk / ivf_topk", "cosine_topk_all")
     other = other if other is not None else df
     a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
     b = other.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))

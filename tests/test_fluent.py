@@ -1,0 +1,73 @@
+"""GeoCol fluent chaining — the reference's dot-chain style
+(cell_ops.test:95-97: ``s2_aswkb(...).s2_cellfromwkb()``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from duckdb_geography_spark.fluent import GeoCol, geo
+from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+LEAF = "2/112230310012123001312232330210"
+
+
+def test_reference_chain(spark):
+    # cell_ops.test:95-97 verbatim semantics:
+    # s2_aswkb('POINT (-64 45)'::GEOGRAPHY).s2_cellfromwkb() -> LEAF
+    out = spark.range(1).select(
+        geo(s2_geogfromtext(F.lit("POINT (-64 45)")))
+        .s2_aswkb()
+        .s2_cellfromwkb()
+        .s2_cell_debug_string()
+        .alias("dbg")
+    )
+    assert out.collect()[0].dbg == LEAF
+
+
+def test_chain_with_args_and_geocol_operand(spark):
+    a = geo(s2_geogfromtext(F.lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")))
+    b = geo(s2_geogfromtext(F.lit("POINT (5 5)")))
+    out = spark.range(1).select(
+        a.s2_contains(b).alias("c"),
+        a.s2_format(6).alias("wkt"),
+        b.s2_x().alias("x"),
+    )
+    row = out.collect()[0]
+    assert row.c is True
+    assert row.wkt.startswith("POLYGON ((0 0, 10 0")
+    assert round(row.x) == 5
+
+
+def test_column_fallthrough_ends_chain(spark):
+    g = geo(s2_geogfromtext(F.lit("POINT (-64 45)")))
+    aliased = g.s2_astext().alias("t")
+    assert isinstance(aliased, Column)
+    assert spark.range(1).select(aliased).collect()[0].t.startswith("POINT")
+    # .col is the explicit exit
+    assert isinstance(g.col, Column)
+
+
+def test_cell_chain_from_name(spark):
+    df = spark.range(3).select(
+        (F.col("id") + 1).alias("k"),
+        F.lit(-64.0).alias("lon"),
+        F.lit(45.0).alias("lat"),
+    )
+    out = df.select(
+        "k",
+        geo(GeoCol("lon").s2_cellfromlonlat("lat").col)
+        .s2_cell_parent(5)
+        .s2_cell_token()
+        .alias("tok5"),
+    )
+    rows = out.collect()
+    assert len({r.tok5 for r in rows}) == 1
+    assert rows[0].tok5 == "4b5c"
+
+
+def test_unknown_s2_name_raises():
+    import pytest
+
+    with pytest.raises(AttributeError, match="no s2 function"):
+        geo(F.lit(1)).s2_no_such_thing()
