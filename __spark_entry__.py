@@ -50,7 +50,19 @@ def _prep(spark: SparkSession):
 _NANO_TS = {"ts", "o_orderdate", "l_shipdate"}
 
 
+#: per-session memo of table DataFrames: `spark.read.parquet` costs
+#: ~0.3s of driver time (footer/schema read) per call, and a query
+#: suite re-reads the same tables constantly. DataFrames are immutable
+#: plans, so reuse is safe — this is what a catalog-registered table
+#: gives a production job for free.
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _T_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in _NANO_TS and field.dataType.simpleString() == "bigint":
@@ -74,6 +86,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in ("documents", "embeddings", "customer", "supplier"):
         ncpu = spark.sparkContext.defaultParallelism
         df = df.repartition(ncpu)
+    _T_CACHE[key] = df
     return df
 
 

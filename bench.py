@@ -95,13 +95,15 @@ def main() -> None:
             while fh.read(1 << 24):
                 pass
 
-    # two passes per query, report the min: steady-state throughput,
+    # three passes per query, report the min: steady-state throughput,
     # insulated from one-off JIT/compaction/noisy-neighbor blips
+    # (observed run-to-run spread on this box is +-30%, so two passes
+    # still let a blip through)
     timings = {}
     total = 0.0
     for name in bench_queries:
         best, rows = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = qs[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

@@ -255,20 +255,33 @@ def minhash_lsh_pairs(
             f"bi -> struct(bi AS band, slice(__ms, bi * {rows} + 1, {rows}) AS h)))"
         ).alias("__bucket"),
     )
+    # pair expansion via ONE aggregation instead of a self-join: the
+    # join form evaluates the whole signature subtree (shingle explode
+    # + 64-way min agg) TWICE — once per join branch, since the
+    # branches project differently and their exchanges can't be
+    # reused. Collecting each bucket's members and expanding the
+    # sorted combinations keeps a single signature pass and makes the
+    # skew cap a free size() filter. Memory: a bucket materializes in
+    # one aggregation buffer — set ``max_bucket`` at corpus scale
+    # (the join form degrades the same way, just by emitting B^2 rows
+    # instead).
+    members = buckets.groupBy("__bucket").agg(
+        F.sort_array(F.collect_list("__key")).alias("__ks")
+    )
     if max_bucket is not None:
-        ok = (
-            buckets.groupBy("__bucket")
-            .agg(F.count("*").alias("__n"))
-            .where(F.col("__n") <= max_bucket)
-            .select("__bucket")
-        )
-        buckets = buckets.join(ok, "__bucket", "left_semi")
-    a = buckets.select(F.col("__key").alias("key_a"), "__bucket")
-    b = buckets.select(F.col("__key").alias("key_b"), "__bucket")
+        members = members.where(F.size("__ks") <= max_bucket)
     pairs = (
-        a.join(b, "__bucket")
-        .where(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        members.where(F.size("__ks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ks, (x, i) -> "
+                    "transform(slice(__ks, i + 2, size(__ks)), "
+                    "y -> struct(x AS key_a, y AS key_b))))"
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.key_a").alias("key_a"), F.col("__p.key_b").alias("key_b"))
         .dropDuplicates(["key_a", "key_b"])
     )
     return pairs
