@@ -1,0 +1,150 @@
+"""Property-based invariants (hypothesis) over the pure cell/geometry
+kernels — beyond the reference's test strategy (SURVEY §5: the
+reference ships no randomized tests). Pure numpy, no SparkSession.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_geography_spark.geo.ops import _LngInterval
+from duckdb_geography_spark.s2 import cellmath as cm
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+levels = st.integers(min_value=0, max_value=30)
+
+
+def _cell(lon, lat, level):
+    leaf = cm.lonlat_to_cellid(np.array([lon]), np.array([lat]))
+    return cm.parent(leaf, level)[0]
+
+
+class TestCellInvariants:
+    @given(lons, lats)
+    @settings(max_examples=200, deadline=None)
+    def test_snap_distance_bounded(self, lon, lat):
+        """Leaf snap moves a point by less than a leaf-cell diagonal
+        (~{sqrt2 * 0.85 / 2^30} rad ~ 9e-10 rad ~ 6 mm)."""
+        leaf = cm.lonlat_to_cellid(np.array([lon]), np.array([lat]))
+        x, y, z = cm.cellid_to_center_xyz(leaf)
+        lonr, latr = math.radians(lon), math.radians(lat)
+        p = np.array([
+            math.cos(latr) * math.cos(lonr),
+            math.cos(latr) * math.sin(lonr),
+            math.sin(latr),
+        ])
+        chord = np.linalg.norm(p - np.array([x[0], y[0], z[0]]))
+        assert chord < 2e-9
+
+    @given(lons, lats, levels)
+    @settings(max_examples=200, deadline=None)
+    def test_parent_child_inverse(self, lon, lat, level):
+        c = _cell(lon, lat, level)
+        ids = np.array([c], dtype=np.uint64)
+        assert int(cm.level(ids)[0]) == level
+        if level < 30:
+            for k in range(4):
+                kid = cm.child(ids, np.array([k]))[0]
+                assert int(cm.parent(np.array([kid], dtype=np.uint64), level)[0]) == int(c)
+                assert bool(cm.contains(ids, np.array([kid], dtype=np.uint64))[0])
+
+    @given(lons, lats, levels)
+    @settings(max_examples=200, deadline=None)
+    def test_range_brackets_descendants(self, lon, lat, level):
+        leaf = cm.lonlat_to_cellid(np.array([lon]), np.array([lat]))
+        c = cm.parent(leaf, level)
+        assert int(cm.range_min(c)[0]) <= int(leaf[0]) <= int(cm.range_max(c)[0])
+
+    @given(lons, lats, levels)
+    @settings(max_examples=200, deadline=None)
+    def test_token_roundtrip(self, lon, lat, level):
+        c = np.array([_cell(lon, lat, level)], dtype=np.uint64)
+        tok = cm.token_encode(c)
+        back = cm.token_decode(np.array(tok, dtype=object))
+        assert int(back[0]) == int(c[0])
+        assert 1 <= len(tok[0]) <= 16 and not tok[0].endswith("0")
+
+    @given(lons, lats, levels)
+    @settings(max_examples=200, deadline=None)
+    def test_debug_string_roundtrip(self, lon, lat, level):
+        c = np.array([_cell(lon, lat, level)], dtype=np.uint64)
+        dbg = cm.debug_string(c)
+        back = cm.debug_string_decode(np.array(dbg, dtype=object))
+        assert int(back[0]) == int(c[0])
+        face, _, digits = dbg[0].partition("/")
+        assert 0 <= int(face) <= 5 and len(digits) == level
+
+    @given(lons, lats, st.integers(min_value=0, max_value=29))
+    @settings(max_examples=150, deadline=None)
+    def test_edge_neighbors_symmetric(self, lon, lat, level):
+        """Adjacency is symmetric even across cube-face boundaries:
+        c appears among each of its edge neighbors' edge neighbors."""
+        c = _cell(lon, lat, level)
+        nbrs = cm.edge_neighbors(np.array([c], dtype=np.uint64))[:, 0]
+        assert len(set(int(v) for v in nbrs)) == 4
+        for n in nbrs:
+            assert int(cm.level(np.array([n], dtype=np.uint64))[0]) == level
+            back = cm.edge_neighbors(np.array([n], dtype=np.uint64))[:, 0]
+            assert int(c) in {int(v) for v in back}
+
+    @given(lons, lats, levels, st.integers(min_value=0, max_value=3))
+    @settings(max_examples=150, deadline=None)
+    def test_vertex_on_cell_boundary(self, lon, lat, level, k):
+        """Each vertex of the level-L cell bounds the cell's closed
+        region: nudged toward the cell center (in xyz — lon/lat
+        interpolation breaks at the antimeridian and poles), the point
+        has the cell as its level-L ancestor."""
+        c = _cell(lon, lat, level)
+        ids = np.array([c], dtype=np.uint64)
+        vlon, vlat = cm.cell_vertex_lonlat(ids, np.array([k]))
+        vr_lon, vr_lat = math.radians(vlon[0]), math.radians(vlat[0])
+        v = np.array([
+            math.cos(vr_lat) * math.cos(vr_lon),
+            math.cos(vr_lat) * math.sin(vr_lon),
+            math.sin(vr_lat),
+        ])
+        cx, cy, cz = cm.cellid_to_center_xyz(ids)
+        ctr = np.array([cx[0], cy[0], cz[0]])
+        p = 0.9 * v + 0.1 * ctr
+        p /= np.linalg.norm(p)
+        nlon = math.degrees(math.atan2(p[1], p[0]))
+        nlat = math.degrees(math.asin(max(-1.0, min(1.0, p[2]))))
+        inner = _cell(nlon, nlat, level)
+        assert int(inner) == int(c)
+
+
+class TestLngIntervalInvariants:
+    """Intervals are generated through the production constructor
+    (from_point_pair normalizes -180 -> 180, picks the <=180° span);
+    raw lo/hi construction with -180 is outside the class contract."""
+
+    spans = st.tuples(lons, lons)
+
+    @given(spans, spans)
+    @settings(max_examples=300, deadline=None)
+    def test_union_contains_both(self, s1, s2):
+        a = _LngInterval.from_point_pair(*s1)
+        b = _LngInterval.from_point_pair(*s2)
+        u = a.union(b)
+        assert u.contains_interval(a), (s1, s2, (u.lo, u.hi))
+        assert u.contains_interval(b), (s1, s2, (u.lo, u.hi))
+
+    @given(spans, spans)
+    @settings(max_examples=300, deadline=None)
+    def test_union_endpoint_membership(self, s1, s2):
+        a = _LngInterval.from_point_pair(*s1)
+        b = _LngInterval.from_point_pair(*s2)
+        u = a.union(b)
+        for p in (*s1, *s2):
+            assert u.contains(p)
+
+    @given(spans)
+    @settings(max_examples=200, deadline=None)
+    def test_contains_interval_reflexive(self, s):
+        a = _LngInterval.from_point_pair(*s)
+        assert a.contains_interval(a)
