@@ -63,6 +63,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _T_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_T_CACHE) >= 64:  # bound: a long-lived process cycling
+        _T_CACHE.clear()     # sessions/sf dirs must not accumulate plans
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in _NANO_TS and field.dataType.simpleString() == "bigint":

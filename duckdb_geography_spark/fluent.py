@@ -52,6 +52,8 @@ class GeoCol:
     __slots__ = ("_col",)
 
     def __init__(self, col):
+        if isinstance(col, GeoCol):
+            col = col._col  # geo(geo(x)) must not double-wrap
         self._col = F.col(col) if isinstance(col, str) else col
 
     @property
@@ -69,6 +71,10 @@ class GeoCol:
                         args = tuple(
                             a._col if isinstance(a, GeoCol) else a for a in args
                         )
+                        kwargs = {
+                            k: (v._col if isinstance(v, GeoCol) else v)
+                            for k, v in kwargs.items()
+                        }
                         out = _fn(self._col, *args, **kwargs)
                         return GeoCol(out) if isinstance(out, Column) else out
 

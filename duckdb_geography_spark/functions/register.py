@@ -123,16 +123,18 @@ def register_sql_functions(spark: SparkSession) -> None:
     r("s2_cellfromwkb", X._cellfromwkb_udf)
     r("s2_arbitrarycellfromwkb", X._arbitrarycellfromwkb_udf)
     r("s2_cell_vertex", X._cell_vertex_udf)
-    r(
-        "s2_cell_to_cell_union",
-        _np_udf(
-            ArrayType(LongType()),
-            lambda s: pd.Series(
-                [[int(v)] if cm.is_valid(u(pd.Series([v])))[0] else [] for v in s],
-                dtype=object,
-            ),
-        ),
-    )
+    def _cell_to_union_batch(s: pd.Series) -> pd.Series:
+        valid = cm.is_valid(u(s))  # one vectorized pass per batch
+        vals = s.to_numpy()
+        return pd.Series(
+            [
+                None if v is None else ([int(v)] if ok else [])
+                for v, ok in zip(vals, valid)
+            ],
+            dtype=object,
+        )
+
+    r("s2_cell_to_cell_union", _np_udf(ArrayType(LongType()), _cell_to_union_batch))
 
     # bounds aggregate: GROUPED_AGG UDFs can't return structs, so the
     # SQL surface exposes the [xmin, ymin, xmax, ymax] array form; wrap
@@ -153,7 +155,9 @@ def register_sql_functions(spark: SparkSession) -> None:
             raise ValueError("s2_covering_fixed_level(): level must be a constant")
         out = []
         for b, l in zip(s, lev):
-            if b is None or l is None:
+            # NULL level arrives as NaN through the Arrow float path,
+            # not None — NULL-in/NULL-out, don't crash the task
+            if b is None or l is None or pd.isna(l):
                 out.append(None)
                 continue
             cells = covering_of_encoded(bytes(b), fixed_level=int(l))
@@ -211,7 +215,18 @@ def register_sql_functions(spark: SparkSession) -> None:
 
         out = []
         for x, y in zip(a.itertuples(index=False), b.itertuples(index=False)):
-            lat = x.ymin <= y.ymax and y.ymin <= x.ymax
+            if any(pd.isna(v) for v in (x.ymin, x.ymax, y.ymin, y.ymax, x.xmin, x.xmax, y.xmin, y.xmax)):
+                out.append(None)  # NULL box -> NULL, like the Column path
+                continue
+            # empty-rect guard (ymin > ymax, e.g. the EMPTY_RECT
+            # sentinel): same validity conjunct as the Column
+            # s2_box_intersects (bounds.py) — empties intersect nothing
+            lat = (
+                x.ymin <= y.ymax
+                and y.ymin <= x.ymax
+                and x.ymin <= x.ymax
+                and y.ymin <= y.ymax
+            )
             out.append(bool(lat and lng_overlap(x.xmin, x.xmax, y.xmin, y.xmax)))
         return pd.Series(out, dtype=object)
 

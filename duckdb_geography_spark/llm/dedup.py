@@ -114,11 +114,12 @@ def _assert_small(df: DataFrame, max_rows, scale_path: str, caller: str) -> None
     Pass ``max_rows=None`` to opt out explicitly."""
     if max_rows is None:
         return
-    n = df.count()
+    # bounded probe: read at most max_rows+1 rows, never a full count
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
             f"{caller} is a quadratic all-pairs baseline and the input has "
-            f"{n} rows (> max_rows={max_rows}); use {scale_path} at scale, "
+            f"> max_rows={max_rows} rows; use {scale_path} at scale, "
             f"or pass max_rows=None to force the quadratic plan"
         )
 
@@ -282,6 +283,11 @@ def minhash_lsh_pairs(
             ).alias("__p")
         )
         .select(F.col("__p.key_a").alias("key_a"), F.col("__p.key_b").alias("key_b"))
+        # strict inequality, not just ordering: duplicate keys in the
+        # input (re-ingested corpus) would otherwise emit (k, k)
+        # self-pairs — the replaced self-join's key_a < key_b made
+        # those impossible
+        .where(F.col("key_a") < F.col("key_b"))
         .dropDuplicates(["key_a", "key_b"])
     )
     return pairs

@@ -263,11 +263,13 @@ def resize_images(
     nbytes = width * height * 3
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_real = kernel == "real" or (kernel == "auto" and _pil_available())
-        if kernel == "real" and not _pil_available():
-            raise ImportError("kernel='real' but PIL is not importable on this worker")
-        if kernel not in ("auto", "real", "stub"):
-            raise ValueError(f"kernel must be 'auto' | 'real' | 'stub', got {kernel!r}")
+        fn = _select(
+            kernel,
+            _pil_available,
+            lambda raw: _pil_resize(raw, width, height),
+            lambda raw: _fake_resize(raw, nbytes),
+            "PIL",
+        )
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -276,11 +278,7 @@ def resize_images(
                     raise NotImplementedError(
                         "empty media payload; real decoder required"
                     )
-                out = (
-                    _pil_resize(raw, width, height)
-                    if use_real
-                    else _fake_resize(raw, nbytes)
-                )
+                out = fn(raw)
                 rows.append(
                     (mid, out, ("application/octet-stream", nbytes, width, height))
                 )

@@ -263,6 +263,8 @@ def cosine_topk_all(
     from .dedup import _assert_small
 
     _assert_small(df, max_rows, "lsh_topk / ivf_topk", "cosine_topk_all")
+    if other is not None:
+        _assert_small(other, max_rows, "lsh_topk / ivf_topk", "cosine_topk_all(other=)")
     other = other if other is not None else df
     a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
     b = other.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))

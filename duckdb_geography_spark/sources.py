@@ -76,41 +76,44 @@ def read_cell_partition(
     return df
 
 
-CENTROIDS_FILE = "_ivf_centroids.json"
+#: sidecar dataset name; the leading underscore hides it from Spark's
+#: data-file discovery when the layout root itself is read as parquet
+CENTROIDS_DIR = "_ivf_centroids"
 
 
-def _persist_centroids(path: str, cents, n_centroids: int, seed: int, trained: bool):
-    import json
-    import os
+def _persist_centroids(
+    spark: SparkSession, path: str, cents, n_centroids: int, seed: int, trained: bool
+):
+    """Persist the quantizer THROUGH Spark (JSON dataset), so the
+    sidecar lands on the same filesystem as the layout — local paths,
+    HDFS, s3a://, anything with a Hadoop connector. A driver-local
+    open() here would silently strand the centroids on the driver for
+    remote layouts and later readers would fall back to the wrong
+    quantizer."""
+    rows = [
+        (int(j), [float(x) for x in row], int(n_centroids), int(seed), bool(trained))
+        for j, row in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "j int, v array<double>, n_centroids int, seed int, trained boolean"
+    )
+    df.coalesce(1).write.mode("overwrite").json(f"{path}/{CENTROIDS_DIR}")
 
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, CENTROIDS_FILE), "w") as fh:
-        json.dump(
-            {
-                "n_centroids": int(n_centroids),
-                "seed": int(seed),
-                "trained": bool(trained),
-                "centroids": [[float(x) for x in row] for row in cents],
-            },
-            fh,
-        )
 
-
-def load_ivf_centroids(path: str):
+def load_ivf_centroids(spark: SparkSession, path: str):
     """Centroids persisted beside an IVF layout, or None for layouts
     written before training existed (callers fall back to the seeded
     quantizer with the recorded seed)."""
-    import json
-    import os
-
-    p = os.path.join(path, CENTROIDS_FILE)
-    if not os.path.exists(p):
-        return None
     import numpy as np
 
-    with open(p) as fh:
-        meta = json.load(fh)
-    return np.asarray(meta["centroids"], dtype=np.float64)
+    try:
+        rows = spark.read.json(f"{path}/{CENTROIDS_DIR}").collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    rows = sorted(rows, key=lambda r: int(r.j))
+    return np.asarray([[float(x) for x in r.v] for r in rows], dtype=np.float64)
 
 
 def write_ivf_partitioned(
@@ -135,8 +138,9 @@ def write_ivf_partitioned(
     ``train=True`` (default) runs deterministic spherical k-means on a
     bounded driver-side sample (the ``sample_size`` smallest keys) so
     cells follow the data distribution instead of random directions;
-    the centroids are persisted next to the layout
-    (``_ivf_centroids.json``) and re-loaded by ``ivf_topk_pruned`` —
+    the centroids are persisted next to the layout (the
+    ``_ivf_centroids`` sidecar dataset) and re-loaded by
+    ``ivf_topk_pruned`` —
     a query with mismatched centroids would probe wrong-but-existing
     partitions."""
     from .llm.similarity import (
@@ -157,7 +161,7 @@ def write_ivf_partitioned(
         from .llm.similarity import _ivf_centroids
 
         cents = _ivf_centroids(dim, n_centroids, seed)
-    _persist_centroids(path, cents, n_centroids, seed, trained=train)
+    _persist_centroids(df.sparkSession, path, cents, n_centroids, seed, trained=train)
 
 
 def ivf_topk_pruned(
@@ -178,13 +182,13 @@ def ivf_topk_pruned(
     ``llm.similarity.ivf_topk`` on the raw table (probe selection is
     the shared ``probe_cells`` helper, so the two paths cannot
     diverge). The quantizer is loaded from the layout's persisted
-    ``_ivf_centroids.json`` (written by ``write_ivf_partitioned``), so
+    ``_ivf_centroids`` sidecar (written by ``write_ivf_partitioned``), so
     trained layouts probe with their trained centroids; layouts from
     before training existed fall back to the seeded quantizer — the
     ``n_centroids`` / ``seed`` args must then match the write call."""
     from .llm.similarity import cosine_topk, probe_cells
 
-    cents = load_ivf_centroids(path)
+    cents = load_ivf_centroids(spark, path)
     probe = probe_cells(query_vec, n_centroids, n_probe, seed, cents)
     df = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
     return cosine_topk(df, query_vec, k, vec_col, key_col)

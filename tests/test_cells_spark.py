@@ -133,3 +133,58 @@ def test_cell_ops_stay_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gate_selectexpr_matches_column_helpers(spark):
+    """The cell_bitops / cellfromlonlat driver gates build their bit
+    math as selectExpr SQL strings (driver-build cost); this pins the
+    strings to the public Column helpers they stand in for, so a
+    regression in functions/cells.py cannot hide behind the gates'
+    inlined SQL (review finding r3)."""
+    import __spark_entry__ as e
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+
+    sql_rows = e._q_cell_bitops(spark, "/root/testdata/sf0.001").collect()
+
+    cust = e._t(spark, "/root/testdata/sf0.001", "customer").select("c_custkey")
+    col_df = (
+        cust.select("c_custkey", synth.key_cell("c_custkey").alias("cell"))
+        .select("*", C.s2_cell_parent("cell", 5).alias("parent5"))
+        .select(
+            "c_custkey",
+            "cell",
+            C.s2_cell_level("cell").alias("level"),
+            "parent5",
+            C.s2_cell_range_min("parent5").alias("rmin5"),
+            C.s2_cell_range_max("parent5").alias("rmax5"),
+            C.s2_cell_token("cell").alias("token"),
+            C.s2_cell_contains("parent5", F.col("cell")).alias("parent_contains"),
+        )
+        .withColumn("token_rt", C.s2_cell_from_token("token"))
+        .withColumn("child0", C.s2_cell_child("parent5", 0))
+        .withColumn("child3", C.s2_cell_child("parent5", 3))
+        .withColumn("inter_pc", C.s2_cell_intersects("parent5", F.col("cell")))
+        .withColumn("inter_cc", C.s2_cell_intersects("child0", F.col("child3")))
+        .orderBy("c_custkey")
+    )
+    col_rows = col_df.select(*sql_rows[0].asDict().keys()).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in col_rows]
+
+    # cellfromlonlat gate: token10 string math vs the Column helpers
+    sql_rows = e._q_cellfromlonlat(spark, "/root/testdata/sf0.001").collect()
+    cust = e._t(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", synth.cust_lon().alias("lon"), synth.cust_lat().alias("lat")
+    )
+    leaf = C.s2_cellfromlonlat("lon", "lat")
+    col_rows = (
+        cust.select("c_custkey", leaf.alias("cell"))
+        .select(
+            "c_custkey",
+            "cell",
+            C.s2_cell_token(C.s2_cell_parent("cell", 10)).alias("token10"),
+        )
+        .orderBy("c_custkey")
+        .collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in col_rows]

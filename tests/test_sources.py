@@ -90,7 +90,7 @@ def test_ivf_partitioned_topk_prunes_and_matches(spark, tmp_path):
     path = str(tmp_path / "ivf")
     S.write_ivf_partitioned(base, path, n_centroids=8)
     # the write trained + persisted centroids next to the layout
-    cents = S.load_ivf_centroids(path)
+    cents = S.load_ivf_centroids(spark, path)
     assert cents is not None and cents.shape == (8, 64)
     pruned = S.ivf_topk_pruned(spark, path, q, k=5, n_centroids=8, n_probe=3)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
