@@ -2218,6 +2218,94 @@ ORDER BY user_id, session_id
 """
 
 
+def _q_stream_sessionize(spark, sf_dir):
+    """The CUSTOM STATEFUL operator (applyInPandasWithState) under the
+    oracle: availableNow stream through the per-user inactivity
+    sessionizer. A closed session is emitted when a later event (or a
+    timeout) proves the gap; the stream ends with each user's LAST
+    session still open in state, so the oracle is the batch
+    gaps-and-islands result MINUS every user's final session.
+    value_micro is exact: each value*1e6 is integer-representable in
+    a double and session sums stay far below 2^53, so rounding the
+    float accumulation equals the batch per-event integer sum."""
+    import uuid
+
+    from duckdb_geography_spark.streaming import events as SE
+
+    _prep(spark)
+    ev = SE.read_events_stream(spark, sf_dir)
+    out = SE.sessionize(ev, gap_minutes=30)
+    qname = f"sess_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a stateful query with processing-time timeouts keeps scheduling
+    # (empty) micro-batches to evaluate timers, so availableNow never
+    # self-terminates (and processAllAvailable never settles): poll
+    # progress until the data batches have drained (a 0-input batch
+    # after input was seen), then stop. The 30-min timers cannot fire
+    # within the seconds this takes, so the emitted set is
+    # deterministic (exactly the gap-closed sessions).
+    import time as _time
+
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        progs = q.recentProgress
+        if progs:
+            seen_data = any(p["numInputRows"] > 0 for p in progs)
+            if seen_data and progs[-1]["numInputRows"] == 0:
+                break
+        _time.sleep(0.5)
+    else:
+        q.stop()
+        raise TimeoutError("stream_sessionize did not drain in 240s")
+    q.stop()
+    q.awaitTermination(60)
+    return (
+        spark.table(qname)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+            "n_events",
+            F.round(F.col("total_value") * 1_000_000).cast("long").alias("value_micro"),
+        )
+        .orderBy("user_id", "start_s")
+    )
+
+
+_STREAM_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch(ts) - lag(epoch(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o),
+agg AS (
+  SELECT user_id, session_id,
+    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+    count(*) AS n_events,
+    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+  FROM s GROUP BY user_id, session_id),
+-- the stream's final session per user is still open in state when the
+-- availableNow run terminates: only CLOSED sessions appear
+last AS (SELECT user_id, max(session_id) AS last_id FROM agg GROUP BY user_id)
+SELECT a.user_id, a.start_s, a.end_s, a.n_events, a.value_micro
+FROM agg a JOIN last l ON l.user_id = a.user_id AND a.session_id < l.last_id
+ORDER BY a.user_id, a.start_s
+"""
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     """The STREAMING engine under the hard oracle: availableNow
     file-source stream -> watermark -> tumbling 1h window counts into
@@ -3295,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": _q_sessionize_batch,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_cell_rollup": _q_stream_cell_rollup,
+        "stream_sessionize": _q_stream_sessionize,
         "doc_chunks": _q_doc_chunks,
         "doc_prep": _q_doc_prep,
         "rolling_fingerprint": _q_rolling_fingerprint,
@@ -3353,6 +3442,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": _SESSIONIZE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_cell_rollup": _stream_cell_rollup_sql(),
+        "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "doc_prep": _doc_prep_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
