@@ -33,6 +33,7 @@ from ..s2 import cellmath as cm
 
 __all__ = [
     "s2_cellfromlonlat",
+    "with_cellfromlonlat",
     "s2_cell_center_lon",
     "s2_cell_center_lat",
     "s2_cell_level",
@@ -242,6 +243,110 @@ def s2_cellfromlonlat(lon, lat) -> Column:
     golden (-64, 45) -> ``4b59a0cd83b5de49``.
     """
     return _cellfromlonlat_udf(_c(lon).cast(DoubleType()), _c(lat).cast(DoubleType()))
+
+
+def with_cellfromlonlat(df, lon_col: str, lat_col: str, out_col: str = "cell"):
+    """``s2_cellfromlonlat`` as a PURE JVM expression chain — no Python
+    stage anywhere: the S2 quadratic projection plus a 5-step Hilbert
+    walk over 6-level lookup tables, chained through lateral column
+    aliases (Spark >= 3.4). Bit-exact vs the Arrow kernel
+    (pytest-asserted over random + adversarial points, including the
+    NULL/NaN -> sentinel contract).
+
+    WHEN TO USE WHICH TIER (measured, local[8], 2M rows):
+    - ``s2_cellfromlonlat`` (Arrow numpy kernel): ~0.33s — the raw
+      throughput winner and the hot-path default.
+    - this helper: ~2.2s under default whole-stage fusion — the fused
+      method exceeds the JVM's ~8K-bytecode JIT limit, so the stage
+      runs partly interpreted (with ``spark.sql.codegen.wholeStage=
+      false`` the same plan runs ~0.6s via per-operator projection
+      codegen). Its value is OPERATIONAL: zero Python workers, no
+      Arrow transfer, works on executors with no Python environment,
+      and composes with other pure-JVM expressions in one stage.
+
+    Takes and returns a DataFrame (lateral aliases only exist inside a
+    SELECT, so this can't be a Column helper); intermediates are
+    dropped."""
+    from ..s2.cellmath import IJ_TO_POS, POS_TO_ORIENT
+
+    lut_d = [int(IJ_TO_POS[o][ij]) for o in range(4) for ij in range(4)]
+    lut_o = [o ^ int(POS_TO_ORIENT[int(IJ_TO_POS[o][ij])]) for o in range(4) for ij in range(4)]
+    d_arr = "array(" + ",".join(str(v) for v in lut_d) + ")"
+    o_arr = "array(" + ",".join(str(v) for v in lut_o) + ")"
+    P = "__cf"  # intermediate-name prefix
+    steps = [
+        f"radians(CAST(`{lon_col}` AS DOUBLE)) AS {P}_ln",
+        f"radians(CAST(`{lat_col}` AS DOUBLE)) AS {P}_lt",
+        f"cos({P}_lt)*cos({P}_ln) AS {P}_x",
+        f"cos({P}_lt)*sin({P}_ln) AS {P}_y",
+        f"sin({P}_lt) AS {P}_z",
+        # face selection (largest |component|, cellmath.xyz_to_face order)
+        f"CASE WHEN abs({P}_z) >= abs({P}_x) AND abs({P}_z) >= abs({P}_y) "
+        f"THEN IF({P}_z < 0, 5, 2) "
+        f"WHEN abs({P}_y) >= abs({P}_x) THEN IF({P}_y < 0, 4, 1) "
+        f"ELSE IF({P}_x < 0, 3, 0) END AS {P}_f",
+        f"CASE {P}_f WHEN 0 THEN {P}_y/{P}_x WHEN 1 THEN -{P}_x/{P}_y WHEN 2 THEN -{P}_x/{P}_z "
+        f"WHEN 3 THEN {P}_z/{P}_x WHEN 4 THEN {P}_z/{P}_y ELSE -{P}_y/{P}_z END AS {P}_u",
+        f"CASE {P}_f WHEN 0 THEN {P}_z/{P}_x WHEN 1 THEN {P}_z/{P}_y WHEN 2 THEN -{P}_y/{P}_z "
+        f"WHEN 3 THEN {P}_y/{P}_x WHEN 4 THEN -{P}_x/{P}_y ELSE -{P}_x/{P}_z END AS {P}_v",
+        # quadratic st
+        f"IF({P}_u >= 0, 0.5*sqrt(1+3*{P}_u), 1-0.5*sqrt(1-3*{P}_u)) AS {P}_s",
+        f"IF({P}_v >= 0, 0.5*sqrt(1+3*{P}_v), 1-0.5*sqrt(1-3*{P}_v)) AS {P}_t",
+        f"CAST(least(1073741823.0, greatest(0.0, floor({P}_s * 1073741824.0))) AS BIGINT) AS {P}_i",
+        f"CAST(least(1073741823.0, greatest(0.0, floor({P}_t * 1073741824.0))) AS BIGINT) AS {P}_j",
+        # fused per-step state S = pos*4 + orientation: one new column
+        # per step keeps the projection under codegen's 100-field cap,
+        # and 4-bit lookup tables (the standard S2 acceleration) cut
+        # the chain to 8 steps — 30 individual 2-bit steps generated
+        # more code than Janino JIT-compiles comfortably
+        f"CAST({P}_f % 2 AS BIGINT) AS {P}_s0",
+    ]
+    del d_arr, o_arr
+
+    def walk(o, ibits, jbits, nbits):
+        pos = 0
+        for k in range(nbits - 1, -1, -1):
+            ij2 = ((ibits >> k) & 1) * 2 + ((jbits >> k) & 1)
+            pos = pos * 4 + lut_d[o * 4 + ij2]
+            o = lut_o[o * 4 + ij2]
+        return pos, o
+
+    # 6-level lookup: table6[o*4096 + i6*64 + j6] = pos12*4 + o_next.
+    # 5 steps cover all 30 levels; fewer steps matter because the whole
+    # fused pipeline must stay under the JVM's ~8K-bytecode JIT limit —
+    # a 30-step (or even 8-step) chain generates a method the JIT
+    # refuses, and the stage silently runs interpreted ~10x slower.
+    table6 = [0] * (4 * 4096)
+    for o in range(4):
+        for i6 in range(64):
+            for j6 in range(64):
+                pos12, o2 = walk(o, i6, j6, 6)
+                table6[o * 4096 + i6 * 64 + j6] = pos12 * 4 + o2
+    t6 = "array(" + ",".join(str(v) for v in table6) + ")"
+    for k in range(5):  # 5 x 6 levels: leaf bits 29..0
+        lev = 24 - 6 * k
+        steps.append(
+            f"({P}_s{k} div 4) * 16384 + element_at({t6}, "
+            f"CAST(({P}_s{k} % 4) * 4096 + (shiftright({P}_i, {lev}) & 63) * 64 + "
+            f"(shiftright({P}_j, {lev}) & 63) + 1 AS INT)) AS {P}_s{k + 1}"
+        )
+    # NULL must be guarded alongside NaN: greatest/least SKIP nulls, so
+    # a NULL coordinate would otherwise quietly clamp to i=j=0 and
+    # produce cell id 1 instead of the sentinel the UDF returns
+    steps.append(
+        f"IF(`{lon_col}` IS NULL OR `{lat_col}` IS NULL "
+        f"OR isnan(CAST(`{lon_col}` AS DOUBLE)) OR isnan(CAST(`{lat_col}` AS DOUBLE)), "
+        f"CAST(-1 AS BIGINT), "
+        f"shiftleft(CAST({P}_f AS BIGINT), 61) + ({P}_s5 div 4) * 2 + 1) AS `{out_col}`"
+    )
+    # the analyzer resolves ~one lateral-alias layer per iteration and
+    # caps at 100: feed the chain in slices (the optimizer re-collapses
+    # adjacent Projects, so execution still runs as one codegen stage)
+    out = df
+    chunk = 12
+    for lo in range(0, len(steps), chunk):
+        out = out.selectExpr("*", *steps[lo : lo + chunk])
+    return out.drop(*[c for c in out.columns if c.startswith(P + "_")])
 
 
 def s2_cell_center_lon(cell) -> Column:

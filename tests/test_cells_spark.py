@@ -188,3 +188,40 @@ def test_gate_selectexpr_matches_column_helpers(spark):
         .collect()
     )
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in col_rows]
+
+
+def test_with_cellfromlonlat_pure_jvm(spark):
+    """The lateral-alias expression tier must be bit-exact vs the Arrow
+    kernel (random + face corners + poles + antimeridian), honor the
+    NULL/NaN sentinel contract, and carry no Python stage."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    lons = np.concatenate(
+        [rng.uniform(-180, 180, 2000),
+         [-180, 180, 0, 45, -45, 135, -135, 179.999999, -179.999999, -64]]
+    )
+    lats = np.concatenate(
+        [rng.uniform(-90, 90, 2000),
+         [90, -90, 0, 35.26438968275465, -35.26438968275465, 45, -45,
+          89.9999999, -89.9999999, 45]]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+    out = C.with_cellfromlonlat(df, "lon", "lat", "ce").withColumn(
+        "cu", C.s2_cellfromlonlat("lon", "lat")
+    )
+    assert out.where(F.col("ce") != F.col("cu")).count() == 0
+    plan = (
+        C.with_cellfromlonlat(df, "lon", "lat", "ce")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan  # no Arrow/Batch python stages
+    nd = spark.sql(
+        "SELECT CAST('NaN' AS DOUBLE) AS lon, 1.0D AS lat "
+        "UNION ALL SELECT CAST(NULL AS DOUBLE), 1.0D "
+        "UNION ALL SELECT 1.0D, CAST('NaN' AS DOUBLE)"
+    )
+    assert [r.c for r in C.with_cellfromlonlat(nd, "lon", "lat", "c").collect()] == [-1, -1, -1]
