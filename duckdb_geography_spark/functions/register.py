@@ -48,16 +48,56 @@ def register_sql_functions(spark: SparkSession) -> None:
         return cm.to_unsigned(s.to_numpy(np.int64, na_value=-1))
 
     r("s2_cellfromlonlat", C._cellfromlonlat_udf)
-    r("s2_cell_is_valid", _np_udf(BooleanType(), lambda s: pd.Series(cm.is_valid(u(s)))))
-    r("s2_cell_token", _np_udf(StringType(), lambda s: pd.Series(cm.token_encode(u(s)))))
-    r("s2_cell_from_token", _np_udf(LongType(), lambda s: pd.Series(cm.to_signed(cm.token_decode(s.to_numpy(object))))))
-    r("s2_cell_level", _np_udf(IntegerType(), lambda s: pd.Series(cm.level(u(s)).astype("int32"))))
-    r("s2_cell_parent", _np_udf(LongType(), lambda s, l: pd.Series(cm.to_signed(cm.parent(u(s), l.to_numpy(np.int64))))))
-    r("s2_cell_child", _np_udf(LongType(), lambda s, k: pd.Series(cm.to_signed(cm.child(u(s), k.to_numpy(np.int64))))))
-    r("s2_cell_range_min", _np_udf(LongType(), lambda s: pd.Series(cm.to_signed(np.where(cm.is_valid(u(s)), cm.range_min(u(s)), cm.SENTINEL)))))
-    r("s2_cell_range_max", _np_udf(LongType(), lambda s: pd.Series(cm.to_signed(np.where(cm.is_valid(u(s)), cm.range_max(u(s)), cm.SENTINEL)))))
-    r("s2_cell_contains", _np_udf(BooleanType(), lambda a, b: pd.Series(cm.contains(u(a), u(b)))))
-    r("s2_cell_intersects", _np_udf(BooleanType(), lambda a, b: pd.Series(cm.intersects(u(a), u(b)))))
+    # bit-op cell functions as SQL SCALAR FUNCTIONS (Spark 4's
+    # CREATE FUNCTION ... RETURN expr): the SQL surface gets the same
+    # pure-JVM expressions the Column helpers compile to — previously
+    # these were pandas UDFs and a spark.sql user silently paid the
+    # Python-worker tax on the hottest ops. Semantics mirror
+    # functions/cells.py exactly (validity guards, -1 sentinels,
+    # NULL -> false/NULL contracts); the ported reference corpus
+    # (tests/test_sqllogic_corpus.py) exercises them.
+    valid = (
+        "(c IS NOT NULL AND shiftrightunsigned(c, 61) < 6 "
+        "AND ((c & -c) & 1537228672809129301L) != 0)"
+    )
+    lev_of = "CAST(30 - (bit_count((c & -c) - 1) div 2) AS INT)"
+    parent_tgt = "greatest(0, least(30, IF(lev < 0, s2_cell_level(c) + lev, lev)))"
+    parent_lsb = f"shiftleft(CAST(1 AS BIGINT), CAST(2 * (30 - {parent_tgt}) AS INT))"
+    for ddl in (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_is_valid(c BIGINT) "
+        f"RETURNS BOOLEAN RETURN {valid}",
+        f"CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_level(c BIGINT) "
+        f"RETURNS INT RETURN IF({valid}, {lev_of}, -1)",
+        f"CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_parent(c BIGINT, lev INT) "
+        f"RETURNS BIGINT RETURN IF(NOT s2_cell_is_valid(c) OR {parent_tgt} > s2_cell_level(c), "
+        f"CAST(-1 AS BIGINT), "
+        f"(c & ~({parent_lsb} + {parent_lsb} - 1)) | {parent_lsb})",
+        "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_child(c BIGINT, k INT) "
+        "RETURNS BIGINT RETURN IF(NOT s2_cell_is_valid(c) OR k < 0 OR k > 3 OR (c & -c) = 1, "
+        "CAST(-1 AS BIGINT), "
+        "c - (c & -c) + shiftright(c & -c, 2) + 2 * shiftright(c & -c, 2) * CAST(k AS BIGINT))",
+        "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_range_min(c BIGINT) "
+        "RETURNS BIGINT RETURN IF(s2_cell_is_valid(c), c - ((c & -c) - 1), CAST(-1 AS BIGINT))",
+        "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_range_max(c BIGINT) "
+        "RETURNS BIGINT RETURN IF(s2_cell_is_valid(c), c + ((c & -c) - 1), CAST(-1 AS BIGINT))",
+        "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_contains(a BIGINT, b BIGINT) "
+        "RETURNS BOOLEAN RETURN s2_cell_is_valid(a) AND s2_cell_is_valid(b) "
+        "AND a - ((a & -a) - 1) <= b AND b <= a + ((a & -a) - 1)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_intersects(a BIGINT, b BIGINT) "
+        "RETURNS BOOLEAN RETURN s2_cell_contains(a, b) OR s2_cell_contains(b, a)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_token(c BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN c = 0 THEN 'X' "
+        "ELSE regexp_replace(lpad(lower(hex(c)), 16, '0'), '0+$', '') END",
+        "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_from_token(t STRING) "
+        "RETURNS BIGINT RETURN IF(lower(t) RLIKE '^[0-9a-f]{1,16}$', "
+        "CAST(CASE WHEN CAST(conv(rpad(lower(t), 16, '0'), 16, 10) AS DECIMAL(20,0)) "
+        "          > CAST('9223372036854775807' AS DECIMAL(20,0)) "
+        "THEN CAST(conv(rpad(lower(t), 16, '0'), 16, 10) AS DECIMAL(20,0)) "
+        "     - CAST('18446744073709551616' AS DECIMAL(21,0)) "
+        "ELSE CAST(conv(rpad(lower(t), 16, '0'), 16, 10) AS DECIMAL(20,0)) END AS BIGINT), "
+        "CAST(0 AS BIGINT))",
+    ):
+        spark.sql(ddl)
     r("s2_cell_debug_string", C._cell_debug_string_udf)
     r("s2_cell_from_debug_string", C._cell_from_debug_string_udf)
     r("s2_cell_edge_neighbor", C._cell_edge_neighbor_udf)

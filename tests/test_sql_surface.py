@@ -110,3 +110,20 @@ def test_cell_selfcheck_sums(spark):
         """
     ).collect()[0].n
     assert m == 177
+
+
+def test_sql_cell_ops_are_pure_jvm(spark):
+    """Spark 4 SQL scalar functions: the spark.sql surface's cell bit
+    ops must plan with NO Python stage (they were pandas UDFs before —
+    the round-2 verdict's 'SQL users silently get the slower path')."""
+    p = (
+        spark.sql(
+            "SELECT s2_cell_token(s2_cell_range_min(s2_cell_parent(id, 5))), "
+            "s2_cell_contains(s2_cell_parent(id, 4), id), s2_cell_level(id) "
+            "FROM range(100)"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in p, p
