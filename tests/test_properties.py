@@ -148,3 +148,73 @@ class TestLngIntervalInvariants:
     def test_contains_interval_reflexive(self, s):
         a = _LngInterval.from_point_pair(*s)
         assert a.contains_interval(a)
+
+
+class TestCodecRoundtrips:
+    """WKT / WKB / binary-codec round-trips on randomized geometries."""
+
+    coords = st.tuples(
+        st.floats(min_value=-179.0, max_value=179.0, allow_nan=False),
+        st.floats(min_value=-89.0, max_value=89.0, allow_nan=False),
+    )
+
+    @staticmethod
+    def _ring(center, radius_deg, n, rng_seed):
+        import numpy as _np
+
+        cx, cy = center
+        rng = _np.random.default_rng(rng_seed)
+        angles = _np.sort(rng.uniform(0, 2 * _np.pi, n))
+        radii = rng.uniform(0.3 * radius_deg, radius_deg, n)
+        xs = cx + radii * _np.cos(angles)
+        ys = _np.clip(cy + radii * _np.sin(angles), -89.9, 89.9)
+        return list(zip(xs, ys))
+
+    @given(coords, st.integers(min_value=4, max_value=12), st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=80, deadline=None)
+    def test_polygon_wkb_roundtrip(self, center, n, seed):
+        from duckdb_geography_spark.geo.geography import from_wkb, from_wkt, to_wkb
+        from duckdb_geography_spark.geo import ops
+
+        ring = self._ring(center, 2.0, n, seed)
+        wkt = "POLYGON ((" + ", ".join(f"{x:.9f} {y:.9f}" for x, y in ring + ring[:1]) + "))"
+        g = from_wkt(wkt, validate=False)
+        g2 = from_wkb(to_wkb(g), validate=False)
+        # vertex-exact round trip (polygons are not snapped)
+        flat = lambda gg: [  # noqa: E731
+            (float(p[0]), float(p[1]))
+            for rings in gg.polygons
+            for r in rings
+            for p in r
+        ]
+        assert flat(g) == flat(g2)
+        # encode/decode (our binary codec) preserves measures exactly
+        from duckdb_geography_spark.geo.geography import Geography
+
+        g3 = Geography.decode(g.encode())
+        assert ops.area(g3) == ops.area(g)
+
+    @given(st.lists(coords, min_size=2, max_size=8, unique=True))
+    @settings(max_examples=80, deadline=None)
+    def test_linestring_wkt_roundtrip(self, pts):
+        from duckdb_geography_spark.geo.geography import from_wkt
+
+        wkt = "LINESTRING (" + ", ".join(f"{x:.9f} {y:.9f}" for x, y in pts) + ")"
+        g = from_wkt(wkt, validate=False)
+        g2 = from_wkt(g.to_wkt(), validate=False)
+        a = [tuple(map(float, p)) for line in g.lines for p in line]
+        b = [tuple(map(float, p)) for line in g2.lines for p in line]
+        assert a == b
+
+    @given(coords)
+    @settings(max_examples=100, deadline=None)
+    def test_point_snap_idempotent(self, pt):
+        """Single points snap to leaf centers at encode; decoding and
+        re-encoding must be a fixed point (no drift)."""
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+
+        g = from_wkt(f"POINT ({pt[0]:.9f} {pt[1]:.9f})")
+        enc1 = g.encode()
+        dec1 = Geography.decode(enc1)
+        enc2 = dec1.encode()
+        assert enc1 == enc2
