@@ -3354,6 +3354,195 @@ FROM cellids GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# repetition / decontamination / semdedup (round 3)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of repetition.word_ngrams: 0-based window starts over a
+#: regex-whitespace split, 1-based inclusive list slice
+_NGRAM_CTE = """
+w AS (SELECT doc_id, text, length(text) AS nc,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+g{n} AS (
+  SELECT doc_id, nc, array_to_string(ws[i + 1:i + {n}], ' ') AS g
+  FROM (SELECT doc_id, nc, ws, unnest(generate_series(0, len(ws) - {n})) AS i
+        FROM w WHERE len(ws) >= {n}))
+"""
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals: per-document most-frequent
+    word 2-gram + its character fraction, and the duplicated-2-gram
+    character fraction (llm/repetition.py; Rae et al. 2021 table A1).
+    Tie-break for the top gram is max(struct(count, gram)) — largest
+    count, then lexicographically greatest gram — which the oracle
+    replays with an ORDER BY count DESC, gram DESC window."""
+    from duckdb_geography_spark.llm.repetition import repetition_signals
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, top_n=2, dup_n=2).orderBy("doc_id")
+
+
+def _repetition_signals_sql():
+    cte = _NGRAM_CTE.format(n=2)
+    return f"""
+WITH {cte},
+cnt AS (
+  SELECT doc_id, nc, g, count(*) AS c FROM g2 GROUP BY doc_id, nc, g),
+top AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+    FROM cnt) WHERE rn = 1),
+dup AS (
+  SELECT doc_id, count(*) AS ndup, sum(c * length(g)) AS dupchars
+  FROM cnt WHERE c >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+  t.g AS top_gram,
+  coalesce(t.c, 0) AS top_count,
+  round(least(1.0, coalesce(t.c, 0) * length(coalesce(t.g, ''))
+              / greatest(length(d.text), 1)), 6) AS top_ngram_char_frac,
+  coalesce(u.ndup, 0) AS dup_ngram_count,
+  round(least(1.0, coalesce(u.dupchars, 0)
+              / greatest(length(d.text), 1)), 6) AS dup_ngram_char_frac
+FROM documents d
+LEFT JOIN top t ON d.doc_id = t.doc_id
+LEFT JOIN dup u ON d.doc_id = u.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _q_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate: per-document fraction of distinct
+    word 3-grams whose document frequency is >= 5 (the inverted-index
+    build + df-filter every boilerplate/contamination pipeline runs;
+    llm/repetition.py::boilerplate_frac)."""
+    from duckdb_geography_spark.llm.repetition import boilerplate_frac
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_frac(docs, n=3, min_df=5).orderBy("doc_id")
+
+
+def _boilerplate_sql():
+    cte = _NGRAM_CTE.format(n=3)
+    return f"""
+WITH {cte},
+per_doc AS (SELECT DISTINCT doc_id, g FROM g3),
+df AS (
+  SELECT g, count(*) AS doc_freq FROM per_doc GROUP BY g HAVING count(*) >= 5),
+tot AS (SELECT doc_id, count(*) AS ngrams FROM per_doc GROUP BY doc_id),
+hit AS (
+  SELECT p.doc_id, count(*) AS nboiler
+  FROM per_doc p JOIN df ON p.g = df.g GROUP BY p.doc_id)
+SELECT d.doc_id,
+  coalesce(t.ngrams, 0) AS n_grams,
+  coalesce(h.nboiler, 0) AS n_boiler,
+  round(coalesce(h.nboiler, 0) / greatest(coalesce(t.ngrams, 0), 1), 6)
+    AS boilerplate_frac
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hit h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word
+    8-gram with the held-out 'benchmark' slice (doc_id % 97 == 0,
+    which includes the benchmark docs themselves — the self-hit is the
+    sanity anchor). llm/prep.py::decontaminate; the GPT-3/PaLM/Llama
+    n-gram-overlap leakage check as a gram-keyed semi-join."""
+    from duckdb_geography_spark.llm.prep import decontaminate
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return (
+        decontaminate(docs, bench, n=8)
+        .select("doc_id", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def _decontaminate_sql():
+    cte = _NGRAM_CTE.format(n=8)
+    return f"""
+WITH {cte},
+bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT DISTINCT doc_id FROM g8 JOIN bench USING (g))
+SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): trained spherical-k-means
+    clusters (k=8, the 128 smallest vec_ids as the sample), then
+    within-cluster keep-earliest pruning at rounded cosine >= 0.40
+    (the synthetic embeddings have no natural >0.52 pairs, so the
+    gate threshold sits where real drops occur). The oracle replays
+    training bit-for-bit and embeds the centroid literals
+    (llm/dedup.py::semdedup)."""
+    from duckdb_geography_spark.llm.dedup import semdedup
+    from duckdb_geography_spark.llm.similarity import (
+        ivf_training_sample,
+        train_ivf_centroids,
+    )
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        ivf_training_sample(emb, sample_size=128), n_centroids=8, seed=11
+    )
+    return semdedup(emb, cents, threshold=0.40).orderBy("vec_id")
+
+
+def _semdedup_sql():
+    import numpy as _np
+    import pandas as _pd
+
+    from duckdb_geography_spark.llm.similarity import train_ivf_centroids
+
+    pdf = _pd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pdf = pdf.sort_values("vec_id").head(128)
+    sample = _np.array(
+        [[float(x) for x in v] for v in pdf["embedding"]], dtype=_np.float64
+    )
+    cents = train_ivf_centroids(sample, n_centroids=8, seed=11)
+    vals = ",\n    ".join(
+        f"({j + 1}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(j, c) AS (
+  VALUES
+    {vals}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+asg AS (
+  SELECT vec_id, v,
+    (SELECT list(list_dot_product(v, c) ORDER BY j) FROM cents) AS cd
+  FROM e),
+clustered AS (
+  SELECT vec_id, v, list_indexof(cd, list_max(cd)) AS cluster FROM asg),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM clustered a JOIN clustered b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.40)
+SELECT c.vec_id, c.cluster, l.vec_id IS NULL AS kept
+FROM clustered c LEFT JOIN losers l ON c.vec_id = l.vec_id
+ORDER BY c.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3416,6 +3605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_tables_gate": _q_data_tables_gate,
         "tsv_roundtrip": _q_tsv_roundtrip,
         "partitioned_sink_gate": _q_partitioned_sink_gate,
+        "repetition_signals": _q_repetition_signals,
+        "boilerplate_frac": _q_boilerplate,
+        "decontaminate": _q_decontaminate,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -3477,4 +3670,8 @@ def oracle_sql() -> dict[str, str]:
         "data_tables_gate": _data_tables_sql(),
         "tsv_roundtrip": _tsv_roundtrip_sql(),
         "partitioned_sink_gate": _partitioned_sink_sql(),
+        "repetition_signals": _repetition_signals_sql(),
+        "boilerplate_frac": _boilerplate_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "semdedup": _semdedup_sql(),
     }

@@ -54,6 +54,9 @@ def main() -> None:
         "embedding_topk",
         "lsh_topk",
         "ivf_topk",
+        "repetition_signals",
+        "decontaminate",
+        "semdedup",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,

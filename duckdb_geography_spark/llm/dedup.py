@@ -37,6 +37,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "semdedup",
 ]
 
 _MERSENNE61 = (1 << 61) - 1
@@ -565,3 +566,77 @@ def embedding_neardup_pairs(
     return pairs.select(
         "key_a", "key_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def semdedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    max_cluster: Optional[int] = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding column by clustering, then pruning
+    within-cluster near-duplicates — the embedding analogue of MinHash
+    dedup, and the trick that makes cosine dedup tractable: pairs are
+    only formed INSIDE a cluster, never across the corpus.
+
+    ``centroids`` is the trained coarse quantizer — an (k, dim)
+    array of unit rows from :func:`~..similarity.train_ivf_centroids`
+    (deterministic, so the DuckDB oracle replays the whole pipeline
+    from the same literals). Assignment is first-wins argmax-dot, the
+    same rule as the IVF index, as one JVM expression.
+
+    Keep policy: within a cluster, a row is dropped iff some
+    smaller-keyed row in the same cluster has rounded cosine >=
+    ``threshold`` with it ("keep earliest"). Chains (a~b, b~c, a!~c)
+    drop both b and c — documented greedy behavior, matching the
+    reference SemDedup implementation's keep-one-per-pair sweep.
+
+    ``max_cluster`` is the skew guard (same escape hatch as
+    ``minhash_lsh_pairs``): clusters larger than the cap skip the
+    pair stage entirely (all their rows stay kept) rather than emit a
+    B^2/2 pair blow-up. At real scale you instead raise k — SemDedup
+    runs with k ~ sqrt(N) clusters so mean cluster size stays O(sqrt N).
+
+    Returns ``(key, cluster, kept)`` ordered semantics-free; one
+    cluster-keyed self-join plus key-keyed joins, no all-pairs stage.
+    """
+    from .similarity import _dots_expr, cosine_pair
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    dots = _dots_expr(vec_col, cents)
+    assigned = df.select(
+        _c(key_col).alias("__key"),
+        _c(vec_col).alias("__v"),
+        F.expr(f"array_position({dots}, array_max({dots}))").alias("cluster"),
+    )
+    pairable = assigned
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__sz"))
+        pairable = assigned.join(
+            sizes.where(F.col("__sz") <= max_cluster).select("cluster"), "cluster"
+        )
+    a = pairable.select(
+        "cluster", F.col("__key").alias("__ka"), F.col("__v").alias("__va")
+    )
+    b = pairable.select(
+        "cluster", F.col("__key").alias("__kb"), F.col("__v").alias("__vb")
+    )
+    losers = (
+        a.join(b, "cluster")
+        .where(F.col("__ka") < F.col("__kb"))
+        .where(F.round(cosine_pair("__va", "__vb"), 6) >= threshold)
+        .select(F.col("__kb").alias("__key"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(losers, "__key", "left")
+        .select(
+            F.col("__key").alias(key_col),
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

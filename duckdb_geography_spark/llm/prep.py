@@ -15,6 +15,7 @@ __all__ = [
     "chunk_documents",
     "hash_split",
     "redact_pii",
+    "decontaminate",
     "PII_PATTERNS",
 ]
 
@@ -73,6 +74,51 @@ def hash_split(
     threshold = buckets * train_pct // 100
     bucket = F.conv(F.substring(F.md5(_c(text)), 1, 8), 16, 10).cast("long") % buckets
     return F.when(bucket < threshold, F.lit("train")).otherwise(F.lit("held"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation/benchmark set (the standard
+    n-gram-overlap test-set-leakage check, as run for GPT-3/PaLM/Llama
+    training corpora — 8- to 13-gram word overlap).
+
+    Returns ``docs`` plus a boolean ``contaminated`` column. Shape:
+    both sides shingle into word n-grams (pure Column explode), the
+    benchmark side is distinct-ed (eval suites are tiny relative to
+    the corpus — the distinct gram set broadcasts; AQE picks that up
+    from its size, no hint needed), and the hit set is a gram-keyed
+    equi-join -> distinct doc keys -> left join back. No all-pairs
+    stage; the corpus side is one explode + one semi-join-shaped
+    probe, exactly the shape this runs at 100 TB.
+    """
+    from .repetition import word_ngrams
+
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(bench_text_col, n)).alias("__g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        _c(key_col).alias("__key"), F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
+    hit_keys = (
+        doc_grams.join(bench_grams, "__g")
+        .select("__key")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        docs.join(hit_keys, docs[key_col] == hit_keys["__key"], "left")
+        .drop("__key")
+        .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
 
 
 #: (pattern, replacement) applied in order; conservative patterns that

@@ -1,0 +1,253 @@
+"""Unit tests for llm/repetition.py, prep.decontaminate, and
+dedup.semdedup — hand-computed truths on tiny frames, plus the policy
+edge cases each docstring promises (tie-breaks, short docs, chains,
+skew guards)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_geography_spark.llm.dedup import semdedup
+from duckdb_geography_spark.llm.prep import decontaminate
+from duckdb_geography_spark.llm.repetition import (
+    boilerplate_frac,
+    boilerplate_ngrams,
+    dup_ngram_stats,
+    repetition_signals,
+    top_ngram_stats,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestWordNgrams:
+    def test_basic(self, spark):
+        df = spark.range(1).select(word_ngrams(F.lit("a b c d"), 2).alias("g"))
+        assert df.collect()[0]["g"] == ["a b", "b c", "c d"]
+
+    def test_short_doc_empty(self, spark):
+        df = spark.range(1).select(word_ngrams(F.lit("solo"), 2).alias("g"))
+        assert df.collect()[0]["g"] == []
+
+    def test_null_text_null(self, spark):
+        df = spark.range(1).select(
+            word_ngrams(F.lit(None).cast("string"), 2).alias("g")
+        )
+        assert df.collect()[0]["g"] is None
+
+    def test_whitespace_runs_collapse(self, spark):
+        df = spark.range(1).select(word_ngrams(F.lit("  a   b  "), 2).alias("g"))
+        assert df.collect()[0]["g"] == ["a b"]
+
+    def test_n_must_be_positive(self):
+        with pytest.raises(ValueError):
+            word_ngrams("text", 0)
+
+
+class TestTopNgram:
+    def test_counts_and_frac(self, spark):
+        # "a b a b c": 2-grams a b, b a, a b, b c -> top ("a b", 2);
+        # chars = 2 * 3 / len("a b a b c")=9 -> 0.666667
+        df = _docs(spark, [(1, "a b a b c")])
+        row = top_ngram_stats(df, n=2).collect()[0]
+        assert (row["top_gram"], row["top_count"]) == ("a b", 2)
+        assert row["top_ngram_char_frac"] == pytest.approx(2 * 3 / 9, abs=1e-6)
+
+    def test_tie_breaks_to_greatest_gram(self, spark):
+        # all 2-grams unique -> tie at count 1, max(struct) picks "z w"
+        df = _docs(spark, [(1, "x y z w")])
+        row = top_ngram_stats(df, n=2).collect()[0]
+        assert row["top_gram"] == "z w"
+        assert row["top_count"] == 1
+
+    def test_short_doc_keeps_row(self, spark):
+        df = _docs(spark, [(1, "solo"), (2, "a b")])
+        got = {r["doc_id"]: r for r in top_ngram_stats(df, n=2).collect()}
+        assert got[1]["top_gram"] is None
+        assert got[1]["top_count"] == 0
+        assert got[1]["top_ngram_char_frac"] == 0.0
+        assert got[2]["top_gram"] == "a b"
+
+    def test_frac_capped_at_one(self, spark):
+        # "a a a a": gram "a a" x3 -> 3*3/7 chars = 9/7 > 1 -> capped
+        df = _docs(spark, [(1, "a a a a")])
+        row = top_ngram_stats(df, n=2).collect()[0]
+        assert row["top_ngram_char_frac"] == 1.0
+
+
+class TestDupNgram:
+    def test_duplicated_grams_counted(self, spark):
+        # "a b a b c": "a b" occurs twice -> 1 dup gram, 2*3=6 chars / 9
+        df = _docs(spark, [(1, "a b a b c")])
+        row = dup_ngram_stats(df, n=2).collect()[0]
+        assert row["dup_ngram_count"] == 1
+        assert row["dup_ngram_char_frac"] == pytest.approx(6 / 9, abs=1e-6)
+
+    def test_no_dups_zero(self, spark):
+        df = _docs(spark, [(1, "a b c d")])
+        row = dup_ngram_stats(df, n=2).collect()[0]
+        assert row["dup_ngram_count"] == 0
+        assert row["dup_ngram_char_frac"] == 0.0
+
+    def test_signals_join(self, spark):
+        df = _docs(spark, [(1, "a b a b c"), (2, "x y")])
+        got = repetition_signals(df, top_n=2, dup_n=2)
+        assert set(got.columns) == {
+            "doc_id",
+            "top_gram",
+            "top_count",
+            "top_ngram_char_frac",
+            "dup_ngram_count",
+            "dup_ngram_char_frac",
+        }
+        assert got.count() == 2
+
+
+class TestBoilerplate:
+    def test_df_threshold(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "the same header here"),
+                (2, "the same header again"),
+                (3, "totally different words"),
+            ],
+        )
+        grams = {
+            r["gram"]: r["doc_freq"]
+            for r in boilerplate_ngrams(df, n=2, min_df=2).collect()
+        }
+        # only grams in >= 2 docs survive
+        assert grams == {"the same": 2, "same header": 2}
+
+    def test_frac_per_doc(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "the same header here"),
+                (2, "the same header again"),
+                (3, "totally different words"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in boilerplate_frac(df, n=2, min_df=2).collect()}
+        # doc 1: grams {the same, same header, header here} -> 2/3 boiler
+        assert got[1]["n_grams"] == 3
+        assert got[1]["n_boiler"] == 2
+        assert got[1]["boilerplate_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert got[3]["n_boiler"] == 0
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        # the same gram twice in ONE doc must not inflate doc_freq
+        df = _docs(spark, [(1, "a b a b"), (2, "c d")])
+        grams = boilerplate_ngrams(df, n=2, min_df=2).collect()
+        assert grams == []
+
+    def test_precomputed_grams_reused(self, spark):
+        df = _docs(spark, [(1, "a b c"), (2, "a b d")])
+        g = boilerplate_ngrams(df, n=2, min_df=2)
+        got = {r["doc_id"]: r for r in boilerplate_frac(df, n=2, grams=g).collect()}
+        assert got[1]["n_boiler"] == 1  # "a b"
+
+
+class TestDecontaminate:
+    def test_flags_overlap(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "one two three four five"),
+                (2, "six seven eight nine ten"),
+            ],
+        )
+        bench = _docs(spark, [(100, "zero one two three four end")])
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, bench, n=4).collect()
+        }
+        assert got == {1: True, 2: False}
+
+    def test_keeps_all_columns(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c", "en")], "doc_id long, text string, lang string"
+        )
+        bench = _docs(spark, [(9, "x y z")])
+        out = decontaminate(docs, bench, n=2)
+        assert set(out.columns) == {"doc_id", "text", "lang", "contaminated"}
+
+    def test_no_ngram_doc_clean(self, spark):
+        docs = _docs(spark, [(1, "short")])
+        bench = _docs(spark, [(9, "short")])
+        got = decontaminate(docs, bench, n=4).collect()
+        assert got[0]["contaminated"] is False
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestSemdedup:
+    # two orthogonal unit centroids; vectors hand-placed around them
+    CENTS = np.array([[1.0, 0.0], [0.0, 1.0]])
+
+    def test_near_dup_dropped_keep_earliest(self, spark):
+        df = _emb(
+            spark,
+            [
+                (1, [1.0, 0.01]),
+                (2, [1.0, 0.012]),  # ~identical to 1 -> dropped
+                (3, [0.01, 1.0]),  # other cluster, kept
+            ],
+        )
+        got = {r["vec_id"]: r for r in semdedup(df, self.CENTS, threshold=0.99).collect()}
+        assert got[1]["kept"] is True
+        assert got[2]["kept"] is False
+        assert got[3]["kept"] is True
+        assert got[1]["cluster"] == 1 and got[3]["cluster"] == 2
+
+    def test_cross_cluster_pair_not_formed(self, spark):
+        # identical vectors in DIFFERENT clusters are never compared
+        df = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        got = semdedup(df, self.CENTS, threshold=0.0).collect()
+        assert all(r["kept"] for r in got)
+
+    def test_chain_drops_both_followers(self, spark):
+        # documented greedy policy: a~b and b~c drop b AND c even if
+        # a!~c (keep-earliest sweeps against ALL smaller keys)
+        df = _emb(
+            spark,
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.96, 0.28]),  # cos(1,2) ~ 0.96
+                (3, [0.85, 0.53]),  # cos(2,3) ~ 0.96, cos(1,3) ~ 0.85
+            ],
+        )
+        got = {r["vec_id"]: r["kept"] for r in semdedup(df, self.CENTS, threshold=0.95).collect()}
+        assert got == {1: True, 2: False, 3: False}
+
+    def test_max_cluster_guard_skips_big_cluster(self, spark):
+        df = _emb(
+            spark,
+            [
+                (1, [1.0, 0.01]),
+                (2, [1.0, 0.012]),
+                (3, [1.0, 0.013]),
+                (4, [0.01, 1.0]),
+                (5, [0.012, 1.0]),
+            ],
+        )
+        got = {
+            r["vec_id"]: r["kept"]
+            for r in semdedup(df, self.CENTS, threshold=0.99, max_cluster=2).collect()
+        }
+        # cluster 1 has 3 members (> cap) -> untouched; cluster 2 pruned
+        assert got == {1: True, 2: True, 3: True, 4: True, 5: False}
+
+    def test_assignment_first_wins_tie(self, spark):
+        # equidistant from both centroids -> first centroid wins
+        df = _emb(spark, [(1, [1.0, 1.0])])
+        got = semdedup(df, self.CENTS, threshold=0.99).collect()[0]
+        assert got["cluster"] == 1
