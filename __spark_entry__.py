@@ -59,7 +59,10 @@ _T_CACHE: dict = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    # applicationId (not id(spark)): a stopped session's id() can be
+    # reused by CPython for the next session, which would serve plans
+    # bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     hit = _T_CACHE.get(key)
     if hit is not None:
         return hit
@@ -3361,7 +3364,8 @@ FROM cellids GROUP BY 1 ORDER BY 1
 #: regex-whitespace split, 1-based inclusive list slice
 _NGRAM_CTE = """
 w AS (SELECT doc_id, text, length(text) AS nc,
-             string_split_regex(trim(text), '\\s+') AS ws
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
       FROM documents),
 g{n} AS (
   SELECT doc_id, nc, array_to_string(ws[i + 1:i + {n}], ' ') AS g

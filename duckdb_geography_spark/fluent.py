@@ -81,12 +81,37 @@ class GeoCol:
                     _call.__name__ = name
                     return _call
             raise AttributeError(f"no s2 function named {name!r}")
-        # fall through to the Column API: .alias/.cast/operators end
-        # the chain with a plain Column
+        # fall through to the Column API: .alias/.cast end the chain
+        # with a plain Column
         return getattr(self._col, name)
 
     def __repr__(self) -> str:
         return f"GeoCol({self._col!r})"
+
+
+def _fwd(dunder: str):
+    """Operator forwarding: Python looks special methods up on the
+    CLASS, bypassing ``__getattr__``, so every operator the docstring
+    promises needs an explicit stub. Results are plain Columns (an
+    operator is where a fluent chain meets a select/filter list)."""
+
+    def _op(self, *args):
+        args = tuple(a._col if isinstance(a, GeoCol) else a for a in args)
+        return getattr(self._col, dunder)(*args)
+
+    _op.__name__ = dunder
+    return _op
+
+
+for _d in (
+    "__eq__", "__ne__", "__lt__", "__le__", "__gt__", "__ge__",
+    "__add__", "__radd__", "__sub__", "__rsub__", "__mul__", "__rmul__",
+    "__truediv__", "__rtruediv__", "__mod__", "__rmod__",
+    "__and__", "__rand__", "__or__", "__ror__",
+    "__invert__", "__neg__", "__getitem__",
+):
+    setattr(GeoCol, _d, _fwd(_d))
+del _d
 
 
 def geo(col) -> GeoCol:

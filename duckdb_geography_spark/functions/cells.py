@@ -271,8 +271,6 @@ def with_cellfromlonlat(df, lon_col: str, lat_col: str, out_col: str = "cell"):
 
     lut_d = [int(IJ_TO_POS[o][ij]) for o in range(4) for ij in range(4)]
     lut_o = [o ^ int(POS_TO_ORIENT[int(IJ_TO_POS[o][ij])]) for o in range(4) for ij in range(4)]
-    d_arr = "array(" + ",".join(str(v) for v in lut_d) + ")"
-    o_arr = "array(" + ",".join(str(v) for v in lut_o) + ")"
     P = "__cf"  # intermediate-name prefix
     steps = [
         f"radians(CAST(`{lon_col}` AS DOUBLE)) AS {P}_ln",
@@ -301,7 +299,6 @@ def with_cellfromlonlat(df, lon_col: str, lat_col: str, out_col: str = "cell"):
         # more code than Janino JIT-compiles comfortably
         f"CAST({P}_f % 2 AS BIGINT) AS {P}_s0",
     ]
-    del d_arr, o_arr
 
     def walk(o, ibits, jbits, nbits):
         pos = 0

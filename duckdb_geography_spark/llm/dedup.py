@@ -112,7 +112,14 @@ def _assert_small(df: DataFrame, max_rows, scale_path: str, caller: str) -> None
     """Guard rail on the documented quadratic baselines: they exist to
     validate the scale paths on small candidate sets, and an
     accidental call over a big table would plan an all-pairs join.
-    Pass ``max_rows=None`` to opt out explicitly."""
+    Pass ``max_rows=None`` to opt out explicitly.
+
+    NOTE the probe is an EAGER Spark action at plan-construction time
+    (a limit(max_rows+1).count() — bounded, never a full scan). That
+    is a deliberate trade: the guard must fire before the quadratic
+    plan is even built, and these baselines are small-N validation
+    tools, not hot-path operators. Callers that only want to inspect
+    the plan (explain, registries) pass max_rows=None to stay lazy."""
     if max_rows is None:
         return
     # bounded probe: read at most max_rows+1 rows, never a full count

@@ -142,7 +142,13 @@ def image_decode_kernel(kernel: str = "auto"):
     return _select(kernel, _pil_available, _pil_image_decode, _fake_image_decode, "PIL")
 
 
-DECODERS = {"image": _fake_image_decode}
+#: deployment override point: install a custom kernel per media kind
+#: (``DECODERS["image"] = my_torchvision_decode``) and it wins over
+#: BOTH tiers. The override is captured on the driver at plan time and
+#: shipped inside the serialized closure, so workers need no setup.
+#: Signatures: image ``(raw, feat_dim) -> (w, h, c, feats)``; audio
+#: ``(raw) -> np.ndarray`` of PCM samples.
+DECODERS: dict = {}
 
 
 def attach_media(df: DataFrame, payload_col: str, id_col: str, kind: str = "image") -> DataFrame:
@@ -174,8 +180,12 @@ def decode_image_features(
     ``kernel``: 'auto' = PIL when importable on the worker, else the
     deterministic stub; 'real' / 'stub' force a tier."""
 
+    override = DECODERS.get("image")
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = _select(kernel, _pil_available, _pil_image_decode, _fake_image_decode, "PIL")
+        fn = override or _select(
+            kernel, _pil_available, _pil_image_decode, _fake_image_decode, "PIL"
+        )
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -323,8 +333,10 @@ def audio_window_features(
         ]
     )
 
+    override = DECODERS.get("audio")
+
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codec = _select(
+        codec = override or _select(
             kernel,
             _soundfile_available,
             _soundfile_audio_samples,

@@ -55,7 +55,9 @@ def word_ngrams(text, n: int) -> Column:
     NULL (callers explode, so both vanish)."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    w = F.split(F.trim(_c(text)), r"\s+")
+    # split(trim(''), '\s+') is [''] (one empty word), which would give
+    # n=1 a phantom '' gram on empty/whitespace-only text — filter it
+    w = F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda x: x != "")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(" ", F.slice(w, i + F.lit(1), n)),

@@ -108,8 +108,18 @@ def load_ivf_centroids(spark: SparkSession, path: str):
 
     try:
         rows = spark.read.json(f"{path}/{CENTROIDS_DIR}").collect()
-    except Exception:
-        return None
+    except Exception as ex:
+        # ONLY a missing sidecar (pre-training layout) may fall back to
+        # the seeded quantizer. Any other failure (credentials, network,
+        # corrupt sidecar) must propagate: silently probing with the
+        # wrong quantizer returns low-recall results with no error.
+        from pyspark.errors import AnalysisException
+
+        if isinstance(ex, AnalysisException) and (
+            "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex)
+        ):
+            return None
+        raise
     if not rows:
         return None
     rows = sorted(rows, key=lambda r: int(r.j))

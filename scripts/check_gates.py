@@ -18,11 +18,24 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf = a.split("=", 1)[1]
+        elif a == "--sf":
+            i += 1
+            if i >= len(argv):
+                raise SystemExit("--sf requires a directory argument")
+            sf = argv[i]
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a!r}")
+        else:
+            args.append(a)
+        i += 1
     spark = get_spark(cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

@@ -71,3 +71,26 @@ def test_unknown_s2_name_raises():
 
     with pytest.raises(AttributeError, match="no s2 function"):
         geo(F.lit(1)).s2_no_such_thing()
+
+
+def test_operator_forwarding(spark):
+    """Python special-method lookup bypasses __getattr__, so GeoCol
+    forwards operators explicitly: comparisons/arithmetic on a GeoCol
+    must yield real Columns, not TypeError or identity-bool."""
+    from pyspark.sql import Column, functions as F
+    from duckdb_geography_spark.fluent import geo
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    df = spark.range(1).select(
+        s2_geogfromtext(F.lit("POINT (-64 45)")).alias("g")
+    )
+    gx = geo(F.col("g")).s2_x()
+    assert isinstance(gx > -70, Column)
+    assert isinstance(gx + 1.0, Column)
+    assert isinstance(gx == gx, Column)  # not Python identity False
+    # and the predicate actually filters
+    assert df.where(geo(F.col("g")).s2_x() > -70).count() == 1
+    assert df.where(geo(F.col("g")).s2_x() > -60).count() == 0
+    # chained arithmetic mixing GeoCol and literals
+    got = df.select(((geo(F.col("g")).s2_x() * 2) / 2).alias("x")).collect()[0]["x"]
+    assert abs(got - (-64.0)) < 1e-6  # leaf-cell snap ~2 cm

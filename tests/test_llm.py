@@ -664,3 +664,29 @@ class TestMultimodalOps:
             wins = sorted(by_id[s.media_id], key=lambda r: r.window_idx)
             assert sum(w.n for w in wins) == s.n  # windows tile the payload
             assert all(w.rms >= abs(w.mean) - 1e-9 for w in wins)
+
+
+class TestDecoderOverride:
+    def test_decoders_override_wins(self, spark):
+        """DECODERS is the documented deployment override point: an
+        installed custom kernel must actually be invoked."""
+        import duckdb_geography_spark.llm.multimodal as mm
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x01\x02\x03\x04"))], "doc_id long, payload binary"
+        )
+        media = mm.attach_media(df, "payload", "doc_id")
+
+        def my_decode(raw, feat_dim):
+            return (7, 9, 3, [42.0] * feat_dim)
+
+        mm.DECODERS["image"] = my_decode
+        try:
+            row = mm.decode_image_features(media, feat_dim=4).collect()[0]
+        finally:
+            del mm.DECODERS["image"]
+        assert (row["width"], row["height"]) == (7, 9)
+        assert row["features"] == [42.0] * 4
+        # and without the override the stub tier is back
+        row2 = mm.decode_image_features(media, feat_dim=4).collect()[0]
+        assert row2["width"] != 7 or row2["features"] != [42.0] * 4

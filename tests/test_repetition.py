@@ -251,3 +251,18 @@ class TestSemdedup:
         df = _emb(spark, [(1, [1.0, 1.0])])
         got = semdedup(df, self.CENTS, threshold=0.99).collect()[0]
         assert got["cluster"] == 1
+
+
+class TestEmptyTextEdge:
+    def test_n1_empty_text_no_phantom_gram(self, spark):
+        # split(trim(''), '\s+') is [''] — a phantom empty word; n=1
+        # must NOT report a '' unigram for empty/whitespace-only text
+        df = _docs(spark, [(1, ""), (2, "   "), (3, "word")])
+        rows = {r["doc_id"]: r for r in top_ngram_stats(df, n=1).collect()}
+        assert rows[1]["top_gram"] is None and rows[1]["top_count"] == 0
+        assert rows[2]["top_gram"] is None and rows[2]["top_count"] == 0
+        assert rows[3]["top_gram"] == "word"
+
+    def test_n1_empty_not_boilerplate(self, spark):
+        df = _docs(spark, [(1, ""), (2, ""), (3, "")])
+        assert boilerplate_ngrams(df, n=1, min_df=2).collect() == []
