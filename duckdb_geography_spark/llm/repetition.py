@@ -165,13 +165,62 @@ def repetition_signals(
     text_col: str = "text",
     key_col: str = "doc_id",
 ) -> DataFrame:
-    """Join of :func:`top_ngram_stats` (``top_n``-grams) and
-    :func:`dup_ngram_stats` (``dup_n``-grams) on the document key —
-    the two headline Gopher repetition signals in one frame, ready to
-    feed a quality-filter predicate."""
-    t = top_ngram_stats(df, n=top_n, text_col=text_col, key_col=key_col)
-    d = dup_ngram_stats(df, n=dup_n, text_col=text_col, key_col=key_col)
-    return t.join(d, key_col)
+    """:func:`top_ngram_stats` (``top_n``-grams) and
+    :func:`dup_ngram_stats` (``dup_n``-grams) in one frame — the two
+    headline Gopher repetition signals, ready to feed a quality-filter
+    predicate.
+
+    When ``top_n == dup_n`` the whole thing is ONE n-gram explode, one
+    (key, gram) count, and one key aggregate producing all four
+    signals — half the explode work and a third of the shuffles of the
+    two-call form (which remains for distinct n's, where the gram sets
+    genuinely differ)."""
+    if top_n != dup_n:
+        t = top_ngram_stats(df, n=top_n, text_col=text_col, key_col=key_col)
+        d = dup_ngram_stats(df, n=dup_n, text_col=text_col, key_col=key_col)
+        return t.join(d, key_col)
+    n = top_n
+    base = df.select(
+        _c(key_col).alias("__key"),
+        F.length(F.coalesce(_c(text_col), F.lit(""))).alias("__nc"),
+        word_ngrams(text_col, n).alias("__gs"),
+    )
+    counts = (
+        base.select("__key", "__nc", F.explode("__gs").alias("__g"))
+        .groupBy("__key", "__nc", "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    agg = counts.groupBy("__key", "__nc").agg(
+        F.max(F.struct(F.col("__cnt"), F.col("__g"))).alias("__top"),
+        F.count(F.when(F.col("__cnt") >= 2, F.lit(1))).alias("__ndup"),
+        F.sum(
+            F.when(F.col("__cnt") >= 2, F.col("__cnt") * F.length("__g"))
+        ).alias("__dupchars"),
+    )
+    keys = base.select("__key", "__nc").distinct()
+    return keys.join(agg, ["__key", "__nc"], "left").select(
+        F.col("__key").alias(key_col),
+        F.col("__top.__g").alias("top_gram"),
+        F.coalesce(F.col("__top.__cnt"), F.lit(0)).alias("top_count"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("__top.__cnt"), F.lit(0))
+                * F.length(F.coalesce(F.col("__top.__g"), F.lit("")))
+                / F.greatest(F.col("__nc"), F.lit(1)),
+            ),
+            6,
+        ).alias("top_ngram_char_frac"),
+        F.coalesce(F.col("__ndup"), F.lit(0)).alias("dup_ngram_count"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("__dupchars"), F.lit(0))
+                / F.greatest(F.col("__nc"), F.lit(1)),
+            ),
+            6,
+        ).alias("dup_ngram_char_frac"),
+    )
 
 
 def boilerplate_ngrams(

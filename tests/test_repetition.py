@@ -266,3 +266,12 @@ class TestEmptyTextEdge:
     def test_n1_empty_not_boilerplate(self, spark):
         df = _docs(spark, [(1, ""), (2, ""), (3, "")])
         assert boilerplate_ngrams(df, n=1, min_df=2).collect() == []
+
+
+def test_signals_mixed_n_two_call_path(spark):
+    # top_n != dup_n exercises the join-of-two-aggregates path
+    df = _docs(spark, [(1, "a b a b a b c")])
+    row = repetition_signals(df, top_n=2, dup_n=3).collect()[0]
+    assert row["top_gram"] == "a b" and row["top_count"] == 3
+    # 3-grams: "a b a","b a b","a b a","b a b","a b c" -> 2 dup grams
+    assert row["dup_ngram_count"] == 2
