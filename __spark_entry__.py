@@ -3546,6 +3546,39 @@ ORDER BY c.vec_id
 """
 
 
+def _q_stream_decontaminate(spark, sf_dir):
+    """STREAMING decontamination under the batch oracle: the document
+    feed as an availableNow file stream, the benchmark n-gram set
+    (doc_id % 97 == 0 slice) captured driver-side as a literal, the
+    flag a stateless arrays_overlap — no join/agg/watermark, the shape
+    that keeps up with any ingest rate. Must equal the batch
+    decontaminate SQL exactly (streaming/events.py::
+    stream_decontaminate)."""
+    import uuid
+
+    from duckdb_geography_spark.streaming import events as SE
+
+    _prep(spark)
+    bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+    grams = SE.collect_benchmark_grams(bench, n=8)
+    docs = SE.read_documents_stream(spark, sf_dir)
+    out = SE.stream_decontaminate(docs, grams, n=8).select(
+        "doc_id", "contaminated"
+    )
+    qname = f"decon_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_decontaminate did not finish in 300s")
+    return spark.table(qname).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3613,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_frac": _q_boilerplate,
         "decontaminate": _q_decontaminate,
         "semdedup": _q_semdedup,
+        "stream_decontaminate": _q_stream_decontaminate,
     }
 
 
@@ -3678,4 +3712,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_frac": _boilerplate_sql(),
         "decontaminate": _decontaminate_sql(),
         "semdedup": _semdedup_sql(),
+        "stream_decontaminate": _decontaminate_sql(),
     }

@@ -32,6 +32,9 @@ __all__ = [
     "sessionize",
     "sessionize_batch",
     "stream_dedup",
+    "read_documents_stream",
+    "collect_benchmark_grams",
+    "stream_decontaminate",
 ]
 
 
@@ -287,3 +290,70 @@ def stream_dedup(
     return _ensure_event_time(events).withWatermark(
         "ts", watermark
     ).dropDuplicatesWithinWatermark(id_cols or ["event_id"])
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same
+    directory-glob pattern as :func:`read_events_stream`): the shape
+    of a continuously-arriving crawl/ingest feed."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def collect_benchmark_grams(
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    max_grams: int = 1_000_000,
+) -> list:
+    """Driver-side distinct word n-grams of a benchmark/eval set —
+    the static side of streaming decontamination. Bounded by design:
+    eval suites are tiny relative to the corpus (every published
+    decontamination setup ships the benchmark n-gram set to the
+    workers); the cap turns an accidental corpus-sized 'benchmark'
+    into an error instead of a driver OOM."""
+    from ..llm.repetition import word_ngrams
+
+    rows = (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+        .limit(max_grams + 1)
+        .collect()
+    )
+    if len(rows) > max_grams:
+        raise ValueError(
+            f"benchmark n-gram set exceeds max_grams={max_grams}; "
+            "decontaminate against a set this large with the batch "
+            "llm.prep.decontaminate join instead"
+        )
+    return sorted(r["g"] for r in rows)
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    bench_grams: list,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """STATELESS streaming decontamination: flag each arriving
+    document that shares any word ``n``-gram with the benchmark set.
+
+    The benchmark grams are a driver-captured literal
+    (:func:`collect_benchmark_grams`), so the check is a pure Column
+    ``arrays_overlap`` — no join, no aggregation, no watermark, no
+    state; append-mode safe at any stream rate. This is the streaming
+    twin of llm.prep.decontaminate (which joins instead of shipping a
+    literal, for benchmark sets too large to broadcast)."""
+    from ..llm.repetition import word_ngrams
+
+    if not bench_grams:
+        return docs.withColumn("contaminated", F.lit(False))
+    flag = F.arrays_overlap(
+        word_ngrams(text_col, n),
+        F.lit([str(g) for g in bench_grams]),
+    )
+    return docs.withColumn("contaminated", F.coalesce(flag, F.lit(False)))

@@ -177,3 +177,58 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_stream").collect()
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)) == 100
+
+
+def test_stream_decontaminate_stateless(spark, tmp_path):
+    """Streaming decontamination: benchmark grams as a driver literal,
+    stateless arrays_overlap flag; availableNow run must match batch
+    decontaminate on the same data."""
+    from duckdb_geography_spark.llm.prep import decontaminate
+    from duckdb_geography_spark.streaming.events import (
+        collect_benchmark_grams,
+        stream_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (3, "totally clean words here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    bench = docs.where(F.col("doc_id") == 1)
+    grams = collect_benchmark_grams(bench, n=4)
+    assert len(grams) == 6  # 9 words -> 6 4-grams
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_decontaminate(stream, grams, n=4).select("doc_id", "contaminated")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["contaminated"] for r in spark.table("decon_test").collect()
+    }
+    want = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=4).collect()
+    }
+    assert got == want == {1: True, 2: False, 3: False}
+
+
+def test_collect_benchmark_grams_cap(spark):
+    from duckdb_geography_spark.streaming.events import collect_benchmark_grams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_grams"):
+        collect_benchmark_grams(docs, n=2, max_grams=3)
