@@ -275,3 +275,88 @@ def test_signals_mixed_n_two_call_path(spark):
     assert row["top_gram"] == "a b" and row["top_count"] == 3
     # 3-grams: "a b a","b a b","a b a","b a b","a b c" -> 2 dup grams
     assert row["dup_ngram_count"] == 2
+
+
+class TestRandomizedCrossCheck:
+    """Seeded randomized corpora cross-checked against a pure-Python
+    reference implementation — one Spark job per test, 200 docs of
+    adversarial word soup (tiny vocab -> many collisions)."""
+
+    def _random_docs(self, rng, n_docs=200, vocab=8, max_words=30):
+        docs = []
+        for i in range(n_docs):
+            k = int(rng.integers(0, max_words))
+            words = [f"w{int(rng.integers(0, vocab))}" for _ in range(k)]
+            docs.append((i, " ".join(words)))
+        return docs
+
+    @staticmethod
+    def _py_signals(text, n):
+        words = [w for w in text.strip().split() if w]
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        nc = max(len(text), 1)
+        from collections import Counter
+
+        c = Counter(grams)
+        if not c:
+            return (None, 0, 0.0, 0, 0.0)
+        top_cnt = max(c.values())
+        top_gram = max(g for g, v in c.items() if v == top_cnt)
+        top_frac = round(min(1.0, top_cnt * len(top_gram) / nc), 6)
+        dups = {g: v for g, v in c.items() if v >= 2}
+        dup_chars = sum(v * len(g) for g, v in dups.items())
+        dup_frac = round(min(1.0, dup_chars / nc), 6)
+        return (top_gram, top_cnt, top_frac, len(dups), dup_frac)
+
+    def test_signals_match_python_reference(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        docs = self._random_docs(rng)
+        df = _docs(spark, docs)
+        got = {
+            r["doc_id"]: (
+                r["top_gram"],
+                r["top_count"],
+                r["top_ngram_char_frac"],
+                r["dup_ngram_count"],
+                r["dup_ngram_char_frac"],
+            )
+            for r in repetition_signals(df, top_n=2, dup_n=2).collect()
+        }
+        for doc_id, text in docs:
+            want = self._py_signals(text, 2)
+            g = got[doc_id]
+            assert g[0] == want[0], (doc_id, text, g, want)
+            assert g[1] == want[1]
+            assert g[2] == pytest.approx(want[2], abs=2e-6)
+            assert g[3] == want[3]
+            assert g[4] == pytest.approx(want[4], abs=2e-6)
+
+    def test_semdedup_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(100, 8))
+        cents = rng.normal(size=(4, 8))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        df = _emb(
+            spark,
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        )
+        thr = 0.6
+        got = {
+            r["vec_id"]: (r["cluster"], r["kept"])
+            for r in semdedup(df, cents, threshold=thr).collect()
+        }
+        # numpy reference: first-wins argmax assignment, keep-earliest
+        assign = np.argmax(vecs @ cents.T, axis=1) + 1
+        norms = np.linalg.norm(vecs, axis=1)
+        cos = (vecs @ vecs.T) / np.outer(norms, norms)
+        for j in range(100):
+            dropped = any(
+                assign[i] == assign[j] and round(cos[i, j], 6) >= thr
+                for i in range(j)
+            )
+            assert got[j][0] == assign[j], (j, got[j], assign[j])
+            assert got[j][1] == (not dropped), (j, got[j], dropped)
