@@ -3546,6 +3546,76 @@ ORDER BY c.vec_id
 """
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """Sequence packing gate: chunk the corpus (400-char windows, no
+    overlap so units sum exactly), hash-sample 30%% of docs
+    (content-keyed md5), pack into 2048-char training windows across
+    64 hash buckets, roll up per pack. The oracle replays bucket
+    assignment (md5 digit math), the running-sum pack id, and the
+    rollup with SQL window functions (llm/prep.py::pack_chunks,
+    hash_sample)."""
+    from duckdb_geography_spark.llm.prep import (
+        chunk_documents,
+        hash_sample,
+        pack_chunks,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").where(hash_sample("text", rate_pct=30))
+    chunks = chunk_documents(docs, chunk_chars=400, overlap=0)
+    packed = pack_chunks(chunks, max_units=2048, buckets=64, hash_fn="md5")
+    return (
+        packed.groupBy("pack_bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chars").alias("n_units"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("__first"),
+        )
+        .select(
+            "pack_bucket",
+            "pack_id",
+            "n_chunks",
+            "n_units",
+            F.col("__first.doc_id").alias("first_doc"),
+            F.col("__first.chunk_idx").alias("first_chunk"),
+        )
+        .orderBy("pack_bucket", "pack_id")
+    )
+
+
+_SEQUENCE_PACKING_SQL = """
+WITH sampled AS (
+  SELECT doc_id, text FROM documents
+  WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 30),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         length(substr(text, i * 400 + 1, 400)) AS n_chars
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, (greatest(length(text) - 1, 0)) // 400)) AS i
+        FROM sampled)
+  WHERE length(substr(text, i * 400 + 1, 400)) > 0),
+bucketed AS (
+  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+           AS pack_bucket
+  FROM chunks),
+packed AS (
+  SELECT *,
+    coalesce(sum(n_chars) OVER (PARTITION BY pack_bucket
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      AS pack_id
+  FROM bucketed),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pack_bucket, pack_id
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM packed)
+SELECT pack_bucket, pack_id, count(*) AS n_chunks, sum(n_chars) AS n_units,
+  max(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+  max(CASE WHEN rn = 1 THEN chunk_idx END) AS first_chunk
+FROM ranked GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id
+"""
+
+
 def _q_stream_decontaminate(spark, sf_dir):
     """STREAMING decontamination under the batch oracle: the document
     feed as an availableNow file stream, the benchmark n-gram set
@@ -3647,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "semdedup": _q_semdedup,
         "stream_decontaminate": _q_stream_decontaminate,
+        "sequence_packing": _q_sequence_packing,
     }
 
 
@@ -3713,4 +3784,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "semdedup": _semdedup_sql(),
         "stream_decontaminate": _decontaminate_sql(),
+        "sequence_packing": _SEQUENCE_PACKING_SQL,
     }

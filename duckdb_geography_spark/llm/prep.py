@@ -16,6 +16,8 @@ __all__ = [
     "hash_split",
     "redact_pii",
     "decontaminate",
+    "hash_sample",
+    "pack_chunks",
     "PII_PATTERNS",
 ]
 
@@ -139,3 +141,79 @@ def redact_pii(text) -> Column:
     for pat, rep in PII_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def hash_sample(
+    text,
+    rate_pct: int = 10,
+    buckets: int = 100,
+    salt: str = "",
+) -> Column:
+    """Deterministic content-keyed Bernoulli sample predicate: keep a
+    row iff its md5 bucket falls under ``rate_pct``. Content-keyed
+    like :func:`hash_split` (duplicates sample together — no leakage
+    between a kept copy and a dropped copy), reproducible across runs
+    and engines, ``salt`` decorrelates independent samples. Pure
+    Column — fuses into the scan."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), _c(text))), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    return bucket < (buckets * rate_pct // 100)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    max_units: int,
+    unit_col: str = "n_chars",
+    key_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    buckets: int = 1024,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sequence packing: assemble chunks into fixed-capacity training
+    windows (packs), the GPT-style concat-and-slice step at the chunk
+    granularity. Deterministic and SQL-replayable: chunks are ordered
+    by (key, idx) within a content-hash bucket and assigned
+    ``pack_id = floor(running_sum_before / max_units)`` — pack
+    boundaries fall where the cumulative unit count crosses a
+    multiple of the capacity, so a pack can overflow by at most one
+    chunk (the standard cumsum approximation; exact first-fit needs a
+    sequential scan and buys <1 chunk of slack).
+
+    100 TB shape: packing is inherently order-sequential, so the
+    corpus is sharded into ``buckets`` independent streams by document
+    hash (one window partition each — parallelism = buckets, state =
+    one running sum per bucket); each pack lives inside one bucket.
+    Returns the input plus (pack_bucket, pack_id, pack_pos).
+
+    ``hash_fn``: 'xxhash64' (fast JVM intrinsic, default) or 'md5'
+    (a few times slower, exactly replayable by the DuckDB oracle —
+    same trade as the dedup signature hashes)."""
+    from pyspark.sql.window import Window
+
+    if hash_fn == "xxhash64":
+        b = F.pmod(F.xxhash64(_c(key_col)), F.lit(buckets))
+    elif hash_fn == "md5":
+        b = (
+            F.conv(
+                F.substring(F.md5(_c(key_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % buckets
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    w = Window.partitionBy("pack_bucket").orderBy(
+        F.col(key_col).asc(), F.col(idx_col).asc()
+    )
+    out = chunks.withColumn("pack_bucket", b)
+    run_before = F.coalesce(
+        F.sum(_c(unit_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = out.withColumn("pack_id", F.floor(run_before / max_units))
+    pos_w = Window.partitionBy("pack_bucket", "pack_id").orderBy(
+        F.col(key_col).asc(), F.col(idx_col).asc()
+    )
+    return out.withColumn("pack_pos", F.row_number().over(pos_w) - 1)

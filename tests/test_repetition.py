@@ -360,3 +360,98 @@ class TestRandomizedCrossCheck:
             )
             assert got[j][0] == assign[j], (j, got[j], assign[j])
             assert got[j][1] == (not dropped), (j, got[j], dropped)
+
+
+class TestPacking:
+    def test_pack_boundaries(self, spark):
+        from duckdb_geography_spark.llm.prep import pack_chunks
+
+        # one bucket (buckets=1): running sums 0,3,6,9,12 with cap 6 ->
+        # packs 0,0,1,1,2
+        chunks = spark.createDataFrame(
+            [(1, i, 3) for i in range(5)],
+            "doc_id long, chunk_idx int, n_chars long",
+        )
+        got = (
+            pack_chunks(chunks, max_units=6, buckets=1)
+            .orderBy("chunk_idx")
+            .collect()
+        )
+        assert [r["pack_id"] for r in got] == [0, 0, 1, 1, 2]
+        assert [r["pack_pos"] for r in got] == [0, 1, 0, 1, 0]
+
+    def test_pack_overflow_at_most_one_chunk(self, spark):
+        from duckdb_geography_spark.llm.prep import pack_chunks
+
+        # 5,5,5 with cap 8: sums-before 0,5,10 -> packs 0,0,1 — pack 0
+        # overflows to 10 (one straddling chunk), documented behavior
+        chunks = spark.createDataFrame(
+            [(1, i, 5) for i in range(3)],
+            "doc_id long, chunk_idx int, n_chars long",
+        )
+        got = pack_chunks(chunks, max_units=8, buckets=1).orderBy("chunk_idx")
+        assert [r["pack_id"] for r in got.collect()] == [0, 0, 1]
+
+    def test_buckets_partition_by_doc(self, spark):
+        from duckdb_geography_spark.llm.prep import pack_chunks
+
+        chunks = spark.createDataFrame(
+            [(d, 0, 1) for d in range(50)],
+            "doc_id long, chunk_idx int, n_chars long",
+        )
+        got = pack_chunks(chunks, max_units=10, buckets=8).collect()
+        # every doc's chunks stay in one bucket; buckets in range
+        assert all(0 <= r["pack_bucket"] < 8 for r in got)
+
+    def test_md5_and_xxhash_agree_on_grouping_invariants(self, spark):
+        from duckdb_geography_spark.llm.prep import pack_chunks
+
+        chunks = spark.createDataFrame(
+            [(d, i, 7) for d in range(10) for i in range(4)],
+            "doc_id long, chunk_idx int, n_chars long",
+        )
+        for fn in ("xxhash64", "md5"):
+            got = pack_chunks(chunks, max_units=20, buckets=4, hash_fn=fn)
+            # pack_pos is dense 0..n-1 within each (bucket, pack)
+            import collections
+
+            packs = collections.defaultdict(list)
+            for r in got.collect():
+                packs[(r["pack_bucket"], r["pack_id"])].append(r["pack_pos"])
+            for pos in packs.values():
+                assert sorted(pos) == list(range(len(pos)))
+
+    def test_bad_hash_fn(self, spark):
+        from duckdb_geography_spark.llm.prep import pack_chunks
+
+        chunks = spark.createDataFrame(
+            [(1, 0, 1)], "doc_id long, chunk_idx int, n_chars long"
+        )
+        with pytest.raises(ValueError):
+            pack_chunks(chunks, max_units=10, hash_fn="sha9")
+
+
+class TestHashSample:
+    def test_deterministic_and_rate(self, spark):
+        from duckdb_geography_spark.llm.prep import hash_sample
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} text") for i in range(500)],
+            "doc_id long, text string",
+        )
+        a = docs.where(hash_sample("text", rate_pct=20)).count()
+        b = docs.where(hash_sample("text", rate_pct=20)).count()
+        assert a == b  # deterministic
+        assert 50 < a < 150  # ~20% of 500
+        # salt decorrelates
+        c = docs.where(hash_sample("text", rate_pct=20, salt="x")).count()
+        assert 50 < c < 150
+
+    def test_duplicates_sample_together(self, spark):
+        from duckdb_geography_spark.llm.prep import hash_sample
+
+        docs = spark.createDataFrame(
+            [(1, "same text"), (2, "same text")], "doc_id long, text string"
+        )
+        kept = docs.where(hash_sample("text", rate_pct=50)).count()
+        assert kept in (0, 2)
