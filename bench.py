@@ -57,6 +57,8 @@ def main() -> None:
         "repetition_signals",
         "decontaminate",
         "semdedup",
+        "boilerplate_frac",
+        "sequence_packing",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
