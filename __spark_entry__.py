@@ -3616,6 +3616,44 @@ FROM ranked GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id
 """
 
 
+def _q_unigram_nll(spark, sf_dir):
+    """Corpus-trained unigram-LM scoring (the SQL-replayable core of
+    the CCNet/RefinedWeb KenLM perplexity filter): per-document mean
+    negative log likelihood in nats/word, add-1 smoothing, integer
+    micronat aggregation so the sum is order-independent
+    (llm/lm.py::unigram_nll; ln parity JVM<->DuckDB pytest-asserted)."""
+    from duckdb_geography_spark.llm.lm import unigram_nll
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_nll(docs).orderBy("doc_id")
+
+
+_UNIGRAM_NLL_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents),
+cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+tot AS (SELECT sum(c) AS N, count(*) AS V FROM cnt),
+model AS (
+  SELECT word,
+    (round(ln((N + V)::DOUBLE) * 1e6) - round(ln((c + 1)::DOUBLE) * 1e6))::BIGINT
+      AS nll_micro
+  FROM cnt, tot),
+scored AS (
+  SELECT w.doc_id, count(*) AS n, sum(m.nll_micro) AS sum_micro
+  FROM w JOIN model m ON w.word = m.word
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+  coalesce(s.n, 0) AS n_words,
+  round(coalesce(s.sum_micro / s.n / 1e6, 0.0), 6) AS nll
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _q_stream_decontaminate(spark, sf_dir):
     """STREAMING decontamination under the batch oracle: the document
     feed as an availableNow file stream, the benchmark n-gram set
@@ -3718,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "stream_decontaminate": _q_stream_decontaminate,
         "sequence_packing": _q_sequence_packing,
+        "unigram_nll": _q_unigram_nll,
     }
 
 
@@ -3785,4 +3824,5 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "stream_decontaminate": _decontaminate_sql(),
         "sequence_packing": _SEQUENCE_PACKING_SQL,
+        "unigram_nll": _UNIGRAM_NLL_SQL,
     }

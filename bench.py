@@ -59,6 +59,7 @@ def main() -> None:
         "semdedup",
         "boilerplate_frac",
         "sequence_packing",
+        "unigram_nll",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,

@@ -1,0 +1,122 @@
+"""Corpus-trained unigram language-model scoring — the perplexity
+quality signal every production curation pipeline runs (CCNet/
+RefinedWeb/Dolma use KenLM n-gram perplexity; the unigram LM is its
+exactly-SQL-replayable core: out-of-domain or degenerate text scores
+high negative log likelihood against the corpus itself).
+
+100 TB shape: training IS one word-count aggregation (map-side
+combinable, uniformly-hashed keys); scoring is an equi-join of the
+corpus's (word, count) table — a vocabulary-sized dimension that AQE
+broadcasts — followed by a per-document aggregate. No Python
+anywhere; the log math is JVM expressions.
+
+Determinism: per-word NLL routes through integer micronats
+(``round(ln(..) * 1e6)`` over INTEGER log arguments), so the
+per-document sum is exact and order-independent — the same
+integer-cents trick the TPC-H oracle queries use — and add-alpha
+smoothing keeps every ln argument an integer (parity of
+``round(ln(k)*1e6)`` between the JVM and DuckDB is pytest-asserted
+over the whole count domain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["unigram_counts", "unigram_nll"]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _words(text) -> Column:
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda x: x != "")
+
+
+def unigram_counts(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """The trained model: corpus word counts ``(word, c)``. One
+    explode + one map-side-combinable count. Persist this next to the
+    corpus snapshot to score other datasets against it."""
+    return (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    counts: DataFrame | None = None,
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-document mean unigram negative log likelihood (nats/word)
+    under the corpus unigram LM with add-``alpha`` smoothing:
+    ``nll(w) = ln(N + alpha*V) - ln(c_w + alpha)`` where N = corpus
+    token count, V = vocabulary size. Pass ``counts`` (from
+    :func:`unigram_counts`, possibly of a DIFFERENT corpus) to score
+    against a fixed model; default trains on ``df`` itself.
+
+    ``alpha`` must be a positive integer so every ln argument stays
+    integral (exact cross-engine log parity). Returns
+    ``(key, n_words, nll)`` with nll in nats/word rounded to 6dp;
+    word-less documents score 0.0.
+    """
+    if alpha < 1 or int(alpha) != alpha:
+        raise ValueError("alpha must be a positive integer")
+    if counts is None:
+        counts = unigram_counts(df, text_col=text_col, key_col=key_col)
+    totals = counts.agg(
+        F.sum("c").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    # ln over integer arguments only; micronat rounding makes the
+    # per-word value an exact long, so the doc sum is order-free
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "word",
+        (
+            F.round(F.log((F.col("__N") + alpha * F.col("__V")).cast("double")) * 1e6)
+            - F.round(F.log((F.col("c") + alpha).cast("double")) * 1e6)
+        )
+        .cast("long")
+        .alias("__nll_micro"),
+    )
+    # unseen words (scoring a different corpus than the model's) get
+    # the full smoothed mass: c = 0 -> ln(N + aV) - ln(a)
+    unseen = totals.select(
+        (
+            F.round(F.log((F.col("__N") + alpha * F.col("__V")).cast("double")) * 1e6)
+            - F.round(F.log(F.lit(float(alpha))) * 1e6)
+        )
+        .cast("long")
+        .alias("__unseen_micro")
+    )
+    words = df.select(
+        _c(key_col).alias("__key"), F.explode(_words(text_col)).alias("word")
+    )
+    scored = (
+        words.join(model, "word", "left")
+        .crossJoin(F.broadcast(unseen))
+        .groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.coalesce(F.col("__nll_micro"), F.col("__unseen_micro"))
+            ).alias("__sum_micro"),
+        )
+    )
+    keys = df.select(_c(key_col).alias("__key")).distinct()
+    return keys.join(scored, "__key", "left").select(
+        F.col("__key").alias(key_col),
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_words"),
+        F.round(
+            F.coalesce(
+                F.col("__sum_micro") / F.col("__n") / F.lit(1e6), F.lit(0.0)
+            ),
+            6,
+        ).alias("nll"),
+    )

@@ -455,3 +455,84 @@ class TestHashSample:
         )
         kept = docs.where(hash_sample("text", rate_pct=50)).count()
         assert kept in (0, 2)
+
+
+class TestUnigramLM:
+    def test_hand_computed_nll(self, spark):
+        import math
+
+        from duckdb_geography_spark.llm.lm import unigram_nll
+
+        # corpus: "a a b" + "a c" -> counts a:3 b:1 c:1, N=5, V=3
+        df = _docs(spark, [(1, "a a b"), (2, "a c")])
+        got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+
+        def nll(c):
+            return (
+                round(math.log(5 + 3) * 1e6) - round(math.log(c + 1) * 1e6)
+            ) / 1e6
+
+        def r6(x):  # HALF_UP like Spark/DuckDB round(), not banker's
+            import math as _m
+
+            return _m.floor(x * 1e6 + 0.5) / 1e6
+
+        want1 = r6((2 * nll(3) + nll(1)) / 3)
+        want2 = r6((nll(3) + nll(1)) / 2)
+        assert got[1]["n_words"] == 3 and got[1]["nll"] == pytest.approx(want1, abs=1e-9)
+        assert got[2]["n_words"] == 2 and got[2]["nll"] == pytest.approx(want2, abs=1e-9)
+        # rarer words -> higher NLL
+        assert got[2]["nll"] > 0
+
+    def test_empty_doc_scores_zero(self, spark):
+        from duckdb_geography_spark.llm.lm import unigram_nll
+
+        df = _docs(spark, [(1, ""), (2, "x y")])
+        got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+        assert got[1]["n_words"] == 0 and got[1]["nll"] == 0.0
+
+    def test_fixed_model_scores_unseen(self, spark):
+        import math
+
+        from duckdb_geography_spark.llm.lm import unigram_counts, unigram_nll
+
+        train = _docs(spark, [(1, "a a a b")])  # N=4, V=2
+        model = unigram_counts(train)
+        test = _docs(spark, [(9, "zzz")])  # unseen word
+        got = unigram_nll(test, counts=model).collect()[0]
+        # unseen: ln(4+2) - ln(1) = ln 6
+        want = round(round(math.log(6) * 1e6) / 1e6, 6)
+        assert got["nll"] == pytest.approx(want, abs=1e-9)
+        # an out-of-domain doc scores WORSE than an in-domain one
+        common = unigram_nll(_docs(spark, [(8, "a a")]), counts=model).collect()[0]
+        assert got["nll"] > common["nll"]
+
+    def test_alpha_must_be_positive_int(self, spark):
+        from duckdb_geography_spark.llm.lm import unigram_nll
+
+        df = _docs(spark, [(1, "a")])
+        with pytest.raises(ValueError):
+            unigram_nll(df, alpha=0)
+
+    def test_ln_micro_parity_with_duckdb(self, spark):
+        """round(ln(k)*1e6) must agree between the JVM and DuckDB over
+        the whole count domain the model can produce (the parity the
+        oracle depends on)."""
+        import duckdb
+
+        sdf = (
+            spark.range(1, 2_000_001)
+            .select(
+                "id",
+                F.round(F.log(F.col("id").cast("double")) * 1e6)
+                .cast("long")
+                .alias("v"),
+            )
+            .toPandas()
+        )
+        ddf = duckdb.sql(
+            "select range as id, round(ln(range::DOUBLE)*1e6)::BIGINT v "
+            "from range(1, 2000001)"
+        ).df()
+        m = sdf.merge(ddf, on="id", suffixes=("_s", "_d"))
+        assert (m.v_s != m.v_d).sum() == 0
