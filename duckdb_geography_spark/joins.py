@@ -43,6 +43,7 @@ __all__ = [
     "cell_containment_join",
     "distance_join",
     "broadcast_spatial_join",
+    "spatial_join",
     "level_for_radius_meters",
 ]
 
@@ -365,3 +366,75 @@ def broadcast_spatial_join(
     docs/function-reference.md:1416-1433): the executor-side LRU in
     geoudfs decodes each broadcast geography once per worker."""
     return big.join(F.broadcast(small), predicate_col, "inner")
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    level: int = 8,
+    left_geog: str = "geog",
+    right_geog: str = "geog",
+    left_key: Optional[str] = None,
+    right_key: Optional[str] = None,
+    nl_rows: int = 8,
+    broadcast_rows: int = 100_000,
+    planet_scale_right: bool = False,
+) -> DataFrame:
+    """Strategy-picking spatial join — SURVEY §4.3's "auto-rewrite
+    rule" expressed the way PySpark can: a driver-side planner that
+    probes the right side's size (bounded ``limit(n+1).count()``, an
+    eager action like the quadratic-baseline guards) and picks the
+    physical form:
+
+    - right has <= ``nl_rows`` rows -> ``broadcast_spatial_join``
+      (broadcast nested-loop over the exact predicate: for a handful
+      of prepared geographies the per-row probe beats paying the
+      covering explode of the big side's every row);
+    - right fits the broadcast threshold -> ``covering_join`` with
+      ``broadcast_right=True`` (covering equi-join, broadcast hash);
+    - otherwise -> plain ``covering_join`` (shuffle hash equi-join;
+      AQE re-plans/skew-splits at runtime);
+    - ``planet_scale_right=True`` (hemisphere-sized geographies whose
+      fixed-level covering would overflow) -> ``covering_range_join``,
+      the range_min/range_max BETWEEN form.
+
+    The probe never scans more than ``broadcast_rows + 1`` rows. At
+    100 TB the decision this makes is exactly the one a Catalyst rule
+    would: equi-join shape always, broadcast when the dim side allows,
+    NL only when the dim is so small the prefilter costs more than it
+    saves."""
+    if planet_scale_right:
+        return covering_range_join(
+            left,
+            right,
+            predicate=predicate,
+            left_geog=left_geog,
+            right_geog=right_geog,
+            left_key=left_key,
+            right_key=right_key,
+        )
+    n_right = right.limit(broadcast_rows + 1).count()
+    if n_right <= nl_rows and predicate in ("intersects", "contains"):
+        refine = _PREDICATES[predicate]
+        rgeog_out = right_geog if right_geog != left_geog else right_geog + "_r"
+        r = right.withColumnRenamed(right_geog, rgeog_out)
+        overlap = set(left.columns) & set(r.columns)
+        for col in overlap:
+            r = r.withColumnRenamed(col, col + "_r")
+            if rgeog_out == col:
+                rgeog_out = col + "_r"
+        return broadcast_spatial_join(
+            left, r, refine(F.col(left_geog), F.col(rgeog_out))
+        )
+    return covering_join(
+        left,
+        right,
+        predicate=predicate,
+        level=level,
+        left_geog=left_geog,
+        right_geog=right_geog,
+        left_key=left_key,
+        right_key=right_key,
+        broadcast_right=n_right <= broadcast_rows,
+    )

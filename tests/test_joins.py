@@ -223,3 +223,59 @@ def test_covering_join_skew(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # exact: every point is strictly inside the region
     assert joined.count() == n
+
+
+class TestSpatialJoinPlanner:
+    def test_tiny_right_uses_broadcast_nl(self, spark, sample):
+        cities, countries, truth = sample
+        two = countries.where(F.col("name").isin("Canada", "Chile"))
+        got = J.spatial_join(
+            cities.select(F.col("name").alias("city"), F.col("geog")),
+            two,
+            right_geog="geog",
+            left_geog="geog",
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan  # chosen strategy
+        pairs = {(r["name"], r["city"]) for r in got.collect()}
+        want = {(n, c) for (n, c) in truth if n in ("Canada", "Chile")}
+        assert pairs == want
+
+    def test_medium_right_uses_covering_equi_join(self, spark, sample):
+        cities, countries, truth = sample
+        got = J.spatial_join(
+            cities.select(F.col("name").alias("city"), F.col("geog")),
+            countries,  # 177 rows > nl_rows -> covering equi-join
+            left_key="city",
+            right_key="name",
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        pairs = {(r["name"], r["city"]) for r in got.collect()}
+        assert pairs == truth
+
+    def test_planet_scale_routes_to_range_join(self, spark, sample):
+        from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+        cities, countries, truth = sample
+        hemi = spark.createDataFrame([("hemi",)], "rname string").select(
+            "rname",
+            s2_geogfromtext(
+                F.lit("POLYGON ((-179 -80, -1 -80, -1 80, -179 80, -179 -80))")
+            ).alias("geog"),
+        )
+        got = J.spatial_join(
+            cities.select(F.col("name").alias("city"), F.col("geog")),
+            hemi,
+            left_key="city",
+            right_key="rname",
+            planet_scale_right=True,
+        )
+        n = got.count()
+        naive = (
+            cities.crossJoin(
+                hemi.select(F.col("geog").alias("hg"))
+            ).where(G.s2_intersects("geog", "hg")).count()
+        )
+        assert n == naive > 0
