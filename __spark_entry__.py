@@ -3600,16 +3600,17 @@ bucketed AS (
   FROM chunks),
 packed AS (
   SELECT *,
-    coalesce(sum(n_chars) OVER (PARTITION BY pack_bucket
+    (coalesce(sum(n_chars) OVER (PARTITION BY pack_bucket
                ORDER BY doc_id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
-      AS pack_id
+      )::BIGINT AS pack_id
   FROM bucketed),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY pack_bucket, pack_id
                                ORDER BY doc_id, chunk_idx) AS rn
   FROM packed)
-SELECT pack_bucket, pack_id, count(*) AS n_chunks, sum(n_chars) AS n_units,
+SELECT pack_bucket, pack_id, count(*) AS n_chunks,
+  sum(n_chars)::BIGINT AS n_units,
   max(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
   max(CASE WHEN rn = 1 THEN chunk_idx END) AS first_chunk
 FROM ranked GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id

@@ -536,3 +536,85 @@ class TestUnigramLM:
         ).df()
         m = sdf.merge(ddf, on="id", suffixes=("_s", "_d"))
         assert (m.v_s != m.v_d).sum() == 0
+
+
+class TestLlmSqlSurface:
+    """Every LLM SQL scalar must agree exactly with its Column twin —
+    both the auto-derived and the hand-written-lambda bodies."""
+
+    COLUMN_TWINS = None  # built lazily to import inside the test
+
+    def _twins(self):
+        from duckdb_geography_spark.llm import prep as PR
+        from duckdb_geography_spark.llm import textstats as T
+
+        return {
+            "char_count": T.char_count,
+            "token_count": T.token_count,
+            "word_count": T.word_count,
+            "punct_ratio": T.punct_ratio,
+            "digit_ratio": T.digit_ratio,
+            "uppercase_ratio": T.uppercase_ratio,
+            "fingerprint_md5": T.fingerprint_md5,
+            "hash_split": PR.hash_split,
+            "hash_sample": PR.hash_sample,
+            "redact_pii": PR.redact_pii,
+            "stopword_ratio": T.stopword_ratio,
+            "mean_word_length": T.mean_word_length,
+            "duplicate_word_ratio": T.duplicate_word_ratio,
+            "quality_score": T.quality_score,
+            "langid": T.langid,
+            "rolling_fingerprint": T.rolling_fingerprint,
+        }
+
+    def test_sql_equals_column_everywhere(self, spark):
+        import numpy as np
+
+        from duckdb_geography_spark.llm.register import (
+            LLM_SQL_FUNCTIONS,
+            register_llm_sql_functions,
+        )
+
+        names = register_llm_sql_functions(spark)
+        twins = self._twins()
+        assert set(LLM_SQL_FUNCTIONS) == set(twins)
+
+        rng = np.random.default_rng(3)
+        vocab = ["the", "and", "der", "le", "el", "Word", "x2",
+                 "PUNCT!", "a.b@c.de", "123", "?!", "", "und", "la"]
+        rows = []
+        for i in range(120):
+            k = int(rng.integers(0, 20))
+            rows.append((i, " ".join(vocab[int(rng.integers(0, len(vocab)))]
+                                     for _ in range(k))))
+        rows += [(900, ""), (901, "   "), (902, "one"),
+                 (903, "The THE the tHe"), (904, "mail me a.b@c.de now"),
+                 (905, "der die das und ist"), (906, "!!!!!")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("sqltest_docs")
+
+        sql_cols = ", ".join(f"{n}(text) AS {n}" for n in LLM_SQL_FUNCTIONS)
+        got_sql = (
+            spark.sql(f"SELECT doc_id, {sql_cols} FROM sqltest_docs")
+            .orderBy("doc_id")
+            .collect()
+        )
+        got_col = (
+            df.select(
+                "doc_id",
+                *[twins[n]("text").alias(n) for n in LLM_SQL_FUNCTIONS],
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        for rs, rc in zip(got_sql, got_col):
+            for n in LLM_SQL_FUNCTIONS:
+                assert rs[n] == rc[n], (rs["doc_id"], n, rs[n], rc[n])
+        assert names  # registration returned the names
+
+    def test_prefix_respected(self, spark):
+        from duckdb_geography_spark.llm.register import register_llm_sql_functions
+
+        register_llm_sql_functions(spark, prefix="llm_")
+        r = spark.sql("SELECT llm_quality_score('the and of to in a doc') AS v")
+        assert r.collect()[0]["v"] > 0
