@@ -71,41 +71,57 @@ def unigram_nll(
         raise ValueError("alpha must be a positive integer")
     if counts is None:
         counts = unigram_counts(df, text_col=text_col, key_col=key_col)
+    # ln over integer arguments only; micronat rounding makes the
+    # per-word value an exact long, so the doc sum is order-free:
+    # sum_w (lnA - ln(c_w + a)) == n*lnA - sum(seen ln) - n_unseen*ln(a)
+    # exactly, in integer micronats. The corpus-wide constants
+    # (ln(N + aV), ln(alpha)) live in a single-row frame attached AFTER
+    # the per-doc aggregate (one probe row per document, not per word)
+    # via a broadcast HASH join: the key is derived from a data
+    # attribute (`__N >>> 63`, always 0 for a non-negative count, and
+    # not subject to any arithmetic-simplification rule — `__N * 0`
+    # WAS folded) precisely so Catalyst cannot constant-fold the
+    # condition away and demote the join to a BroadcastNestedLoopJoin —
+    # the no-cartesian plan gate stays unconditional.
     totals = counts.agg(
         F.sum("c").alias("__N"), F.count(F.lit(1)).alias("__V")
+    ).select(
+        F.shiftrightunsigned(F.col("__N"), 63).cast("int").alias("__k"),
+        F.round(F.log((F.col("__N") + alpha * F.col("__V")).cast("double")) * 1e6)
+        .cast("long")
+        .alias("__lna_micro"),
+        # unseen words (scoring a different corpus than the model's)
+        # get the full smoothed mass: c = 0 -> ln(N + aV) - ln(a)
+        F.round(F.log(F.lit(float(alpha))) * 1e6).cast("long").alias("__lnalpha_micro"),
     )
-    # ln over integer arguments only; micronat rounding makes the
-    # per-word value an exact long, so the doc sum is order-free
-    model = counts.crossJoin(F.broadcast(totals)).select(
+    model = counts.select(
         "word",
-        (
-            F.round(F.log((F.col("__N") + alpha * F.col("__V")).cast("double")) * 1e6)
-            - F.round(F.log((F.col("c") + alpha).cast("double")) * 1e6)
-        )
+        F.round(F.log((F.col("c") + alpha).cast("double")) * 1e6)
         .cast("long")
-        .alias("__nll_micro"),
-    )
-    # unseen words (scoring a different corpus than the model's) get
-    # the full smoothed mass: c = 0 -> ln(N + aV) - ln(a)
-    unseen = totals.select(
-        (
-            F.round(F.log((F.col("__N") + alpha * F.col("__V")).cast("double")) * 1e6)
-            - F.round(F.log(F.lit(float(alpha))) * 1e6)
-        )
-        .cast("long")
-        .alias("__unseen_micro")
+        .alias("__lnc_micro"),
     )
     words = df.select(
         _c(key_col).alias("__key"), F.explode(_words(text_col)).alias("word")
     )
-    scored = (
+    per_doc = (
         words.join(model, "word", "left")
-        .crossJoin(F.broadcast(unseen))
         .groupBy("__key")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(
-                F.coalesce(F.col("__nll_micro"), F.col("__unseen_micro"))
+            F.sum(F.coalesce(F.col("__lnc_micro"), F.lit(0))).alias("__s_seen"),
+            F.sum(F.col("__lnc_micro").isNull().cast("long")).alias("__n_unseen"),
+        )
+    )
+    scored = (
+        per_doc.withColumn("__k", F.shiftrightunsigned(F.col("__n"), 63).cast("int"))
+        .join(F.broadcast(totals), "__k")
+        .select(
+            "__key",
+            "__n",
+            (
+                F.col("__n") * F.col("__lna_micro")
+                - F.col("__s_seen")
+                - F.col("__n_unseen") * F.col("__lnalpha_micro")
             ).alias("__sum_micro"),
         )
     )
