@@ -3689,6 +3689,121 @@ def _q_stream_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (beyond-reference: as-of + binned interval range join)
+# ---------------------------------------------------------------------------
+
+
+def _q_asof_join(spark, sf_dir):
+    """Every click joined to the user's most recent error at-or-before
+    it (temporal.asof_join: union + ordered window — ONE shuffle, zero
+    join nodes). Right side deduped per (user, ts) by max event_id so
+    the winner is deterministic; timestamps exported as epoch micros
+    (string rendering truncates trailing zeros differently across
+    engines). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import Window
+
+    from duckdb_geography_spark.temporal import asof_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("click_cents"),
+    )
+    wdd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .withColumn("__rn", F.row_number().over(wdd))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("err_ts"),
+            F.round(F.col("value") * 100).cast("long").alias("err_cents"),
+        )
+    )
+    out = asof_join(clicks, errors, on="user_id", left_time="ts", right_time="err_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("err_ts").cast("timestamp")).alias("err_ts_us"),
+        "click_cents",
+        "err_cents",
+    ).orderBy("event_id")
+
+
+_ASOF_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS click_cents
+  FROM events WHERE event_type = 'click'
+), errs AS (
+  SELECT user_id, ts AS err_ts, CAST(round(value*100) AS BIGINT) AS err_cents
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'error'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       epoch_us(e.err_ts) AS err_ts_us, c.click_cents, e.err_cents
+FROM clicks c ASOF LEFT JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+ORDER BY c.event_id
+"""
+
+
+def _q_interval_join(spark, sf_dir):
+    """Views falling inside each user's one-hour post-error window
+    (temporal.interval_join: interval -> spanned-bin explode, point ->
+    its single bin, EQUI-join + between refine — never a cartesian).
+    Aggregated per window. Oracle: DuckDB's native IEJoin on the same
+    BETWEEN predicate."""
+    from duckdb_geography_spark.temporal import interval_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("view_cents"),
+    )
+    errs = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end"),
+    )
+    joined = interval_join(
+        views, errs, point_time="ts", on="user_id", bin_seconds=86400
+    )
+    return (
+        joined.groupBy("err_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum("view_cents").alias("view_cents_sum"),
+        )
+        .orderBy("err_id")
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'view'
+), e AS (
+  SELECT user_id, event_id AS err_id, ts AS s, ts + INTERVAL 1 DAY AS en
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.err_id, count(*) AS n_views, CAST(sum(v.c) AS BIGINT) AS view_cents_sum
+FROM v JOIN e ON v.user_id = e.user_id AND v.ts BETWEEN e.s AND e.en
+GROUP BY e.err_id
+ORDER BY e.err_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3758,6 +3873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": _q_stream_decontaminate,
         "sequence_packing": _q_sequence_packing,
         "unigram_nll": _q_unigram_nll,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
     }
 
 
@@ -3826,4 +3943,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_decontaminate": _decontaminate_sql(),
         "sequence_packing": _SEQUENCE_PACKING_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
+        "asof_join": _ASOF_JOIN_SQL,
+        "interval_join": _INTERVAL_JOIN_SQL,
     }

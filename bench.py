@@ -60,6 +60,8 @@ def main() -> None:
         "boilerplate_frac",
         "sequence_packing",
         "unigram_nll",
+        "asof_join",
+        "interval_join",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
