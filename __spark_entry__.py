@@ -3689,6 +3689,121 @@ def _q_stream_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# host-engine window/rank/quantile analytics (SURVEY §2.9 surface)
+# ---------------------------------------------------------------------------
+
+
+def _q_topk_per_group(spark, sf_dir):
+    """Top-3 events per user by value — the rank-per-key shape every
+    analytics engine needs. Ranking key is integer cents (ranking the
+    raw double and rounding after could split ties differently across
+    engines); ties broken by event_id for determinism. Partition-local
+    rank after ONE hash shuffle; no global sort until the final
+    display ordering."""
+    from pyspark.sql import Window
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cents").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("user_id", "rank")
+    )
+
+
+_TOPK_PER_GROUP_SQL = """
+SELECT user_id, event_id, cents, rank FROM (
+  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id DESC
+         ) AS INTEGER) AS rank
+  FROM events
+) WHERE rank <= 3
+ORDER BY user_id, rank
+"""
+
+
+def _q_grouped_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group: Spark's `percentile`
+    and DuckDB's `quantile_cont` share the linear-interpolation
+    definition, so doubles match bit-for-bit (asserted). At 100 TB
+    you'd switch to `percentile_approx` (mergeable t-digest-style
+    sketch, map-side combinable); the exact form here is the oracle-
+    comparable twin and the correctness anchor for that swap."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("n_chars", F.lit(0.25)).alias("q25"),
+            F.percentile("n_chars", F.lit(0.5)).alias("q50"),
+            F.percentile("n_chars", F.lit(0.75)).alias("q75"),
+        )
+        .orderBy("lang")
+    )
+
+
+_GROUPED_QUANTILES_SQL = """
+SELECT lang, count(*) AS n,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5)  AS q50,
+       quantile_cont(n_chars, 0.75) AS q75
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_rolling_stats(spark, sf_dir):
+    """Per-user rolling 4-event window (3 preceding + current) over
+    event time: ordered-frame window aggregate, integer cents so the
+    sliding sum is exact. ONE hash shuffle on user_id, sort within
+    partitions — the plan a time-series feature pipeline wants."""
+    from pyspark.sql import Window
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "ts",
+        )
+        .select(
+            "event_id",
+            F.sum("cents").over(w).alias("roll_cents"),
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROLLING_STATS_SQL = """
+SELECT event_id,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS roll_cents,
+       count(*) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # temporal joins (beyond-reference: as-of + binned interval range join)
 # ---------------------------------------------------------------------------
 
@@ -3875,6 +3990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": _q_unigram_nll,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
+        "topk_per_group": _q_topk_per_group,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "rolling_stats": _q_rolling_stats,
     }
 
 
@@ -3945,4 +4063,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": _UNIGRAM_NLL_SQL,
         "asof_join": _ASOF_JOIN_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,
+        "topk_per_group": _TOPK_PER_GROUP_SQL,
+        "grouped_quantiles": _GROUPED_QUANTILES_SQL,
+        "rolling_stats": _ROLLING_STATS_SQL,
     }
