@@ -3688,6 +3688,55 @@ def _q_stream_decontaminate(spark, sf_dir):
     return spark.table(qname).orderBy("doc_id")
 
 
+def _q_stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time range join through a real availableNow
+    stream: view events joined to the one-day windows opened by error
+    events of the same user (both sides watermarked, condition
+    time-bounded => provably bounded join state). Batch-aggregated to
+    the same shape as the batch interval_join gate; the oracle IS the
+    batch oracle — the streaming path must agree exactly."""
+    import uuid
+
+    from duckdb_geography_spark.streaming import events as SE
+
+    _prep(spark)
+    views = (
+        SE.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("view_cents"),
+        )
+    )
+    errs = (
+        SE.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id")
+    )
+    out = SE.stream_interval_join(views, errs, key="user_id", window_seconds=86400)
+    qname = f"ivj_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_interval_join did not finish in 300s")
+    return (
+        spark.table(qname)
+        .groupBy(F.col("i_event_id").alias("err_id"))
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum("view_cents").alias("view_cents_sum"),
+        )
+        .orderBy("err_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # host-engine window/rank/quantile analytics (SURVEY §2.9 surface)
 # ---------------------------------------------------------------------------
@@ -3993,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "grouped_quantiles": _q_grouped_quantiles,
         "rolling_stats": _q_rolling_stats,
+        "stream_interval_join": _q_stream_interval_join,
     }
 
 
@@ -4066,4 +4116,5 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _TOPK_PER_GROUP_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
         "rolling_stats": _ROLLING_STATS_SQL,
+        "stream_interval_join": _INTERVAL_JOIN_SQL,
     }

@@ -333,6 +333,43 @@ def collect_benchmark_grams(
     return sorted(r["g"] for r in rows)
 
 
+def stream_interval_join(
+    points: DataFrame,
+    intervals_from: DataFrame,
+    key: str = "user_id",
+    window_seconds: int = 86400,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition:
+    each arriving point row joins every ``intervals_from`` row of the
+    same key whose ``[its, its + window_seconds]`` interval contains
+    the point's ``ts`` — the streaming twin of
+    :func:`~duckdb_geography_spark.temporal.interval_join`.
+
+    This is the one join shape Structured Streaming can run unbounded:
+    both sides watermarked and the join condition time-bounded, so the
+    state store provably expires rows older than
+    ``watermark + window_seconds`` — state size tracks the time window,
+    not the stream length. An un-bounded condition (or missing
+    watermark) would accumulate state forever; Spark rejects it in
+    append mode.
+
+    ``intervals_from`` columns arrive prefixed ``i_`` (its interval
+    start is ``i_ts``) so self-joins of one source stream are
+    unambiguous.
+    """
+    pt = _ensure_event_time(points).withWatermark("ts", watermark)
+    iv = _ensure_event_time(intervals_from).select(
+        *[F.col(c).alias(f"i_{c}") for c in intervals_from.columns]
+    ).withWatermark("i_ts", watermark)
+    cond = (
+        (pt[key] == iv[f"i_{key}"])
+        & (pt["ts"] >= iv["i_ts"])
+        & (pt["ts"] <= iv["i_ts"] + F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
+    )
+    return pt.join(iv, cond, "inner").drop(f"i_{key}")
+
+
 def stream_decontaminate(
     docs: DataFrame,
     bench_grams: list,

@@ -232,3 +232,57 @@ def test_collect_benchmark_grams_cap(spark):
     )
     with pytest.raises(ValueError, match="max_grams"):
         collect_benchmark_grams(docs, n=2, max_grams=3)
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """The watermarked stream-stream range join must agree exactly with
+    the batch temporal.interval_join on the same data."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.streaming import events as SE
+    from duckdb_geography_spark.temporal import interval_join
+
+    views_s = (
+        SE.read_events_stream(spark, SF)
+        .where(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    )
+    errs_s = (
+        SE.read_events_stream(spark, SF)
+        .where(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id")
+    )
+    out = SE.stream_interval_join(views_s, errs_s, window_seconds=86400)
+    qname = f"sij_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["view_id"], r["i_event_id"])
+        for r in spark.table(qname).select("view_id", "i_event_id").collect()
+    }
+
+    ev = SE._ensure_event_time(spark.read.parquet(f"{SF}/events.parquet"))
+    views_b = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    errs_b = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end"),
+    )
+    want = {
+        (r["view_id"], r["err_id"])
+        for r in interval_join(
+            views_b, errs_b, on="user_id", bin_seconds=86400
+        ).select("view_id", "err_id").collect()
+    }
+    assert got == want and len(got) > 0
