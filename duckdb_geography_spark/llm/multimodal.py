@@ -2,19 +2,27 @@
 
 The Spark-side contract is real and tested — schemas, Arrow batch
 shapes, ``mapInPandas`` pipelines, partition sizing. Codec kernels
-come in two tiers selected AT CALL TIME on each worker:
+come in three tiers selected AT CALL TIME on each worker:
 
-- **real** — PIL (images) / soundfile (audio) when importable;
-- **stub** — deterministic byte-derived fakes for containers without
-  media libraries (this test container), and for oracle-paired gated
-  queries whose DuckDB twin models the byte semantics.
+- **library** — PIL (images) / soundfile (audio) when importable:
+  every format those libraries read;
+- **builtin** — dependency-free numpy codecs shipped with this
+  package for the classic uncompressed formats: 24-bit ``BI_RGB``
+  BMP and 8/16-bit RIFF-PCM WAV. These are REAL decoders (header
+  parse, stride/padding, channel fold) that work in containers with
+  no media libraries at all — including this test container;
+- **stub** — deterministic byte-derived fakes for arbitrary payloads,
+  and for oracle-paired gated queries whose DuckDB twin models the
+  byte semantics.
 
-``kernel`` on each operator: ``"auto"`` (default — real if the
-library imports on the worker, stub otherwise), ``"real"`` (raise if
-the library is missing), ``"stub"`` (always the deterministic fake).
+``kernel`` on each operator: ``"auto"`` (default — library if it
+imports on the worker, else the builtin codec when the payload's
+magic bytes match, else stub), ``"real"`` (library if importable,
+else the builtin codec, which raises on formats it cannot parse —
+never silently fakes), ``"stub"`` (always the deterministic fake).
 Selection happens inside the serialized closure, so heterogeneous
 clusters pick per-worker and ``"auto"`` never crashes a worker that
-lacks the library.
+lacks a library.
 """
 
 from __future__ import annotations
@@ -104,6 +112,108 @@ def _pil_image_decode(payload: bytes, feat_dim: int = 8):
     return w, h, 3, feats
 
 
+def _numpy_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Dependency-free decode of uncompressed 24-bit BI_RGB BMP (the
+    format every encoder can emit): header parse, 4-byte row stride,
+    bottom-up/top-down orientation, BGR->RGB. Returns an (h, w, 3)
+    uint8 RGB array; raises ValueError for anything else so the
+    'real' tier never silently fakes a decode."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up, h = h > 0, abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (w * 3 + 3) // 4 * 4
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    return px[::-1] if bottom_up else px
+
+
+def _numpy_bmp_decode(payload: bytes, feat_dim: int = 8):
+    """BUILTIN KERNEL — BMP decode via :func:`_numpy_bmp_pixels`.
+    Features are box means over ``feat_dim`` vertical bands (intensity
+    in [0, 1]) — same shape as the PIL kernel's vector, box filter
+    instead of Lanczos."""
+    px = _numpy_bmp_pixels(payload)
+    h, w = px.shape[:2]
+    bands = np.array_split(px.astype(np.float32).mean(axis=(0, 2)) / 255.0, feat_dim)
+    feats = np.array([b.mean() if b.size else 0.0 for b in bands], dtype=np.float32)
+    return w, h, 3, feats
+
+
+def _numpy_bmp_resize(raw: bytes, width: int, height: int) -> bytes:
+    """BUILTIN KERNEL — BMP decode + nearest-neighbor resample to a
+    ``width x height x 3`` raw RGB buffer (the PIL tier uses Lanczos;
+    nearest is the standard dependency-free resample)."""
+    px = _numpy_bmp_pixels(raw)
+    ys = np.arange(height) * px.shape[0] // height
+    xs = np.arange(width) * px.shape[1] // width
+    return px[ys][:, xs].tobytes()
+
+
+def _numpy_wav_samples(raw: bytes) -> np.ndarray:
+    """BUILTIN KERNEL — dependency-free RIFF-PCM WAV decode (8/16-bit,
+    any channel count, channels averaged to mono float64 in [-1, 1) —
+    the same scaling soundfile uses). Raises ValueError for anything
+    it cannot parse."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        sz = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}, ch={channels})"
+        )
+    if bits == 16:
+        n = len(data) // (2 * channels) * channels
+        samples = np.frombuffer(data, "<i2", count=n).astype(np.float64) / 32768.0
+    else:
+        n = len(data) // channels * channels
+        samples = (
+            np.frombuffer(data, np.uint8, count=n).astype(np.float64) - 128.0
+        ) / 128.0
+    return samples.reshape(-1, channels).mean(axis=1)
+
+
+def _builtin_or_stub_image_decode(payload: bytes, feat_dim: int = 8):
+    """'auto' fallback without PIL: builtin BMP decode when the magic
+    bytes match, deterministic stub for everything else."""
+    if payload[:2] == b"BM":
+        return _numpy_bmp_decode(payload, feat_dim)
+    return _fake_image_decode(payload, feat_dim)
+
+
+def _builtin_or_stub_audio_samples(raw: bytes) -> np.ndarray:
+    """'auto' fallback without soundfile: builtin WAV decode when the
+    magic bytes match, bytes-as-PCM stub otherwise."""
+    if raw[:4] == b"RIFF":
+        return _numpy_wav_samples(raw)
+    return _fake_audio_samples(raw)
+
+
 def _pil_available() -> bool:
     try:
         import PIL.Image  # noqa: F401
@@ -122,24 +232,38 @@ def _soundfile_available() -> bool:
         return False
 
 
-def _select(kernel: str, real_ok, real_fn, stub_fn, lib: str):
+def _select(kernel: str, real_ok, real_fn, builtin_fn, sniff_fn, stub_fn, lib: str):
     """Worker-side kernel choice (runs inside the serialized closure).
-    Python's import cache makes the availability probe free per row."""
+    Python's import cache makes the availability probe free per row.
+
+    - ``"real"``: the library kernel when importable, else the builtin
+      numpy codec (raises ValueError on formats it cannot parse —
+      never a silent fake);
+    - ``"auto"``: library kernel, else magic-byte sniff (builtin codec
+      for its format, stub for everything else);
+    - ``"stub"``: always the deterministic fake.
+    """
     if kernel == "stub":
         return stub_fn
     if kernel == "real":
-        if not real_ok():
-            raise ImportError(f"kernel='real' but {lib} is not importable on this worker")
-        return real_fn
+        return real_fn if real_ok() else builtin_fn
     if kernel != "auto":
         raise ValueError(f"kernel must be 'auto' | 'real' | 'stub', got {kernel!r}")
-    return real_fn if real_ok() else stub_fn
+    return real_fn if real_ok() else sniff_fn
 
 
 def image_decode_kernel(kernel: str = "auto"):
     """The image decode callable the current environment would use —
     exposed for kernel-selection tests and capability probes."""
-    return _select(kernel, _pil_available, _pil_image_decode, _fake_image_decode, "PIL")
+    return _select(
+        kernel,
+        _pil_available,
+        _pil_image_decode,
+        _numpy_bmp_decode,
+        _builtin_or_stub_image_decode,
+        _fake_image_decode,
+        "PIL",
+    )
 
 
 #: deployment override point: install a custom kernel per media kind
@@ -184,7 +308,13 @@ def decode_image_features(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = override or _select(
-            kernel, _pil_available, _pil_image_decode, _fake_image_decode, "PIL"
+            kernel,
+            _pil_available,
+            _pil_image_decode,
+            _numpy_bmp_decode,
+            _builtin_or_stub_image_decode,
+            _fake_image_decode,
+            "PIL",
         )
         for pdf in batches:
             rows = []
@@ -277,6 +407,12 @@ def resize_images(
             kernel,
             _pil_available,
             lambda raw: _pil_resize(raw, width, height),
+            lambda raw: _numpy_bmp_resize(raw, width, height),
+            lambda raw: (
+                _numpy_bmp_resize(raw, width, height)
+                if raw[:2] == b"BM"
+                else _fake_resize(raw, nbytes)
+            ),
             lambda raw: _fake_resize(raw, nbytes),
             "PIL",
         )
@@ -340,6 +476,8 @@ def audio_window_features(
             kernel,
             _soundfile_available,
             _soundfile_audio_samples,
+            _numpy_wav_samples,
+            _builtin_or_stub_audio_samples,
             _fake_audio_samples,
             "soundfile",
         )

@@ -523,16 +523,19 @@ class TestMultimodalKernelSelection:
     path is exercised with a minimal in-process stand-in module (the
     container ships no media libs)."""
 
-    def test_auto_selects_stub_without_pil(self):
+    def test_auto_sniffs_builtin_without_pil(self):
         assert not mm._pil_available()
-        assert mm.image_decode_kernel("auto") is mm._fake_image_decode
+        assert mm.image_decode_kernel("auto") is mm._builtin_or_stub_image_decode
         assert mm.image_decode_kernel("stub") is mm._fake_image_decode
 
-    def test_real_raises_without_pil(self):
+    def test_real_uses_builtin_codec_without_pil(self):
         import pytest as _pytest
 
-        with _pytest.raises(ImportError, match="PIL"):
-            mm.image_decode_kernel("real")
+        # 'real' without the library is the builtin numpy codec, which
+        # REFUSES formats it cannot parse instead of silently faking
+        assert mm.image_decode_kernel("real") is mm._numpy_bmp_decode
+        with _pytest.raises(ValueError, match="BMP"):
+            mm.image_decode_kernel("real")(b"not an image at all")
         with _pytest.raises(ValueError, match="kernel must be"):
             mm.image_decode_kernel("bogus")
 
@@ -590,6 +593,153 @@ class TestMultimodalKernelSelection:
         assert mm._soundfile_available()
         samples = mm._soundfile_audio_samples(b"wavbytes")
         assert np.allclose(samples, [0.0, 0.5])  # channel mean
+
+
+def _make_bmp(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a bottom-up 24-bit
+    BI_RGB BMP (pure-bytes encoder, independent of the decoder)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[..., ::-1].reshape(h, w * 3)
+    data = rows[::-1].tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + dib + data
+
+
+def _make_wav(samples: np.ndarray, channels: int = 1, rate: int = 16000) -> bytes:
+    """Encode interleaved int16 samples as a RIFF-PCM WAV."""
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+class TestBuiltinCodecs:
+    """The dependency-free numpy codecs are REAL decoders: they parse
+    genuine BMP/WAV bytes produced by an independent encoder and
+    recover the exact pixels/samples."""
+
+    def test_bmp_pixels_roundtrip(self):
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        got = mm._numpy_bmp_pixels(_make_bmp(px))
+        assert got.shape == (5, 7, 3)
+        assert np.array_equal(got, px)
+
+    def test_bmp_topdown_and_stride(self):
+        # width 3 -> 9 pixel bytes padded to a 12-byte stride; negative
+        # height = top-down row order
+        px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        raw = bytearray(_make_bmp(px))
+        # flip to top-down: negate height, reorder rows
+        raw[22:26] = (-2).to_bytes(4, "little", signed=True)
+        stride = 12
+        body = mm._numpy_bmp_pixels(bytes(raw))
+        assert np.array_equal(body, px[::-1])
+        assert len(raw) == 54 + stride * 2
+
+    def test_bmp_decode_features(self):
+        px = np.zeros((4, 8, 3), dtype=np.uint8)
+        px[:, 4:, :] = 255  # right half white
+        w, h, c, feats = mm._numpy_bmp_decode(_make_bmp(px), feat_dim=2)
+        assert (w, h, c) == (8, 4, 3)
+        assert np.allclose(feats, [0.0, 1.0])
+
+    def test_bmp_rejects_junk_and_truncation(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="BMP"):
+            mm._numpy_bmp_pixels(b"GIF89a")
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="truncated"):
+            mm._numpy_bmp_pixels(_make_bmp(px)[:-8])
+
+    def test_wav_16bit_stereo_mono_fold(self):
+        interleaved = np.array([1000, 3000, -2000, 2000], dtype=np.int16)
+        got = mm._numpy_wav_samples(_make_wav(interleaved, channels=2))
+        assert np.allclose(got, [2000 / 32768.0, 0.0])
+
+    def test_wav_8bit(self):
+        raw = _make_wav(np.array([0], dtype=np.int16))
+        # patch to 8-bit: bits=8 at fmt offset, data chunk = bytes
+        body = bytearray(raw)
+        body[12 + 8 + 14 : 12 + 8 + 16] = (8).to_bytes(2, "little")
+        # replace data chunk payload with two uint8 samples
+        body = body[: len(body) - 2] + bytes([128 + 64, 128 - 64])
+        got = mm._numpy_wav_samples(bytes(body))
+        assert np.allclose(got, [0.5, -0.5])
+
+    def test_wav_rejects_non_riff(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="RIFF"):
+            mm._numpy_wav_samples(b"OggS....")
+
+    def test_resize_nearest(self):
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        px[0, 0] = (255, 0, 0)
+        out = mm._numpy_bmp_resize(_make_bmp(px), 4, 4)
+        arr = np.frombuffer(out, np.uint8).reshape(4, 4, 3)
+        assert tuple(arr[0, 0]) == (255, 0, 0)
+        assert tuple(arr[3, 3]) == (0, 0, 0)
+        assert np.array_equal(arr[:2, :2], np.broadcast_to((255, 0, 0), (2, 2, 3)))
+
+    def test_auto_spark_pipeline_mixed_payloads(self, spark):
+        """End-to-end mapInPandas decode with kernel='auto' in a
+        container with no media libs: BMP payloads get the REAL builtin
+        decode (true dimensions), junk payloads fall to the stub."""
+        px = np.full((6, 9, 3), 200, dtype=np.uint8)
+        rows = [(1, _make_bmp(px)), (2, b"not media")]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        media = mm.attach_media(df, "payload", "doc_id")
+        out = {r["media_id"]: r for r in mm.decode_image_features(media).collect()}
+        assert (out[1]["width"], out[1]["height"]) == (9, 6)
+        assert np.allclose(out[1]["features"], 200 / 255.0)
+        stub = mm._fake_image_decode(b"not media")
+        assert (out[2]["width"], out[2]["height"]) == (stub[0], stub[1])
+
+    def test_auto_spark_audio_wav(self, spark):
+        wav = _make_wav(np.array([16384, -16384, 0, 8192], dtype=np.int16))
+        df = spark.createDataFrame([(7, wav)], "doc_id long, payload binary")
+        media = mm.attach_media(df, "payload", "doc_id", kind="audio")
+        out = mm.audio_window_features(media, window_bytes=4).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n"] == 4
+        assert abs(r["mean"] - (16384 - 16384 + 0 + 8192) / 4 / 32768.0) < 1e-9
 
 
 class TestMultimodal:
