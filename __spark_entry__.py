@@ -3688,6 +3688,119 @@ def _q_stream_decontaminate(spark, sf_dir):
     return spark.table(qname).orderBy("doc_id")
 
 
+def _url_synth_col():
+    """Deterministically messy URL per document (both engines build the
+    identical string): mixed case, optional userinfo, explicit default
+    port, trailing slashes, tracking params, fragments — every branch
+    of normalize_url exercised."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 4 == 0, F.lit("user@")).otherwise(F.lit("")),
+        F.lit("WWW."),
+        F.col("source"),
+        F.lit(".ExAmple.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("&x=1")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+
+
+_URL_SYNTH_SQL = """
+  'HTTPS://' || CASE WHEN doc_id % 4 = 0 THEN 'user@' ELSE '' END
+  || 'WWW.' || source || '.ExAmple.COM'
+  || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+  || '/Docs/' || CAST(doc_id % 7 AS VARCHAR)
+  || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+  || '?id=' || CAST(doc_id AS VARCHAR)
+  || CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed' ELSE '' END
+  || CASE WHEN doc_id % 6 = 0 THEN '&x=1' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '#Frag' ELSE '' END
+"""
+
+
+def _q_url_ops(spark, sf_dir):
+    """URL parse + canonicalization over synthesized messy URLs (see
+    _url_synth_col). Pure Column regex chains (llm/web.py) whose
+    patterns stay inside the Java-regex/RE2 common subset so the
+    DuckDB twin replays them verbatim."""
+    from duckdb_geography_spark.llm import web as W
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = docs.withColumn("url", _url_synth_col())
+    return u.select(
+        "doc_id",
+        "url",
+        W.url_host("url").alias("host"),
+        W.registered_domain(W.url_host("url")).alias("domain"),
+        W.url_path("url").alias("path"),
+        W.normalize_url("url").alias("norm"),
+    ).orderBy("doc_id")
+
+
+_URL_OPS_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    regexp_replace(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)),
+      ':[0-9]+$', '') AS host,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_replace(regexp_replace(regexp_extract(url, '\\?([^#]*)', 1),
+      '(?:^|&)(?:utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'), '^&', '') AS q
+  FROM u
+)
+SELECT doc_id, url, host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+  path,
+  CASE WHEN host = '' THEN lower(url) ELSE
+    scheme || '://' || host
+    || CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+            ELSE regexp_replace(path, '/+$', '') END
+    || CASE WHEN q = '' THEN '' ELSE '?' || q END
+  END AS norm
+FROM parts
+ORDER BY doc_id
+"""
+
+
+def _q_host_stats(spark, sf_dir):
+    """Per-host rollup of the synthesized corpus URLs: doc count and
+    distinct registered domains — ONE uniformly-hashed groupBy on the
+    host key (llm/web.py::host_stats)."""
+    from duckdb_geography_spark.llm import web as W
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = docs.withColumn("url", _url_synth_col())
+    return W.host_stats(u, url_col="url").orderBy("host")
+
+
+_HOST_STATS_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+), parts AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)),
+      ':[0-9]+$', '') AS host
+  FROM u
+)
+SELECT host, count(*) AS n_docs,
+       count(DISTINCT regexp_extract(host, '([^.]+\\.[^.]+)$', 1)) AS n_domains
+FROM parts GROUP BY host ORDER BY host
+"""
+
+
 def _q_stream_interval_join(spark, sf_dir):
     """Stream-stream event-time range join through a real availableNow
     stream: view events joined to the one-day windows opened by error
@@ -4043,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "rolling_stats": _q_rolling_stats,
         "stream_interval_join": _q_stream_interval_join,
+        "url_ops": _q_url_ops,
+        "host_stats": _q_host_stats,
     }
 
 
@@ -4117,4 +4232,6 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
         "rolling_stats": _ROLLING_STATS_SQL,
         "stream_interval_join": _INTERVAL_JOIN_SQL,
+        "url_ops": _URL_OPS_SQL,
+        "host_stats": _HOST_STATS_SQL,
     }
