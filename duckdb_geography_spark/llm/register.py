@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from . import prep as PR
 from . import textstats as T
+from . import web as WB
 
 __all__ = ["register_llm_sql_functions", "LLM_SQL_FUNCTIONS"]
 
@@ -116,6 +117,16 @@ LLM_SQL_FUNCTIONS = {
     "quality_score": ("DOUBLE", _quality_score_sql),
     "langid": ("STRING", _langid_sql),
     "rolling_fingerprint": ("BIGINT", _rolling_fingerprint_sql),
+    # web URL layer (llm/web.py) — plain regex/string trees, tier 1
+    "url_scheme": ("STRING", lambda: WB.url_scheme(F.col("t"))),
+    "url_host": ("STRING", lambda: WB.url_host(F.col("t"))),
+    "url_path": ("STRING", lambda: WB.url_path(F.col("t"))),
+    "url_query": ("STRING", lambda: WB.url_query(F.col("t"))),
+    "normalize_url": ("STRING", lambda: WB.normalize_url(F.col("t"))),
+    "url_registered_domain": (
+        "STRING",
+        lambda: WB.registered_domain(WB.url_host(F.col("t"))),
+    ),
 }
 
 

@@ -85,6 +85,11 @@ def asof_join(
         raise ValueError("how must be 'left' or 'inner'")
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
+    reserved = {"__t", "__side", "__r", "__m"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(f"reserved column names in input: {sorted(reserved)}")
     left_payload = [c for c in left.columns if c not in keys]
     right_payload = [c for c in right.columns if c not in keys and c != rt]
     rt_out = f"{rt}_right" if rt in left.columns else rt
@@ -183,6 +188,8 @@ def interval_join(
     clash = (set(points.columns) & set(intervals.columns)) - set(keys)
     if clash:
         raise ValueError(f"overlapping columns: {sorted(clash)}")
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        raise ValueError("reserved column name in input: __bin")
     bw = int(bin_seconds) * 1_000_000
     sbin = (_micros(start) / bw).cast("long")
     ebin = (_micros(end) / bw).cast("long")

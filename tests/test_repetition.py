@@ -547,8 +547,15 @@ class TestLlmSqlSurface:
     def _twins(self):
         from duckdb_geography_spark.llm import prep as PR
         from duckdb_geography_spark.llm import textstats as T
+        from duckdb_geography_spark.llm import web as WB
 
         return {
+            "url_scheme": WB.url_scheme,
+            "url_host": WB.url_host,
+            "url_path": WB.url_path,
+            "url_query": WB.url_query,
+            "normalize_url": WB.normalize_url,
+            "url_registered_domain": lambda c: WB.registered_domain(WB.url_host(c)),
             "char_count": T.char_count,
             "token_count": T.token_count,
             "word_count": T.word_count,
@@ -589,7 +596,11 @@ class TestLlmSqlSurface:
                                      for _ in range(k))))
         rows += [(900, ""), (901, "   "), (902, "one"),
                  (903, "The THE the tHe"), (904, "mail me a.b@c.de now"),
-                 (905, "der die das und ist"), (906, "!!!!!")]
+                 (905, "der die das und ist"), (906, "!!!!!"),
+                 # URL-shaped rows so the web-layer branches run too
+                 (907, "HTTPS://User@WWW.ExAmple.COM:443/A//?utm_x=1&id=2#f"),
+                 (908, "http://a.b.c.example.org/p?gclid=1"),
+                 (909, "ftp://Files.Example.net:2121/pub/")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         df.createOrReplaceTempView("sqltest_docs")
 
