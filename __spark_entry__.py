@@ -3688,6 +3688,95 @@ def _q_stream_decontaminate(spark, sf_dir):
     return spark.table(qname).orderBy("doc_id")
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (llm/pq.py): deterministic
+    per-subspace k-means on the 256 smallest vec_ids, one Arrow encode
+    pass (64 floats -> 8 codes), then PURE-Column LUT scoring +
+    TakeOrdered. The oracle replays training and the query LUT
+    bit-for-bit (same numpy routines, sequential-add accumulation
+    everywhere) and recomputes the codes in SQL from codebook
+    literals."""
+    from duckdb_geography_spark.llm.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from duckdb_geography_spark.llm.similarity import ivf_training_sample
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") != 0)
+    books = train_pq_codebooks(
+        ivf_training_sample(base, sample_size=256), m=8, k=16, seed=7
+    )
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    codes = pq_encode(base, books)
+    return pq_topk(codes, [float(x) for x in q], books, k=10)
+
+
+def _pq_topk_sql():
+    """PQ oracle: training + LUT replayed driver-side from the sf0.01
+    parquet (the driver's correctness scale), codes recomputed in SQL
+    from codebook literals with the same sequential-add distance
+    expression and first-wins argmin (row_number over (dist, j));
+    ADC = left-associative 8-term sum of per-subspace LUT picks,
+    matching pq_score's Column chain float-for-float."""
+    import numpy as _np
+    import pandas as _pd
+
+    from duckdb_geography_spark.llm.pq import pq_adc_lut, train_pq_codebooks
+
+    pdf = _pd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample = pdf[pdf["vec_id"] != 0].sort_values("vec_id").head(256)
+    X = _np.array(
+        [[float(x) for x in v] for v in sample["embedding"]], dtype=_np.float64
+    )
+    books = train_pq_codebooks(X, m=8, k=16, seed=7)
+    qv = [float(x) for x in pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]]
+    lut = pq_adc_lut(qv, books)
+    m, k, ds = books.shape
+    rows = []
+    for s in range(m):
+        for j in range(k):
+            cs = ", ".join(repr(float(c)) for c in books[s, j])
+            rows.append(f"({s + 1}, {j}, [{cs}]::DOUBLE[], {lut[s, j]!r})")
+    vals = ",\n    ".join(rows)
+    dist = " + ".join(
+        f"(list_extract(v, (s-1)*{ds} + {i + 1}) - list_extract(c, {i + 1}))"
+        f" * (list_extract(v, (s-1)*{ds} + {i + 1}) - list_extract(c, {i + 1}))"
+        for i in range(ds)
+    )
+    lsum = " + ".join(f"l{s + 1}" for s in range(m))
+    lcols = ",\n    ".join(
+        f"max(CASE WHEN s = {s + 1} THEN l END) AS l{s + 1}" for s in range(m)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0),
+cents(s, j, c, l) AS (
+  VALUES
+    {vals}
+),
+d AS (
+  SELECT e.vec_id, cents.s, cents.j, cents.l, {dist} AS dist
+  FROM e, cents),
+codes AS (
+  SELECT vec_id, s, l FROM (
+    SELECT vec_id, s, l,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+    FROM d) WHERE rn = 1),
+piv AS (
+  SELECT vec_id,
+    {lcols}
+  FROM codes GROUP BY vec_id)
+SELECT vec_id, round({lsum}, 6) AS adc
+FROM piv ORDER BY adc, vec_id LIMIT 10
+"""
+
+
 def _url_synth_col():
     """Deterministically messy URL per document (both engines build the
     identical string): mixed case, optional userinfo, explicit default
@@ -4158,6 +4247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "url_ops": _q_url_ops,
         "host_stats": _q_host_stats,
+        "pq_topk": _q_pq_topk,
     }
 
 
@@ -4234,4 +4324,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join": _INTERVAL_JOIN_SQL,
         "url_ops": _URL_OPS_SQL,
         "host_stats": _HOST_STATS_SQL,
+        "pq_topk": _pq_topk_sql(),
     }

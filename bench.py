@@ -62,6 +62,11 @@ def main() -> None:
         "unigram_nll",
         "asof_join",
         "interval_join",
+        "topk_per_group",
+        "rolling_stats",
+        "url_ops",
+        "host_stats",
+        "pq_topk",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
