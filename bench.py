@@ -67,6 +67,7 @@ def main() -> None:
         "url_ops",
         "host_stats",
         "pq_topk",
+        "incremental_dedup",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
