@@ -3757,6 +3757,32 @@ ORDER BY doc_id
 """
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Balanced per-language draw: 25 docs per lang, ranked by the md5
+    of the doc key — deterministic, engine-portable, stable across
+    reruns (llm/prep.py::stratified_sample). One stratum-key shuffle."""
+    from duckdb_geography_spark.llm.prep import stratified_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, strata_col="lang", n_per_stratum=25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= 25
+ORDER BY doc_id
+"""
+
+
 def _pq_topk_sql():
     """PQ oracle: training + LUT replayed driver-side from the sf0.01
     parquet (the driver's correctness scale), codes recomputed in SQL
@@ -4292,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "pq_topk": _q_pq_topk,
         "incremental_dedup": _q_incremental_dedup,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -4370,4 +4397,5 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _HOST_STATS_SQL,
         "pq_topk": _pq_topk_sql(),
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     }

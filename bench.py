@@ -68,6 +68,7 @@ def main() -> None:
         "host_stats",
         "pq_topk",
         "incremental_dedup",
+        "stratified_sample",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,

@@ -163,6 +163,35 @@ def hash_sample(
     return bucket < (buckets * rate_pct // 100)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 10,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-size deterministic sample per stratum (the balanced
+    per-language/per-source draw every corpus mix step runs): rank rows
+    inside each stratum by the md5 of their key (+ ``salt``) and keep
+    the first ``n_per_stratum``. md5 ordering is uniform,
+    engine-portable (the DuckDB oracle replays it verbatim), and
+    reproducible at any parallelism — unlike ``rand()``-based sampling,
+    rerunning the job keeps the SAME rows, so downstream caches and
+    eval sets stay stable. ONE hash shuffle on the stratum key; rank is
+    partition-local. Ties on the md5 (only possible for duplicate
+    keys) break by the key itself."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.lit(salt), _c(key_col).cast("string"))), _c(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(n_per_stratum))
+        .drop("__rk")
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     max_units: int,

@@ -242,6 +242,37 @@ class TestPrep:
         assert len(by_doc[2]) == 2           # 530 > 500: tail adds 30 chars
         assert by_doc[2][1].n_chars == 80    # chars 451..530
 
+    def test_stratified_sample(self, spark):
+        from duckdb_geography_spark.llm import prep
+
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = prep.stratified_sample(df, strata_col="lang", n_per_stratum=7)
+        got = out.groupBy("lang").count().collect()
+        assert {r["lang"]: r["count"] for r in got} == {"en": 7, "de": 7, "fr": 7}
+        # deterministic: rerun keeps the SAME rows
+        ids1 = {r["doc_id"] for r in out.collect()}
+        ids2 = {
+            r["doc_id"]
+            for r in prep.stratified_sample(
+                df, strata_col="lang", n_per_stratum=7
+            ).collect()
+        }
+        assert ids1 == ids2
+        # salt decorrelates the draw
+        ids3 = {
+            r["doc_id"]
+            for r in prep.stratified_sample(
+                df, strata_col="lang", n_per_stratum=7, salt="v2"
+            ).collect()
+        }
+        assert ids3 != ids1
+        # small stratum: keeps everything it has
+        tiny = spark.createDataFrame(
+            [(1, "en"), (2, "en"), (3, "xx")], "doc_id long, lang string"
+        )
+        assert prep.stratified_sample(tiny, n_per_stratum=5).count() == 3
+
     def test_hash_split_buckets_scale(self, spark):
         from duckdb_geography_spark.llm import prep
 
