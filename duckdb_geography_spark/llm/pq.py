@@ -125,6 +125,11 @@ def pq_encode(
         X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         if len(X) == 0:
             return pd.Series([], dtype=object)
+        if X.ndim != 2 or X.shape[1] != m * ds:
+            raise ValueError(
+                f"pq_encode: vectors of dim {X.shape[-1] if X.ndim else '?'} "
+                f"do not match codebooks ({m} x {ds})"
+            )
         out = np.empty((len(X), m), dtype=np.int32)
         for s in range(m):
             Xs = X[:, s * ds : (s + 1) * ds]
@@ -187,15 +192,17 @@ def pq_topk(
     scored = codes.select(
         F.col(key_col), pq_score("codes", lut).alias("__adc")
     )
+    # asc_nulls_last: a corrupted code (out of [0, k)) scores NULL,
+    # which must never outrank a real candidate
     if rerank <= 0:
         return scored.select(
             key_col, F.round("__adc", 6).alias("adc")
-        ).orderBy(F.col("adc").asc(), F.col(key_col).asc()).limit(k)
+        ).orderBy(F.col("adc").asc_nulls_last(), F.col(key_col).asc()).limit(k)
     if vectors is None:
         raise ValueError("rerank > 0 requires the raw vectors frame")
-    cand = scored.orderBy(F.col("__adc").asc(), F.col(key_col).asc()).limit(
-        int(rerank)
-    )
+    cand = scored.orderBy(
+        F.col("__adc").asc_nulls_last(), F.col(key_col).asc()
+    ).limit(int(rerank))
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-30)
     qarr = F.array(*[F.lit(float(x)) for x in qn])

@@ -201,8 +201,8 @@ def interval_join(
                 F.lit("interval_join: interval spans "),
                 n_bins.cast("string"),
                 F.lit(f" bins > max_bins={max_bins}; raise bin_seconds"),
-            ).cast("long")
-        ),
+            )
+        ).cast("long"),
     ).otherwise(n_bins)
     iv = intervals.where(F.col(start) <= F.col(end)).withColumn(
         "__bin", F.explode(F.sequence(sbin, sbin - 1 + guarded))
