@@ -3933,8 +3933,8 @@ ORDER BY doc_id
 
 def _q_host_stats(spark, sf_dir):
     """Per-host rollup of the synthesized corpus URLs: doc count and
-    distinct registered domains — ONE uniformly-hashed groupBy on the
-    host key (llm/web.py::host_stats)."""
+    distinct paths (the boilerplate/mirror diversity signal) — ONE
+    uniformly-hashed groupBy on the host key (llm/web.py::host_stats)."""
     from duckdb_geography_spark.llm import web as W
 
     _prep(spark)
@@ -3950,11 +3950,12 @@ WITH u AS (
   SELECT doc_id,
     regexp_replace(lower(regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)),
-      ':[0-9]+$', '') AS host
+      ':[0-9]+$', '') AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
   FROM u
 )
 SELECT host, count(*) AS n_docs,
-       count(DISTINCT regexp_extract(host, '([^.]+\\.[^.]+)$', 1)) AS n_domains
+       count(DISTINCT path) AS n_paths
 FROM parts GROUP BY host ORDER BY host
 """
 
@@ -4190,7 +4191,8 @@ ORDER BY c.event_id
 
 
 def _q_interval_join(spark, sf_dir):
-    """Views falling inside each user's one-hour post-error window
+    """Views falling inside each user's one-DAY post-error window
+    (INTERVAL 1 DAY, bin_seconds=86400 — keep the oracle in lockstep)
     (temporal.interval_join: interval -> spanned-bin explode, point ->
     its single bin, EQUI-join + between refine — never a cartesian).
     Aggregated per window. Oracle: DuckDB's native IEJoin on the same

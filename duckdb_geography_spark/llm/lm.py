@@ -83,8 +83,13 @@ def unigram_nll(
     # WAS folded) precisely so Catalyst cannot constant-fold the
     # condition away and demote the join to a BroadcastNestedLoopJoin —
     # the no-cartesian plan gate stays unconditional.
+    # coalesce: an EMPTY counts model must still produce a joinable
+    # __k = 0 row (sum over zero rows is NULL, and a NULL key would
+    # silently drop every document from the inner join below —
+    # n_words would read 0 instead of the true counts)
     totals = counts.agg(
-        F.sum("c").alias("__N"), F.count(F.lit(1)).alias("__V")
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__N"),
+        F.count(F.lit(1)).alias("__V"),
     ).select(
         F.shiftrightunsigned(F.col("__N"), 63).cast("int").alias("__k"),
         F.round(F.log((F.col("__N") + alpha * F.col("__V")).cast("double")) * 1e6)

@@ -200,17 +200,27 @@ def _numpy_wav_samples(raw: bytes) -> np.ndarray:
 
 def _builtin_or_stub_image_decode(payload: bytes, feat_dim: int = 8):
     """'auto' fallback without PIL: builtin BMP decode when the magic
-    bytes match, deterministic stub for everything else."""
+    bytes match AND parse, deterministic stub for everything else —
+    'auto' must never crash a worker (a 32-bpp or RLE BMP also starts
+    with 'BM' but the builtin codec refuses it)."""
     if payload[:2] == b"BM":
-        return _numpy_bmp_decode(payload, feat_dim)
+        try:
+            return _numpy_bmp_decode(payload, feat_dim)
+        except ValueError:
+            pass
     return _fake_image_decode(payload, feat_dim)
 
 
 def _builtin_or_stub_audio_samples(raw: bytes) -> np.ndarray:
-    """'auto' fallback without soundfile: builtin WAV decode when the
-    magic bytes match, bytes-as-PCM stub otherwise."""
-    if raw[:4] == b"RIFF":
-        return _numpy_wav_samples(raw)
+    """'auto' fallback without soundfile: builtin WAV decode for
+    parseable RIFF/WAVE payloads, bytes-as-PCM stub for everything
+    else (AVI/WebP/ANI are RIFF too — check the WAVE tag, and still
+    fall back if the PCM layout is unsupported)."""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        try:
+            return _numpy_wav_samples(raw)
+        except ValueError:
+            pass
     return _fake_audio_samples(raw)
 
 
@@ -361,6 +371,17 @@ def _fake_resize(raw: bytes, nbytes: int) -> bytes:
     return (raw * reps)[:nbytes]
 
 
+def _builtin_or_stub_resize(raw: bytes, width: int, height: int, nbytes: int) -> bytes:
+    """'auto' resize without PIL: builtin BMP path for parseable BMPs,
+    tile-and-cut stub otherwise — never crashes a worker."""
+    if raw[:2] == b"BM":
+        try:
+            return _numpy_bmp_resize(raw, width, height)
+        except ValueError:
+            pass
+    return _fake_resize(raw, nbytes)
+
+
 def _pil_resize(raw: bytes, width: int, height: int) -> bytes:
     """REAL resample: PIL decode + Lanczos resize -> raw RGB bytes."""
     from io import BytesIO
@@ -408,11 +429,7 @@ def resize_images(
             _pil_available,
             lambda raw: _pil_resize(raw, width, height),
             lambda raw: _numpy_bmp_resize(raw, width, height),
-            lambda raw: (
-                _numpy_bmp_resize(raw, width, height)
-                if raw[:2] == b"BM"
-                else _fake_resize(raw, nbytes)
-            ),
+            lambda raw: _builtin_or_stub_resize(raw, width, height, nbytes),
             lambda raw: _fake_resize(raw, nbytes),
             "PIL",
         )

@@ -162,11 +162,17 @@ def pq_score(codes_col, lut: np.ndarray) -> Column:
     ``element_at`` pick; the adds chain left-to-right. Whole-stage
     codegen end to end — no Python anywhere in the scoring scan."""
     c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
-    m = lut.shape[0]
+    m, k = lut.shape
     score: Optional[Column] = None
     for s in range(m):
         arr = F.array(*[F.lit(float(x)) for x in lut[s]])
-        term = F.element_at(arr, F.element_at(c, s + 1) + F.lit(1))
+        code = F.element_at(c, s + 1)
+        # clamp corruption to NULL: element_at(arr, 0) would throw, a
+        # negative index silently picks from the END of the LUT, and a
+        # runtime-NULL index ALSO resolves to the last element in this
+        # Spark build — so the element_at itself must sit inside the
+        # when() branch (CaseWhen evaluates branches lazily per row)
+        term = F.when((code >= 0) & (code < int(k)), F.element_at(arr, code + 1))
         score = term if score is None else score + term
     return score
 

@@ -178,12 +178,19 @@ def stratified_sample(
     reproducible at any parallelism — unlike ``rand()``-based sampling,
     rerunning the job keeps the SAME rows, so downstream caches and
     eval sets stay stable. ONE hash shuffle on the stratum key; rank is
-    partition-local. Ties on the md5 (only possible for duplicate
-    keys) break by the key itself."""
+    partition-local.
+
+    The stability guarantee requires UNIQUE keys: rows sharing a key
+    are indistinguishable to the sort, so WHICH duplicate survives a
+    cutoff that splits them is partition-layout-dependent. NULL keys
+    hash as a fixed sentinel (they don't monopolize the top ranks the
+    way a raw NULL-first sort would) but are likewise mutually
+    indistinguishable."""
     from pyspark.sql.window import Window
 
+    key_str = F.coalesce(_c(key_col).cast("string"), F.lit("\x00<null-key>"))
     w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.concat(F.lit(salt), _c(key_col).cast("string"))), _c(key_col)
+        F.md5(F.concat(F.lit(salt), key_str)), _c(key_col).asc_nulls_last()
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -109,18 +109,17 @@ def registered_domain(host) -> Column:
 def host_stats(
     df: DataFrame, url_col: str = "url", quality_col: str | None = None
 ) -> DataFrame:
-    """Per-host corpus rollup: document count, distinct registered
-    domains under the host key (usually 1 — sanity signal), and the
-    mean of ``quality_col`` in exact integer micros when given. The
-    host-keyed groupBy is ONE uniformly-hashed shuffle; host skew
-    (a single giant host) is bounded because the aggregate state per
-    host is O(1)."""
+    """Per-host corpus rollup: document count, distinct URL paths under
+    the host (low path diversity at high volume is the classic
+    boilerplate/mirror signal), and the sum of ``quality_col`` in
+    exact integer micros when given. The host-keyed groupBy is ONE
+    uniformly-hashed shuffle; host skew (a single giant host) is
+    bounded because the aggregate state per host is O(distinct
+    paths)."""
     host = url_host(F.col(url_col)).alias("host")
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct(registered_domain(url_host(F.col(url_col)))).alias(
-            "n_domains"
-        ),
+        F.count_distinct(url_path(F.col(url_col))).alias("n_paths"),
     ]
     if quality_col is not None:
         aggs.append(

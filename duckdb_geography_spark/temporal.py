@@ -102,6 +102,10 @@ def asof_join(
     # allowed (window frames are inclusive of the current row, so
     # visibility == sorting before the left row).
     right_first = 0 if allow_exact_matches else 2
+    # NULL-time rows can never be an as-of match: a NULL right time
+    # would sort FIRST under the ascending window order and become the
+    # "latest" match for left rows with no real predecessor
+    right = right.where(F.col(rt).isNotNull())
     r_tagged = right.select(
         *keys,
         F.col(rt).alias("__t"),
@@ -132,6 +136,11 @@ def asof_join(
     # values from two different right rows
     matched = tagged.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
         F.col("__side") == 1
+    )
+    # a NULL left time matches nothing either (under forward's
+    # descending order it would otherwise sort last and see every row)
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__t").isNotNull(), F.col("__m"))
     )
     if tolerance_seconds is not None:
         span = F.abs(_micros("__t") - _micros(f"__m.{rt_out}"))

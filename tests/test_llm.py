@@ -871,3 +871,18 @@ class TestDecoderOverride:
         # and without the override the stub tier is back
         row2 = mm.decode_image_features(media, feat_dim=4).collect()[0]
         assert row2["width"] != 7 or row2["features"] != [42.0] * 4
+
+
+def test_unigram_nll_empty_model_keeps_word_counts(spark):
+    """Scoring against an EMPTY counts model must not silently zero
+    n_words (the empty aggregate's NULL join key would drop every
+    per-doc row from the constant-attach join)."""
+    from duckdb_geography_spark.llm.lm import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "three words here"), (2, "")], "doc_id long, text string"
+    )
+    empty_model = spark.createDataFrame([], "word string, c long")
+    out = {r["doc_id"]: r for r in unigram_nll(docs, counts=empty_model).collect()}
+    assert out[1]["n_words"] == 3
+    assert out[2]["n_words"] == 0

@@ -112,3 +112,26 @@ def test_two_stage_recall_vs_exact(spark):
     exact = set((np.argsort(-sims, kind="stable")[:10] + 1).tolist())
     recall = len(got_ids & exact) / 10
     assert recall >= 0.8, (recall, sorted(got_ids), sorted(exact))
+
+
+def test_corrupted_codes_score_null_and_sort_last(spark):
+    x = _sample(seed=2, n=20, dim=16)
+    books = pq.train_pq_codebooks(x, m=4, k=8, seed=7)
+    lut = pq.pq_adc_lut(x[0], books)
+    rows = [
+        (1, [0, 1, 2, 3]),     # valid
+        (2, [-1, 1, 2, 3]),    # element_at(arr, 0) would throw
+        (3, [-2, 1, 2, 3]),    # negative index would pick from the END
+        (4, [99, 1, 2, 3]),    # out of range high
+    ]
+    codes = spark.createDataFrame(rows, "vec_id long, codes array<int>")
+    got = {
+        r["vec_id"]: r["adc"]
+        for r in codes.select(
+            "vec_id", F.round(pq.pq_score("codes", lut), 6).alias("adc")
+        ).collect()
+    }
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None and got[4] is None
+    top = pq.pq_topk(codes, x[0], books, k=4).collect()
+    assert top[0]["vec_id"] == 1  # the only real candidate ranks first

@@ -257,3 +257,41 @@ def test_interval_join_plan_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_null_times_never_match(spark):
+    """NULL right-times must not masquerade as the earliest match, and
+    NULL left-times must match nothing (both directions)."""
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": [pd.Timestamp("2024-01-05"), pd.NaT],
+            "lval": [10, 20],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "rts": [pd.NaT, pd.Timestamp("2024-01-07")],
+            "rval": [111, 222],
+        }
+    )
+    for direction, want in (("backward", None), ("forward", 222)):
+        out = {
+            r["lval"]: r
+            for r in asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="k",
+                left_time="ts",
+                right_time="rts",
+                direction=direction,
+            ).collect()
+        }
+        # real left row: backward has no predecessor (the NULL-time
+        # right row must NOT stand in); forward matches the real row
+        assert out[10]["rval"] == want, direction
+        # NULL-time left row: never matches
+        assert out[20]["rval"] is None, direction

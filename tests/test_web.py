@@ -52,6 +52,7 @@ def test_host_stats_rollup(spark):
     rows = [
         ("https://a.example.com/1", 0.5),
         ("https://A.example.com:443/2", 0.25),
+        ("https://a.example.com/2?x=1", 0.25),  # same path, new query
         ("https://b.other.org/3", 1.0),
     ]
     df = spark.createDataFrame(rows, "url string, q double")
@@ -59,9 +60,9 @@ def test_host_stats_rollup(spark):
         r["host"]: r
         for r in W.host_stats(df, url_col="url", quality_col="q").collect()
     }
-    assert out["a.example.com"]["n_docs"] == 2
-    assert out["a.example.com"]["n_domains"] == 1
-    assert out["a.example.com"]["quality_micro_sum"] == 750_000
+    assert out["a.example.com"]["n_docs"] == 3
+    assert out["a.example.com"]["n_paths"] == 2  # /1 and /2
+    assert out["a.example.com"]["quality_micro_sum"] == 1_000_000
     assert out["b.other.org"]["n_docs"] == 1
 
 
