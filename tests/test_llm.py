@@ -748,6 +748,21 @@ class TestBuiltinCodecs:
         assert tuple(arr[3, 3]) == (0, 0, 0)
         assert np.array_equal(arr[:2, :2], np.broadcast_to((255, 0, 0), (2, 2, 3)))
 
+    def test_auto_never_crashes_on_unparseable_magic(self):
+        """'auto' must stub, not raise, when magic bytes match but the
+        builtin codec refuses the format (32-bpp BMP, RIFF-but-AVI)."""
+        bad_bmp = b"BM" + b"\x00" * 60  # bpp=0: builtin refuses
+        got = mm._builtin_or_stub_image_decode(bad_bmp)
+        stub = mm._fake_image_decode(bad_bmp)
+        assert got[:2] == stub[:2]
+        avi = b"RIFF" + (100).to_bytes(4, "little") + b"AVI " + b"\x00" * 100
+        out = mm._builtin_or_stub_audio_samples(avi)
+        assert np.array_equal(out, mm._fake_audio_samples(avi))
+        # resize too
+        assert mm._builtin_or_stub_resize(bad_bmp, 4, 4, 48) == mm._fake_resize(
+            bad_bmp, 48
+        )
+
     def test_auto_spark_pipeline_mixed_payloads(self, spark):
         """End-to-end mapInPandas decode with kernel='auto' in a
         container with no media libs: BMP payloads get the REAL builtin
