@@ -72,3 +72,29 @@ def test_pure_column_no_python_stage(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_normalize_idempotent_on_random_urls(spark):
+    """normalize(normalize(u)) == normalize(u) over a randomized URL
+    soup (schemes, userinfo, ports, paths, params, fragments)."""
+    import random
+
+    rnd = random.Random(17)
+    urls = []
+    for _ in range(120):
+        scheme = rnd.choice(["http", "HTTPS", "ftp", "hTTp"])
+        user = rnd.choice(["", "u@", "a:b@"])
+        host = rnd.choice(["Example.COM", "a.b.Example.org", "localhost", "[::1]"])
+        port = rnd.choice(["", ":80", ":443", ":8080"])
+        path = rnd.choice(["", "/", "/A/b", "/x//", "/x/y/z///"])
+        q = rnd.choice(["", "?id=1", "?utm_a=1", "?utm_a=1&id=2", "?id=2&gclid=x&b=3"])
+        frag = rnd.choice(["", "#f", "#Frag"])
+        urls.append(f"{scheme}://{user}{host}{port}{path}{q}{frag}")
+    urls += ["no url", "", "weird:thing", "//missing-scheme.com/x"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = W.normalize_url("url").alias("n1")
+    rows = df.select("url", once).select(
+        "url", "n1", W.normalize_url("n1").alias("n2")
+    ).collect()
+    for r in rows:
+        assert r["n1"] == r["n2"], r["url"]
