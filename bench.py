@@ -69,6 +69,7 @@ def main() -> None:
         "pq_topk",
         "incremental_dedup",
         "stratified_sample",
+        "grouped_quantiles",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
