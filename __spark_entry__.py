@@ -3757,6 +3757,65 @@ ORDER BY doc_id
 """
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """Line-level boilerplate removal over synthesized multi-line docs
+    (each doc gets its unique text plus planted boilerplate lines that
+    recur across a third/half of the corpus). dedup_lines drops lines
+    with document frequency > 10 and reassembles in order — the CCNet
+    pass document-level dedup cannot do."""
+    from duckdb_geography_spark.llm.prep import dedup_lines
+
+    _prep(spark)
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(d % 3 == 0, F.lit("Subscribe to our newsletter!")).otherwise(
+                F.concat(F.lit("unique tail "), d.cast("string"))
+            ),
+            F.lit("\n"),
+            F.when(d % 2 == 0, F.lit("Copyright 2024 Example Corp")).otherwise(
+                F.concat(F.lit("line "), d.cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return dedup_lines(docs, max_df=10).orderBy("doc_id")
+
+
+_DEDUP_LINES_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    text || chr(10)
+    || CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter!'
+            ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END
+    || chr(10)
+    || CASE WHEN doc_id % 2 = 0 THEN 'Copyright 2024 Example Corp'
+            ELSE 'line ' || CAST(doc_id AS VARCHAR) END AS t
+  FROM documents),
+ls AS (
+  SELECT doc_id,
+    unnest(list_transform(string_split(t, chr(10)),
+           (x, i) -> {'pos': i, 'line': x}), recursive := true)
+  FROM base),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS dfc
+    FROM ls WHERE length(line) >= 1 GROUP BY line)
+  WHERE dfc > 10),
+kept AS (SELECT * FROM ls WHERE line NOT IN (SELECT line FROM freq)),
+re AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id, coalesce(re.text_clean, '') AS text_clean,
+       CAST(coalesce(re.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+FROM base b LEFT JOIN re ON b.doc_id = re.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Balanced per-language draw: 25 docs per lang, ranked by the md5
     of the doc key — deterministic, engine-portable, stable across
@@ -4321,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "incremental_dedup": _q_incremental_dedup,
         "stratified_sample": _q_stratified_sample,
+        "dedup_lines": _q_dedup_lines,
     }
 
 
@@ -4400,4 +4460,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_sql(),
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "dedup_lines": _DEDUP_LINES_SQL,
     }

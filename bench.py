@@ -70,6 +70,7 @@ def main() -> None:
         "incremental_dedup",
         "stratified_sample",
         "grouped_quantiles",
+        "dedup_lines",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,

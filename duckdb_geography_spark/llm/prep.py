@@ -199,6 +199,63 @@ def stratified_sample(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_df: int = 1,
+    min_line_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level dedup: drop every line whose document
+    frequency exceeds ``max_df`` (navigation chrome, cookie banners,
+    'subscribe' calls — the boilerplate that survives document-level
+    dedup because each PAGE is unique), then reassemble each document
+    with its remaining lines in original order. Lines shorter than
+    ``min_line_chars`` are exempt (blank separators carry structure,
+    not boilerplate). Returns ``(key, <text>_clean, n_lines_kept)``;
+    a document whose every line was dropped survives with ''.
+
+    100 TB shape: one explode, one line-keyed count-distinct (hash
+    shuffle on the line — uniform unless the corpus is one page), a
+    LEFT ANTI join against the frequent-line set (small by
+    construction: only lines with df > max_df — AQE broadcasts it),
+    and one key-keyed reassembly groupBy. Order restoration is an
+    in-aggregate ``array_sort`` over (pos, line) structs — no window,
+    no second sort shuffle."""
+    lines = df.select(
+        _c(key_col).alias("__key"),
+        F.posexplode(F.split(_c(text_col), sep)).alias("__pos", "__line"),
+    )
+    frequent = (
+        lines.where(F.length("__line") >= min_line_chars)
+        .groupBy("__line")
+        .agg(F.count_distinct("__key").alias("__df"))
+        .where(F.col("__df") > int(max_df))
+        .select("__line")
+    )
+    kept = lines.join(frequent, "__line", "left_anti")
+    re = kept.groupBy("__key").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        df.select(_c(key_col).alias("__key"))
+        .join(re, "__key", "left")
+        .select(
+            F.col("__key").alias(key_col),
+            F.coalesce("__clean", F.lit("")).alias(f"{text_col}_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     max_units: int,

@@ -242,6 +242,29 @@ class TestPrep:
         assert len(by_doc[2]) == 2           # 530 > 500: tail adds 30 chars
         assert by_doc[2][1].n_chars == 80    # chars 451..530
 
+    def test_dedup_lines(self, spark):
+        from duckdb_geography_spark.llm import prep
+
+        boiler = "Subscribe now"
+        rows = [
+            (1, f"alpha\n{boiler}\nbeta"),
+            (2, f"{boiler}\ngamma"),
+            (3, f"delta\n{boiler}"),
+            (4, boiler),           # every line dropped -> ''
+            (5, "epsilon\n\nzeta"),  # blank line exempt, kept
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in prep.dedup_lines(df, max_df=2).collect()
+        }
+        assert out[1]["text_clean"] == "alpha\nbeta"      # order preserved
+        assert out[2]["text_clean"] == "gamma"
+        assert out[3]["text_clean"] == "delta"
+        assert out[4]["text_clean"] == "" and out[4]["n_lines_kept"] == 0
+        assert out[5]["text_clean"] == "epsilon\n\nzeta"
+        assert out[1]["n_lines_kept"] == 2
+
     def test_stratified_sample(self, spark):
         from duckdb_geography_spark.llm import prep
 
