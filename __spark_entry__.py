@@ -3617,6 +3617,48 @@ FROM ranked GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id
 """
 
 
+def _q_bigram_nll(spark, sf_dir):
+    """Bigram-LM scoring — the n-gram step toward the KenLM filter:
+    per-document mean NLL per transition, add-1 smoothing, integer
+    micronats (llm/lm.py::bigram_nll). The oracle rebuilds transitions
+    with a 1-based list lambda and replays the identical ln calls over
+    integer arguments."""
+    from duckdb_geography_spark.llm.lm import bigram_nll
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_nll(docs).orderBy("doc_id")
+
+
+_BIGRAM_NLL_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents),
+tr AS (
+  SELECT doc_id,
+    unnest(list_transform(ws[1:len(ws)-1],
+           (x, i) -> {'prev': x, 'cur': ws[i+1]}), recursive := true)
+  FROM w),
+big AS (SELECT prev, cur, count(*) AS c FROM tr GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c) AS cprev FROM big GROUP BY prev),
+tot AS (SELECT count(DISTINCT cur) AS V FROM big),
+per AS (
+  SELECT t.doc_id, count(*) AS n,
+    sum(CAST(round(ln(CAST(coalesce(x.cprev, 0) + tot.V AS DOUBLE)) * 1000000) AS BIGINT)
+      - CAST(round(ln(CAST(coalesce(b.c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS s
+  FROM tr t
+  LEFT JOIN big b ON t.prev = b.prev AND t.cur = b.cur
+  LEFT JOIN ctx x ON t.prev = x.prev
+  CROSS JOIN tot
+  GROUP BY t.doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_trans,
+       round(coalesce(CAST(p.s AS DOUBLE) / p.n / 1000000.0, 0.0), 6) AS nll
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _q_unigram_nll(spark, sf_dir):
     """Corpus-trained unigram-LM scoring (the SQL-replayable core of
     the CCNet/RefinedWeb KenLM perplexity filter): per-document mean
@@ -4381,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "stratified_sample": _q_stratified_sample,
         "dedup_lines": _q_dedup_lines,
+        "bigram_nll": _q_bigram_nll,
     }
 
 
@@ -4461,4 +4504,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "bigram_nll": _BIGRAM_NLL_SQL,
     }

@@ -71,6 +71,7 @@ def main() -> None:
         "stratified_sample",
         "grouped_quantiles",
         "dedup_lines",
+        "bigram_nll",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unigram_counts", "unigram_nll"]
+__all__ = ["unigram_counts", "unigram_nll", "bigram_counts", "bigram_nll"]
 
 
 def _c(col) -> Column:
@@ -138,6 +138,135 @@ def unigram_nll(
             F.coalesce(
                 F.col("__sum_micro") / F.col("__n") / F.lit(1e6), F.lit(0.0)
             ),
+            6,
+        ).alias("nll"),
+    )
+
+
+def _transitions(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """(key, prev, cur) word transitions within each document — an
+    array-lambda pairing (no window, no self-join): documents with
+    fewer than two words contribute nothing."""
+    words = df.select(_c(key_col).alias("__key"), _words(text_col).alias("__w"))
+    pairs = F.expr(
+        "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), "
+        "(x, i) -> struct(x AS prev, element_at(__w, i + 2) AS cur))"
+    )
+    return words.select("__key", F.explode(pairs).alias("__t")).select(
+        "__key", F.col("__t.prev").alias("prev"), F.col("__t.cur").alias("cur")
+    )
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """The trained bigram model: corpus transition counts
+    ``(prev, cur, c)`` — one explode + one map-side-combinable count
+    (the same ingest-time shape as :func:`unigram_counts`)."""
+    return (
+        _transitions(df, text_col, key_col)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    counts: DataFrame | None = None,
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-document mean bigram negative log likelihood (nats per
+    transition) under an add-``alpha`` bigram LM — the n-gram step
+    toward the CCNet/KenLM perplexity filter, with the same
+    integer-micronat determinism as :func:`unigram_nll`:
+
+    ``nll(cur | prev) = ln(c(prev, ·) + alpha*V) - ln(c(prev, cur) + alpha)``
+
+    where ``c(prev, ·)`` sums the model's transitions out of ``prev``
+    and V is the model's distinct-``cur`` vocabulary. Unseen contexts
+    cost ``ln(alpha*V) - ln(alpha)``. Pass ``counts`` (from
+    :func:`bigram_counts`, possibly of a different corpus) to score
+    against a fixed model; default trains on ``df`` itself. Returns
+    ``(key, n_trans, nll)``; documents with < 2 words score 0.0.
+
+    100 TB shape: transitions explode once; the model attach is two
+    LEFT equi-joins (bigram table on (prev, cur), context table on
+    prev — both uniformly hashed, AQE-broadcastable); the corpus
+    constants ride the usual single-row non-foldable-key broadcast
+    hash join AFTER the per-doc aggregate. Zero Python anywhere.
+    """
+    if alpha < 1 or int(alpha) != alpha:
+        raise ValueError("alpha must be a positive integer")
+    if counts is None:
+        counts = bigram_counts(df, text_col=text_col, key_col=key_col)
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("__cprev"))
+    totals = counts.agg(
+        F.coalesce(F.count_distinct("cur"), F.lit(0)).alias("__V"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__N"),
+    ).select(
+        F.shiftrightunsigned(F.col("__N"), 63).cast("int").alias("__k"),
+        # unseen-context mass ln(alpha*V); ln of the integer argument
+        # keeps cross-engine parity. An EMPTY model has V = 0 -> ln(0)
+        # is NULL -> nll coalesces to 0.0 while n_trans stays true.
+        F.round(F.log((F.lit(alpha) * F.col("__V")).cast("double")) * 1e6)
+        .cast("long")
+        .alias("__lnav_micro"),
+        F.round(F.log(F.lit(float(alpha))) * 1e6).cast("long").alias("__lnalpha_micro"),
+        F.col("__V"),
+    )
+    model = counts.select(
+        "prev",
+        "cur",
+        F.round(F.log((F.col("c") + alpha).cast("double")) * 1e6)
+        .cast("long")
+        .alias("__lnc_micro"),
+    )
+    trans = _transitions(df, text_col, key_col)
+    # ln(c(prev,·) + alpha*V) needs V per transition row; V is a corpus
+    # constant, so attach it to the TRANSITIONS via the non-foldable
+    # constant key before aggregating (one extra broadcast hash join on
+    # the per-transition frame — unavoidable, the ln argument mixes a
+    # per-row count with the corpus constant).
+    trans_k = (
+        trans.join(model, ["prev", "cur"], "left")
+        .join(ctx, ["prev"], "left")
+        .withColumn("__k", F.shiftrightunsigned(F.coalesce(F.col("__cprev"), F.lit(0)), 63).cast("int"))
+        .join(F.broadcast(totals.select("__k", "__V")), "__k")
+        .withColumn(
+            "__lnprev_micro",
+            F.round(
+                F.log((F.coalesce(F.col("__cprev"), F.lit(0)) + alpha * F.col("__V")).cast("double"))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    per_doc = trans_k.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__lnprev_micro")).alias("__s_prev"),
+        F.sum(F.coalesce(F.col("__lnc_micro"), F.lit(0))).alias("__s_c"),
+        F.sum(F.col("__lnc_micro").isNull().cast("long")).alias("__n_c_unseen"),
+    )
+    scored = (
+        per_doc.withColumn("__k", F.shiftrightunsigned(F.col("__n"), 63).cast("int"))
+        .join(F.broadcast(totals.select("__k", "__lnalpha_micro")), "__k")
+        .select(
+            "__key",
+            "__n",
+            (
+                F.col("__s_prev")
+                - F.col("__s_c")
+                - F.col("__n_c_unseen") * F.col("__lnalpha_micro")
+            ).alias("__sum_micro"),
+        )
+    )
+    keys = df.select(_c(key_col).alias("__key")).distinct()
+    return keys.join(scored, "__key", "left").select(
+        F.col("__key").alias(key_col),
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_trans"),
+        F.round(
+            F.coalesce(F.col("__sum_micro") / F.col("__n") / F.lit(1e6), F.lit(0.0)),
             6,
         ).alias("nll"),
     )

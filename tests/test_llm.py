@@ -924,3 +924,46 @@ def test_unigram_nll_empty_model_keeps_word_counts(spark):
     out = {r["doc_id"]: r for r in unigram_nll(docs, counts=empty_model).collect()}
     assert out[1]["n_words"] == 3
     assert out[2]["n_words"] == 0
+
+
+def test_bigram_nll_matches_python_reference(spark):
+    """Bigram NLL vs a pure-python reference on a tiny corpus (add-1,
+    mean nats per transition, integer-micronat rounding)."""
+    import math
+
+    from duckdb_geography_spark.llm.lm import bigram_nll
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "z"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+
+    trans = []
+    for _, text in rows:
+        ws = text.split()
+        trans += list(zip(ws, ws[1:]))
+    from collections import Counter
+
+    big = Counter(trans)
+    ctx = Counter(p for p, _ in trans)
+    V = len({c for _, c in trans})
+    for doc_id, text in rows:
+        ws = text.split()
+        ts = list(zip(ws, ws[1:]))
+        assert got[doc_id]["n_trans"] == len(ts)
+        if not ts:
+            assert got[doc_id]["nll"] == 0.0
+            continue
+        s = sum(
+            round(math.log(ctx[p] + V) * 1e6) - round(math.log(big[(p, c)] + 1) * 1e6)
+            for p, c in ts
+        )
+        assert got[doc_id]["nll"] == round(s / len(ts) / 1e6, 6), doc_id
+
+
+def test_bigram_nll_empty_model(spark):
+    from duckdb_geography_spark.llm.lm import bigram_nll
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "prev string, cur string, c long")
+    out = bigram_nll(docs, counts=empty).collect()[0]
+    assert out["n_trans"] == 2 and out["nll"] == 0.0
