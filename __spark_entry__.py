@@ -3659,6 +3659,49 @@ ORDER BY d.doc_id
 """
 
 
+def _q_trigram_nll(spark, sf_dir):
+    """Trigram-LM scoring (two-word context) via the generalized
+    ngram_nll — the context-length knob of the KenLM-style filter.
+    Oracle rebuilds the (prev-pair, cur) transitions with 1-based list
+    lambdas and a greatest() slice guard (DuckDB's negative slice ends
+    wrap, which would fabricate transitions for one-word docs)."""
+    from duckdb_geography_spark.llm.lm import ngram_nll
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_nll(docs, 3).orderBy("doc_id")
+
+
+_TRIGRAM_NLL_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents),
+tr AS (
+  SELECT doc_id,
+    unnest(list_transform(ws[1:greatest(len(ws)-2, 0)],
+           (x, i) -> {'prev': ws[i] || ' ' || ws[i+1], 'cur': ws[i+2]}),
+           recursive := true)
+  FROM w),
+big AS (SELECT prev, cur, count(*) AS c FROM tr GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c) AS cprev FROM big GROUP BY prev),
+tot AS (SELECT count(DISTINCT cur) AS V FROM big),
+per AS (
+  SELECT t.doc_id, count(*) AS n,
+    sum(CAST(round(ln(CAST(coalesce(x.cprev, 0) + tot.V AS DOUBLE)) * 1000000) AS BIGINT)
+      - CAST(round(ln(CAST(coalesce(b.c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS s
+  FROM tr t
+  LEFT JOIN big b ON t.prev = b.prev AND t.cur = b.cur
+  LEFT JOIN ctx x ON t.prev = x.prev
+  CROSS JOIN tot
+  GROUP BY t.doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_trans,
+       round(coalesce(CAST(p.s AS DOUBLE) / p.n / 1000000.0, 0.0), 6) AS nll
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _q_unigram_nll(spark, sf_dir):
     """Corpus-trained unigram-LM scoring (the SQL-replayable core of
     the CCNet/RefinedWeb KenLM perplexity filter): per-document mean
@@ -4424,6 +4467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_lines": _q_dedup_lines,
         "bigram_nll": _q_bigram_nll,
+        "trigram_nll": _q_trigram_nll,
     }
 
 
@@ -4505,4 +4549,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
         "bigram_nll": _BIGRAM_NLL_SQL,
+        "trigram_nll": _TRIGRAM_NLL_SQL,
     }

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unigram_counts", "unigram_nll", "bigram_counts", "bigram_nll"]
+__all__ = [
+    "unigram_counts",
+    "unigram_nll",
+    "bigram_counts",
+    "bigram_nll",
+    "ngram_counts",
+    "ngram_nll",
+]
 
 
 def _c(col) -> Column:
@@ -143,43 +150,59 @@ def unigram_nll(
     )
 
 
-def _transitions(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
-    """(key, prev, cur) word transitions within each document — an
-    array-lambda pairing (no window, no self-join): documents with
-    fewer than two words contribute nothing."""
+def _transitions(
+    df: DataFrame, text_col: str, key_col: str, n: int = 2
+) -> DataFrame:
+    """(key, prev, cur) word transitions within each document, where
+    ``prev`` is the space-joined (n-1)-word context — an array-lambda
+    pairing (no window, no self-join): documents with fewer than ``n``
+    words contribute nothing. For n=2 ``prev`` is the single previous
+    word."""
+    if n < 2:
+        raise ValueError("n must be >= 2 (use unigram_nll for n=1)")
     words = df.select(_c(key_col).alias("__key"), _words(text_col).alias("__w"))
     pairs = F.expr(
-        "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), "
-        "(x, i) -> struct(x AS prev, element_at(__w, i + 2) AS cur))"
+        f"transform(slice(__w, 1, greatest(size(__w) - {n - 1}, 0)), "
+        f"(x, i) -> struct(concat_ws(' ', slice(__w, i + 1, {n - 1})) AS prev, "
+        f"element_at(__w, i + {n}) AS cur))"
     )
     return words.select("__key", F.explode(pairs).alias("__t")).select(
         "__key", F.col("__t.prev").alias("prev"), F.col("__t.cur").alias("cur")
     )
 
 
-def bigram_counts(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+def ngram_counts(
+    df: DataFrame, n: int = 2, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
-    """The trained bigram model: corpus transition counts
-    ``(prev, cur, c)`` — one explode + one map-side-combinable count
-    (the same ingest-time shape as :func:`unigram_counts`)."""
+    """The trained n-gram model: corpus transition counts
+    ``(prev, cur, c)`` with ``prev`` the (n-1)-word context — one
+    explode + one map-side-combinable count (the same ingest-time
+    shape as :func:`unigram_counts`)."""
     return (
-        _transitions(df, text_col, key_col)
+        _transitions(df, text_col, key_col, n)
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
-def bigram_nll(
+def bigram_counts(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`ngram_counts` at n=2."""
+    return ngram_counts(df, 2, text_col=text_col, key_col=key_col)
+
+
+def ngram_nll(
     df: DataFrame,
+    n: int = 2,
     text_col: str = "text",
     key_col: str = "doc_id",
     counts: DataFrame | None = None,
     alpha: int = 1,
 ) -> DataFrame:
-    """Per-document mean bigram negative log likelihood (nats per
-    transition) under an add-``alpha`` bigram LM — the n-gram step
-    toward the CCNet/KenLM perplexity filter, with the same
+    """Per-document mean n-gram negative log likelihood (nats per
+    transition) under an add-``alpha`` n-gram LM with an (n-1)-word
+    context — the CCNet/KenLM perplexity-filter shape, with the same
     integer-micronat determinism as :func:`unigram_nll`:
 
     ``nll(cur | prev) = ln(c(prev, ·) + alpha*V) - ln(c(prev, cur) + alpha)``
@@ -200,7 +223,7 @@ def bigram_nll(
     if alpha < 1 or int(alpha) != alpha:
         raise ValueError("alpha must be a positive integer")
     if counts is None:
-        counts = bigram_counts(df, text_col=text_col, key_col=key_col)
+        counts = ngram_counts(df, n, text_col=text_col, key_col=key_col)
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("__cprev"))
     totals = counts.agg(
         F.coalesce(F.count_distinct("cur"), F.lit(0)).alias("__V"),
@@ -223,7 +246,7 @@ def bigram_nll(
         .cast("long")
         .alias("__lnc_micro"),
     )
-    trans = _transitions(df, text_col, key_col)
+    trans = _transitions(df, text_col, key_col, n)
     # ln(c(prev,·) + alpha*V) needs V per transition row; V is a corpus
     # constant, so attach it to the TRANSITIONS via the non-foldable
     # constant key before aggregating (one extra broadcast hash join on
@@ -269,4 +292,17 @@ def bigram_nll(
             F.coalesce(F.col("__sum_micro") / F.col("__n") / F.lit(1e6), F.lit(0.0)),
             6,
         ).alias("nll"),
+    )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    counts: DataFrame | None = None,
+    alpha: int = 1,
+) -> DataFrame:
+    """:func:`ngram_nll` at n=2 (single-word context)."""
+    return ngram_nll(
+        df, 2, text_col=text_col, key_col=key_col, counts=counts, alpha=alpha
     )

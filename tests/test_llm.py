@@ -967,3 +967,35 @@ def test_bigram_nll_empty_model(spark):
     empty = spark.createDataFrame([], "prev string, cur string, c long")
     out = bigram_nll(docs, counts=empty).collect()[0]
     assert out["n_trans"] == 2 and out["nll"] == 0.0
+
+
+def test_trigram_nll_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from duckdb_geography_spark.llm.lm import ngram_nll
+
+    rows = [(1, "a b a b a"), (2, "a b"), (3, "x y z"), (4, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_nll(df, 3).collect()}
+
+    trans = []
+    for _, text in rows:
+        ws = text.split()
+        trans += [(" ".join(ws[i : i + 2]), ws[i + 2]) for i in range(len(ws) - 2)]
+    big = Counter(trans)
+    ctx = Counter(p for p, _ in trans)
+    V = len({c for _, c in trans})
+    for doc_id, text in rows:
+        ws = text.split()
+        ts = [(" ".join(ws[i : i + 2]), ws[i + 2]) for i in range(len(ws) - 2)]
+        assert got[doc_id]["n_trans"] == len(ts), doc_id
+        if ts:
+            s = sum(
+                round(math.log(ctx[p] + V) * 1e6)
+                - round(math.log(big[(p, c)] + 1) * 1e6)
+                for p, c in ts
+            )
+            assert got[doc_id]["nll"] == round(s / len(ts) / 1e6, 6), doc_id
+        else:
+            assert got[doc_id]["nll"] == 0.0
