@@ -295,3 +295,22 @@ def test_asof_null_times_never_match(spark):
         assert out[10]["rval"] == want, direction
         # NULL-time left row: never matches
         assert out[20]["rval"] is None, direction
+
+
+def test_asof_integer_time_axis(spark):
+    """The time axis is any orderable type — sequence numbers work;
+    tolerance (micros-based) is the only timestamp-bound feature."""
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], "k int, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "R10"), (1, 15, "R15"), (2, 99, "R99")],
+        "k int, rts long, rv string",
+    )
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_time="ts", right_time="rts"
+        ).collect()
+    }
+    assert out == {"L1": "R10", "L2": "R15", "L3": None}
