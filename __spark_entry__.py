@@ -3659,6 +3659,32 @@ ORDER BY d.doc_id
 """
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document via the
+    distributed aggregate form (llm/textstats.py::char_entropy_stats —
+    explode + two JVM hash aggs; the pure-Column twin is an ad-hoc
+    tool, O(n*distinct) interpreted lambdas per row): integer-count ln
+    terms in micronats, so both engines land on identical doubles."""
+    from duckdb_geography_spark.llm.textstats import char_entropy_stats
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy_stats(docs).orderBy("doc_id")
+
+
+_CHAR_ENTROPY_SQL = """
+SELECT doc_id,
+ CASE WHEN length(text) = 0 THEN 0.0 ELSE
+  round((round(ln(CAST(length(text) AS DOUBLE)) * 1000000)
+   - CAST(list_sum(list_transform(
+       list_distinct(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1))),
+       x -> CAST(len(list_filter(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)), y -> y = x)) AS BIGINT)
+            * CAST(round(ln(CAST(len(list_filter(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)), y -> y = x)) AS DOUBLE)) * 1000000) AS BIGINT)))
+     AS DOUBLE) / length(text)) / 1000000.0, 6) END AS h_char
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_trigram_nll(spark, sf_dir):
     """Trigram-LM scoring (two-word context) via the generalized
     ngram_nll — the context-length knob of the KenLM-style filter.
@@ -4468,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "bigram_nll": _q_bigram_nll,
         "trigram_nll": _q_trigram_nll,
+        "char_entropy": _q_char_entropy,
     }
 
 
@@ -4550,4 +4577,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _DEDUP_LINES_SQL,
         "bigram_nll": _BIGRAM_NLL_SQL,
         "trigram_nll": _TRIGRAM_NLL_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
     }

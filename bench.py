@@ -72,6 +72,7 @@ def main() -> None:
         "grouped_quantiles",
         "dedup_lines",
         "bigram_nll",
+        "char_entropy",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,

@@ -117,6 +117,7 @@ LLM_SQL_FUNCTIONS = {
     "quality_score": ("DOUBLE", _quality_score_sql),
     "langid": ("STRING", _langid_sql),
     "rolling_fingerprint": ("BIGINT", _rolling_fingerprint_sql),
+    "char_entropy": ("DOUBLE", lambda: _char_entropy_sql()),
     # web URL layer (llm/web.py) — plain regex/string trees, tier 1
     "url_scheme": ("STRING", lambda: WB.url_scheme(F.col("t"))),
     "url_host": ("STRING", lambda: WB.url_host(F.col("t"))),
@@ -128,6 +129,24 @@ LLM_SQL_FUNCTIONS = {
         lambda: WB.registered_domain(WB.url_host(F.col("t"))),
     ),
 }
+
+
+def _char_entropy_sql() -> str:
+    # hand-written (nested higher-order lambdas don't round-trip
+    # through Expression.sql()); parity vs the Column twin is asserted
+    # by the randomized-corpus test like every other entry. NOTE: this
+    # is the ad-hoc per-row form — corpus scans should use
+    # textstats.char_entropy_stats (JVM aggregate, no interpreted
+    # lambdas).
+    chars = "transform(sequence(1, length(t)), i -> substr(t, i, 1))"
+    cnt = f"CAST(size(filter({chars}, y -> y = x)) AS BIGINT)"
+    return f"""
+CASE WHEN coalesce(length(t), 0) = 0 THEN 0.0 ELSE
+ round((round(ln(CAST(length(t) AS DOUBLE)) * 1e6)
+  - CAST(aggregate(transform(array_distinct({chars}),
+      x -> {cnt} * CAST(round(ln(CAST({cnt} AS DOUBLE)) * 1e6) AS BIGINT)),
+    CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / length(t)) / 1e6, 6) END
+"""
 
 
 def register_llm_sql_functions(spark: SparkSession, prefix: str = "") -> list:

@@ -26,6 +26,8 @@ __all__ = [
     "langid",
     "fingerprint_md5",
     "rolling_fingerprint",
+    "char_entropy",
+    "char_entropy_stats",
     "STOPWORDS",
 ]
 
@@ -207,4 +209,84 @@ def rolling_fingerprint(text, mod: int = 144115188075855859) -> Column:
         chars,
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(mod),
+    )
+
+
+def char_entropy(text) -> Column:
+    """Shannon entropy of the document's CHARACTER distribution in
+    nats, pure Column — the cheap detector for encoded blobs, base64
+    runs, and single-character padding that length/punct heuristics
+    miss (natural prose sits ~2.5-3.2 nats; uniform base64 ~4.1;
+    repeated filler ~0).
+
+    Exact cross-engine math: H = ln(n) - (1/n) * sum_x c_x * ln(c_x)
+    keeps every ln argument an INTEGER count, each term rounds to
+    integer micronats, and only the final division is floating —
+    the DuckDB oracle replays it bit-for-bit. Cost is O(n * distinct)
+    character comparisons per document (a quality-scan pass, not a
+    hot-join path); '' / NULL score 0.0."""
+    t = _c(text)
+    n = F.length(t)
+    chars = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(1)))
+    cnt = lambda x: F.size(F.filter(chars, lambda y: y == x)).cast("long")  # noqa: E731
+    term = lambda x: cnt(x) * F.round(  # noqa: E731
+        F.log(cnt(x).cast("double")) * 1e6
+    ).cast("long")
+    ssum = F.aggregate(
+        F.transform(F.array_distinct(chars), term),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    h = (
+        F.round(F.log(n.cast("double")) * 1e6) - ssum.cast("double") / n
+    ) / F.lit(1e6)
+    return F.when(F.coalesce(n, F.lit(0)) == 0, F.lit(0.0)).otherwise(F.round(h, 6))
+
+
+def char_entropy_stats(
+    df, text_col: str = "text", key_col: str = "doc_id"
+):
+    """:func:`char_entropy` as a distributed aggregate — the corpus-
+    scan form: one character explode + two map-side-combinable hash
+    aggregates, ln only over integer counts (JVM expressions, zero
+    Python, zero interpreted lambdas — the pure-Column form evaluates
+    O(n * distinct) interpreted comparisons per row and is only for
+    ad-hoc short strings). Returns ``(key, h_char)``; ''/NULL -> 0.0."""
+    key = _c(key_col).alias("__key")
+    t = _c(text_col)
+    base = df.select(key, F.coalesce(F.length(t), F.lit(0)).alias("__n"), t.alias("__t"))
+    chars = base.where(F.col("__n") > 0).select(
+        "__key",
+        "__n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.col("__t").substr(i, F.lit(1)),
+            )
+        ).alias("__ch"),
+    )
+    counts = chars.groupBy("__key", "__n", "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per = counts.groupBy("__key", "__n").agg(
+        F.sum(
+            F.col("__c")
+            * F.round(F.log(F.col("__c").cast("double")) * 1e6).cast("long")
+        ).alias("__s")
+    )
+    keys = base.select("__key", "__n")
+    return keys.join(per, ["__key", "__n"], "left").select(
+        F.col("__key").alias(key_col),
+        F.when(F.col("__n") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (
+                    F.round(F.log(F.col("__n").cast("double")) * 1e6)
+                    - F.col("__s").cast("double") / F.col("__n")
+                )
+                / F.lit(1e6),
+                6,
+            )
+        )
+        .alias("h_char"),
     )

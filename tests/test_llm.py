@@ -999,3 +999,41 @@ def test_trigram_nll_matches_python_reference(spark):
             assert got[doc_id]["nll"] == round(s / len(ts) / 1e6, 6), doc_id
         else:
             assert got[doc_id]["nll"] == 0.0
+
+
+def test_char_entropy_forms_agree_and_match_python(spark):
+    """Pure-Column and aggregate char entropy agree with each other
+    and with the python reference (incl. the blob-vs-prose signal)."""
+    import math
+    from collections import Counter
+
+    from duckdb_geography_spark.llm.textstats import char_entropy, char_entropy_stats
+
+    rows = [
+        (1, "aab"),
+        (2, ""),
+        (3, "aaaaaaaa"),
+        (4, "the quick brown fox"),
+        (5, "QmFzZTY0IGJsb2JzIGxvb2sgbGlrZSB0aGlz"),  # base64-ish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_form = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", char_entropy("text").alias("h")).collect()
+    }
+    agg_form = {
+        r["doc_id"]: r["h_char"] for r in char_entropy_stats(df).collect()
+    }
+    assert col_form == agg_form
+
+    def ref(t):
+        if not t:
+            return 0.0
+        n, c = len(t), Counter(t)
+        s = sum(v * round(math.log(v) * 1e6) for v in c.values())
+        return round((round(math.log(n) * 1e6) - s / n) / 1e6, 6)
+
+    for doc_id, text in rows:
+        assert col_form[doc_id] == ref(text), (doc_id, text)
+    assert agg_form[3] == 0.0                 # filler
+    assert agg_form[5] > agg_form[4] > 1.5    # blob > prose > filler

@@ -572,6 +572,7 @@ class TestLlmSqlSurface:
             "quality_score": T.quality_score,
             "langid": T.langid,
             "rolling_fingerprint": T.rolling_fingerprint,
+            "char_entropy": T.char_entropy,
         }
 
     def test_sql_equals_column_everywhere(self, spark):
