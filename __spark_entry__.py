@@ -3868,6 +3868,44 @@ ORDER BY doc_id
 """
 
 
+def _q_weighted_mix(spark, sf_dir):
+    """Deterministic weighted source mix (llm/prep.py::weighted_mix):
+    four sources at different rates, the rest dropped; per-source
+    counts prove the rates, per-source min doc_id pins membership."""
+    from duckdb_geography_spark.llm.prep import weighted_mix
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_WEIGHTED_MIX_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents)
+SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM b
+WHERE (source = 'src0' AND bucket < 10000)
+   OR (source = 'src1' AND bucket < 5000)
+   OR (source = 'src2' AND bucket < 2500)
+   OR (source = 'src3' AND bucket < 1000)
+GROUP BY source ORDER BY source
+"""
+
+
 def _q_dedup_lines(spark, sf_dir):
     """Line-level boilerplate removal over synthesized multi-line docs
     (each doc gets its unique text plus planted boilerplate lines that
@@ -4495,6 +4533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": _q_bigram_nll,
         "trigram_nll": _q_trigram_nll,
         "char_entropy": _q_char_entropy,
+        "weighted_mix": _q_weighted_mix,
     }
 
 
@@ -4578,4 +4617,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_nll": _BIGRAM_NLL_SQL,
         "trigram_nll": _TRIGRAM_NLL_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
+        "weighted_mix": _WEIGHTED_MIX_SQL,
     }

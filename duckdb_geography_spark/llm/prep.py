@@ -199,6 +199,41 @@ def stratified_sample(
     )
 
 
+def weighted_mix(
+    df: DataFrame,
+    weights: dict,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 10000,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted corpus mixing: keep each source at its configured
+    sampling rate (``weights``: source -> fraction in [0, 1]; sources
+    absent from the dict drop entirely) — the dataset-mix step that
+    turns raw corpora into a training distribution. Deterministic and
+    key-coupled like :func:`hash_sample` (the same document keeps the
+    same fate across reruns; ``salt`` draws an independent mix), and a
+    pure Column filter — it fuses into the scan, so an upsampled
+    pipeline reads only what it keeps."""
+    if not weights:
+        return df.where(F.lit(False))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), _c(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    keep = F.lit(False)
+    for src, frac in sorted(weights.items()):
+        thresh = int(round(float(frac) * buckets))
+        keep = keep | ((_c(source_col) == src) & (bucket < thresh))
+    return df.where(keep)
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

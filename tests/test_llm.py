@@ -1037,3 +1037,25 @@ def test_char_entropy_forms_agree_and_match_python(spark):
         assert col_form[doc_id] == ref(text), (doc_id, text)
     assert agg_form[3] == 0.0                 # filler
     assert agg_form[5] > agg_form[4] > 1.5    # blob > prose > filler
+
+
+def test_weighted_mix_rates_and_determinism(spark):
+    from duckdb_geography_spark.llm.prep import weighted_mix
+
+    rows = [(i, f"src{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_mix(df, {"src0": 1.0, "src1": 0.3})
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["src0"] == 1000                       # full retention
+    assert abs(counts["src1"] - 300) < 60               # ~30% +- noise
+    # absent source drops entirely
+    assert weighted_mix(df, {"src0": 0.5}).where(
+        F.col("source") == "src1"
+    ).count() == 0
+    # deterministic across calls; salt decorrelates
+    a = {r["doc_id"] for r in weighted_mix(df, {"src1": 0.3}).collect()}
+    b = {r["doc_id"] for r in weighted_mix(df, {"src1": 0.3}).collect()}
+    c = {r["doc_id"] for r in weighted_mix(df, {"src1": 0.3}, salt="v2").collect()}
+    assert a == b and a != c
+    # empty weights -> empty frame
+    assert weighted_mix(df, {}).count() == 0
