@@ -3868,6 +3868,50 @@ ORDER BY doc_id
 """
 
 
+def _q_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel per user (streaming/events.py::
+    funnel_stages: linear greedy subsequence fold per user). Output is
+    the stage histogram; the oracle computes each user's stage with
+    chained strictly-increasing EXISTS joins — equal by the greedy-
+    optimality of subsequence embedding."""
+    from duckdb_geography_spark.streaming.events import funnel_stages
+
+    _prep(spark)
+    # first-36-hours slice: with the full 3-week span every user
+    # completes the funnel and the histogram is a single row
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-02 12:00:00").cast("timestamp")
+    )
+    stages = funnel_stages(ev, ["view", "click", "purchase"])
+    return (
+        stages.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (
+  SELECT u.user_id,
+    CASE
+      WHEN EXISTS (
+        SELECT 1 FROM (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00') v
+        JOIN (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00') c ON c.user_id = v.user_id AND c.event_type = 'click' AND c.ts > v.ts
+        JOIN (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00') p ON p.user_id = v.user_id AND p.event_type = 'purchase' AND p.ts > c.ts
+        WHERE v.user_id = u.user_id AND v.event_type = 'view') THEN 3
+      WHEN EXISTS (
+        SELECT 1 FROM (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00') v
+        JOIN (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00') c ON c.user_id = v.user_id AND c.event_type = 'click' AND c.ts > v.ts
+        WHERE v.user_id = u.user_id AND v.event_type = 'view') THEN 2
+      WHEN EXISTS (
+        SELECT 1 FROM (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00') v
+        WHERE v.user_id = u.user_id AND v.event_type = 'view') THEN 1
+      ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00') u)
+SELECT stage, count(*) AS n_users FROM s GROUP BY stage ORDER BY stage
+"""
+
+
 def _q_weighted_mix(spark, sf_dir):
     """Deterministic weighted source mix (llm/prep.py::weighted_mix):
     four sources at different rates, the rest dropped; per-source
@@ -4534,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_nll": _q_trigram_nll,
         "char_entropy": _q_char_entropy,
         "weighted_mix": _q_weighted_mix,
+        "funnel": _q_funnel,
     }
 
 
@@ -4618,4 +4663,5 @@ def oracle_sql() -> dict[str, str]:
         "trigram_nll": _TRIGRAM_NLL_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "weighted_mix": _WEIGHTED_MIX_SQL,
+        "funnel": _FUNNEL_SQL,
     }

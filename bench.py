@@ -73,6 +73,7 @@ def main() -> None:
         "dedup_lines",
         "bigram_nll",
         "char_entropy",
+        "funnel",
     ]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,

@@ -333,6 +333,58 @@ def collect_benchmark_grams(
     return sorted(r["g"] for r in rows)
 
 
+def funnel_stages(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: the furthest ``steps`` prefix each user
+    completed as a strictly-time-increasing ordered subsequence
+    (view -> click -> purchase ...). Returns ``(user, stage)`` with
+    stage in [0, len(steps)].
+
+    Implementation is ONE groupBy(user) collecting the (ts, type)
+    sequence sorted in-aggregate, then a LINEAR greedy fold with a
+    higher-order ``aggregate`` — greedy earliest-match is optimal for
+    subsequence embedding, so the result equals the quadratic
+    EXISTS-chain formulation the SQL oracle replays, at O(events per
+    user) instead of O(events^k). Ties in ``ts`` never advance two
+    stages (strict > between consecutive matched steps), which keeps
+    both formulations identical. One shuffle; per-user state is the
+    sorted event array."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = _ensure_event_time(events, ts_col)
+    seq = ev.groupBy(F.col(user_col).alias("user")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+        ).alias("__seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("last")
+    )
+
+    def fold(acc, e):
+        adv = (
+            (acc["stage"] < k)
+            & (e["y"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & (acc["last"].isNull() | (e["t"] > acc["last"]))
+        )
+        return F.when(
+            adv,
+            F.struct((acc["stage"] + 1).alias("stage"), e["t"].alias("last")),
+        ).otherwise(acc)
+
+    return seq.select(
+        F.col("user").alias(user_col),
+        F.aggregate(F.col("__seq"), init, fold)["stage"].alias("stage"),
+    )
+
+
 def stream_interval_join(
     points: DataFrame,
     intervals_from: DataFrame,

@@ -286,3 +286,37 @@ def test_stream_interval_join_matches_batch(spark):
         ).select("view_id", "err_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_funnel_stages_ordered_subsequence(spark):
+    """Stage = longest steps-prefix embeddable as a strictly-time-
+    increasing subsequence; out-of-order and equal-timestamp events
+    must not advance."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.streaming.events import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # u1: full ordered funnel
+        (1, t0, "view"), (1, t0 + sec, "click"), (1, t0 + 2 * sec, "purchase"),
+        # u2: purchase BEFORE click -> stops at click (stage 2)
+        (2, t0, "view"), (2, t0 + 2 * sec, "click"), (2, t0 + sec, "purchase"),
+        # u3: click at the SAME instant as view -> strict > blocks it
+        (3, t0, "view"), (3, t0, "click"),
+        # u4: no view at all, later steps don't count
+        (4, t0, "click"), (4, t0 + sec, "purchase"),
+        # u5: greedy-trap — early view, then the only click precedes a
+        # second view; greedy keeps the FIRST view and still finds the
+        # click after it
+        (5, t0, "view"), (5, t0 + sec, "click"), (5, t0 + 2 * sec, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2}
