@@ -4165,7 +4165,8 @@ WITH u AS (
       ':[0-9]+$', '') AS host,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-    regexp_replace(regexp_replace(regexp_extract(url, '\\?([^#]*)', 1),
+    regexp_replace(regexp_replace(
+      regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1),
       '(?:^|&)(?:utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'), '^&', '') AS q
   FROM u
 )

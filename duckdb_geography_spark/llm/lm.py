@@ -212,7 +212,8 @@ def ngram_nll(
     cost ``ln(alpha*V) - ln(alpha)``. Pass ``counts`` (from
     :func:`bigram_counts`, possibly of a different corpus) to score
     against a fixed model; default trains on ``df`` itself. Returns
-    ``(key, n_trans, nll)``; documents with < 2 words score 0.0.
+    ``(key, n_trans, nll)``; documents with fewer than ``n`` words
+    have zero transitions and score 0.0.
 
     100 TB shape: transitions explode once; the model attach is two
     LEFT equi-joins (bigram table on (prev, cur), context table on

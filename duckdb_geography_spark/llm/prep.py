@@ -26,6 +26,18 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: Java-regex metacharacters that need escaping to read a pattern as
+#: a literal string (java.util.regex.Pattern.quote semantics, spelled
+#: out char-by-char so the result stays inside the RE2-compatible
+#: subset the DuckDB oracles replay)
+_JAVA_REGEX_META = set("\\.[]{}()*+-?^$|")
+
+
+def _regex_literal(s: str) -> str:
+    """Escape ``s`` so Java regex (and RE2) match it literally."""
+    return "".join("\\" + ch if ch in _JAVA_REGEX_META else ch for ch in s)
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -250,6 +262,10 @@ def dedup_lines(
     ``min_line_chars`` are exempt (blank separators carry structure,
     not boilerplate). Returns ``(key, <text>_clean, n_lines_kept)``;
     a document whose every line was dropped survives with ''.
+    ``sep`` is a LITERAL string (escaped before the regex split, so
+    ``'.'`` or ``'|'`` split on those characters, matching the DuckDB
+    oracle's literal ``string_split``), and is also the join string
+    on reassembly.
 
     100 TB shape: one explode, one line-keyed count-distinct (hash
     shuffle on the line — uniform unless the corpus is one page), a
@@ -260,7 +276,9 @@ def dedup_lines(
     no second sort shuffle."""
     lines = df.select(
         _c(key_col).alias("__key"),
-        F.posexplode(F.split(_c(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(_c(text_col), _regex_literal(sep))).alias(
+            "__pos", "__line"
+        ),
     )
     frequent = (
         lines.where(F.length("__line") >= min_line_chars)

@@ -63,8 +63,13 @@ def url_path(url) -> Column:
 
 def url_query(url) -> Column:
     """Query string without the '?' ('' when absent; fragment
-    excluded)."""
-    return F.regexp_extract(_c(url), r"\?([^#]*)", 1)
+    excluded). The fragment is stripped FIRST so a '?' that only
+    appears inside the fragment ('https://a.com/p#f?x=1') is not
+    misread as a query — matching the path regex's [^?#]
+    discipline."""
+    return F.regexp_extract(
+        F.regexp_replace(_c(url), r"#.*$", ""), r"\?(.*)$", 1
+    )
 
 
 def normalize_url(url) -> Column:
@@ -100,8 +105,10 @@ def normalize_url(url) -> Column:
 
 def registered_domain(host) -> Column:
     """Last two dot-labels of a host (``a.b.c.example.com`` ->
-    ``example.com``); the host itself when it has fewer than two
-    labels. NAIVE — see module docstring re: Public Suffix List."""
+    ``example.com``); ``''`` when the host has fewer than two labels
+    (no-match regex extract — single-label hosts like ``localhost``
+    have no registrable domain). NAIVE — see module docstring re:
+    Public Suffix List."""
     h = _c(host)
     return F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
 

@@ -352,8 +352,13 @@ def funnel_stages(
     EXISTS-chain formulation the SQL oracle replays, at O(events per
     user) instead of O(events^k). Ties in ``ts`` never advance two
     stages (strict > between consecutive matched steps), which keeps
-    both formulations identical. One shuffle; per-user state is the
-    sorted event array."""
+    both formulations identical. Events with a NULL timestamp carry
+    no temporal order and are excluded from the fold (letting them
+    through would let the NULL-``last`` first-match branch chain
+    stages with no ordering at all, diverging from the EXISTS-chain
+    oracle) — but a user whose EVERY event is NULL-ts still gets a
+    stage-0 row, so the user set matches the oracle's. One shuffle;
+    per-user state is the sorted event array."""
     if not steps:
         raise ValueError("steps must be non-empty")
     k = len(steps)
@@ -361,7 +366,14 @@ def funnel_stages(
     ev = _ensure_event_time(events, ts_col)
     seq = ev.groupBy(F.col(user_col).alias("user")).agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+            # collect_list drops NULL entries, so NULL-ts events are
+            # skipped without losing the user's row
+            F.collect_list(
+                F.when(
+                    F.col(ts_col).isNotNull(),
+                    F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")),
+                )
+            )
         ).alias("__seq")
     )
     init = F.struct(
