@@ -210,25 +210,34 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     hash_fn: str = "xxhash64",
-    max_bucket: Optional[int] = None,
+    max_bucket: Optional[int] = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket. One explode + one equi-join; no
     all-pairs stage anywhere (the 100 TB shape).
 
-    ``max_bucket`` is the skew guard: a degenerate bucket holding B
-    keys (boilerplate text, empty docs) emits B^2/2 pairs — at corpus
-    scale one hot bucket can dominate the whole join. Buckets above
-    the cap are dropped BEFORE the self-join (a co-partitioned count +
-    semi-join, no extra shuffle of the wide rows); near-identical
-    members of a dropped bucket still pair through their other
-    ``bands-1`` (less degenerate) bands. This is the same escape
-    hatch every production LSH dedup ships (cf. the candidate cap in
-    spark-ml's MinHashLSH approxSimilarityJoin).
+    ``max_bucket`` (default 500) is the skew guard: a degenerate
+    bucket holding B keys (boilerplate text, empty docs) emits B^2/2
+    pairs — at corpus scale one hot bucket can dominate the whole
+    join. Buckets above the cap are dropped BEFORE any member list is
+    materialized: a per-bucket ``count(*)`` (map-side-combinable, the
+    shuffled partial counts are tiny) selects the eligible buckets,
+    and a LEFT SEMI join keeps only their rows — so an oversized
+    bucket never reaches a ``collect_list`` aggregation buffer. The
+    semi-join output is already hash-partitioned on the bucket key,
+    so the member aggregation that follows adds no extra shuffle of
+    the wide rows. Near-identical members of a dropped bucket still
+    pair through their other ``bands-1`` (less degenerate) bands.
+    This is the same escape hatch every production LSH dedup ships
+    (cf. the candidate cap in spark-ml's MinHashLSH
+    approxSimilarityJoin). ``max_bucket=None`` disables the guard
+    (NOT recommended beyond toy scale).
 
     Returns (key_a, key_b) candidates, key_a < key_b, deduped.
     """
     assert num_perm % bands == 0
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None to disable)")
     rows = num_perm // bands
     # explode shingles -> per-shingle hash -> groupBy min per
     # permutation. One pass over the shingles, map-side partial
@@ -269,16 +278,27 @@ def minhash_lsh_pairs(
     # + 64-way min agg) TWICE — once per join branch, since the
     # branches project differently and their exchanges can't be
     # reused. Collecting each bucket's members and expanding the
-    # sorted combinations keeps a single signature pass and makes the
-    # skew cap a free size() filter. Memory: a bucket materializes in
-    # one aggregation buffer — set ``max_bucket`` at corpus scale
-    # (the join form degrades the same way, just by emitting B^2 rows
-    # instead).
+    # sorted combinations keeps a single signature pass. Memory: only
+    # buckets already proven <= max_bucket by the count below ever
+    # reach an aggregation buffer (the join form degrades the same
+    # way, just by emitting B^2 rows instead).
+    if max_bucket is not None:
+        # skew guard, applied BEFORE collect_list: per-bucket count
+        # (partial-aggregated map-side, so the extra shuffle moves
+        # only (bucket, count) rows) -> eligible buckets -> LEFT SEMI
+        # join. The signature subtree is shared between the two
+        # branches up through sig's exchange, which ReuseExchange
+        # dedups — the shingle explode + 64-way min scan runs once.
+        eligible = (
+            buckets.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where((F.col("__n") >= 2) & (F.col("__n") <= int(max_bucket)))
+            .select("__bucket")
+        )
+        buckets = buckets.join(eligible, "__bucket", "left_semi")
     members = buckets.groupBy("__bucket").agg(
         F.sort_array(F.collect_list("__key")).alias("__ks")
     )
-    if max_bucket is not None:
-        members = members.where(F.size("__ks") <= max_bucket)
     pairs = (
         members.where(F.size("__ks") >= 2)
         .select(
@@ -389,7 +409,10 @@ def connected_components(
     ``localCheckpoint`` truncates lineage each round so the plan does
     not grow with iterations (the standard guard for iterative
     DataFrame algorithms). Convergence is detected distributedly (a
-    count of changed labels), so the driver never holds labels.
+    count of changed labels), so the driver never holds labels — and
+    the changed flag is computed IN the label-update projection, so
+    counting it just scans the freshly checkpointed blocks: no
+    old-vs-new re-join, no extra shuffle job per round.
 
     Returns ``(node, component)`` where ``component`` is the minimum
     key in the node's component. ``nodes`` (optional, first column
@@ -422,16 +445,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                # changed iff a neighbor offered a strictly smaller
+                # label — carried as a column so the convergence count
+                # below reads the checkpoint, not a re-join
+                (F.col("nbr_min") < F.col("label")).alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: the one heavy action per round
         )
-        changed = (
-            new_labels.select("node", F.col("label").alias("new_label"))
-            .join(labels, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     else:

@@ -176,13 +176,49 @@ class TestDedup:
         hot = spark.range(30).select(
             F.col("id").alias("doc_id"), F.lit("same same same text").alias("text")
         )
-        uncapped = dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8)
+        uncapped = dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8, max_bucket=None)
         assert uncapped.count() == 30 * 29 // 2
         capped = dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8, max_bucket=10)
         assert capped.count() == 0
-        # a cap ABOVE the bucket size changes nothing
+        # a cap ABOVE the bucket size changes nothing (the default 500
+        # also exceeds 30, so the default is equivalent here)
         loose = dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8, max_bucket=64)
         assert loose.count() == 30 * 29 // 2
+        assert dedup.minhash_lsh_pairs(hot, num_perm=32, bands=8).count() == (
+            30 * 29 // 2
+        )
+
+    def test_minhash_bucket_cap_applied_before_collect_list(self, spark):
+        # the skew guard must drop hot buckets BEFORE any member list
+        # materializes: the optimized plan has a LEFT SEMI join (count
+        # + eligibility filter) strictly BELOW the collect_list
+        # aggregate — not a size(__ks) filter above it. Plans print
+        # parent-before-child, so the collect_list line must come
+        # first.
+        df = spark.range(10).selectExpr(
+            "id AS doc_id", "concat('text number ', id) AS text"
+        )
+        capped = dedup.minhash_lsh_pairs(df, num_perm=32, bands=8, max_bucket=10)
+        plan = capped._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "collect_list" in plan
+        assert plan.index("collect_list") < plan.index("LeftSemi")
+        # no post-materialization upper-bound size cap anywhere (the
+        # `size(__ks) >= 2` pair filter is fine — it prunes, never
+        # buffers)
+        import re
+
+        assert not re.search(r"size\(__ks#\d+, \w+\) <= ", plan)
+        # disabling the guard removes the semi-join
+        uncapped = dedup.minhash_lsh_pairs(
+            df, num_perm=32, bands=8, max_bucket=None
+        )
+        assert "LeftSemi" not in uncapped._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_minhash_bucket_cap_validation(self, spark):
+        df = spark.range(2).selectExpr("id AS doc_id", "'t' AS text")
+        with pytest.raises(ValueError, match="max_bucket"):
+            dedup.minhash_lsh_pairs(df, max_bucket=1)
 
     def test_simhash_near_dups(self, spark):
         rows = [
