@@ -776,6 +776,24 @@ def validation_error(g: Geography) -> Optional[str]:
                     j = (i + 1) % len(r)
                     if r[i][0] == r[j][0] and r[i][1] == r[j][1]:
                         return f"Vertices {i} and {j} are identical"
+            # hole nesting: every hole must sit inside its shell
+            # (s2geometry's polygon validation rejects bad nesting;
+            # message wording here is ours — the reference defers to
+            # s2's FindValidationError). Cheap test: one representative
+            # hole vertex against the shell's winding number, only for
+            # polygons that actually have holes.
+            if len(rings) > 1 and len(rings[0]) >= 3:
+                shell = gd.lonlat_deg_to_xyz(rings[0])
+                for hi, hole in enumerate(rings[1:], start=1):
+                    if len(hole) < 3:
+                        continue
+                    v = gd.lonlat_deg_to_xyz(hole[:1])[0]
+                    if gd.winding_number(v, shell) == 0 and not bool(
+                        (gd.point_segment_distance(
+                            v[None], shell, np.roll(shell, -1, axis=0)
+                        ) < 1e-12).any()
+                    ):
+                        return f"Hole {hi} is not contained in its shell"
     if k == KIND_COLLECTION:
         for sub in g.geoms:
             err = validation_error(sub)

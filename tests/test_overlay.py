@@ -320,3 +320,103 @@ class TestReviewRegressions:
         got = cm.token_decode(["+abc", " 89c", "-1", "89c259", "0x1"])
         assert list(got[:3]) == [0, 0, 0]
         assert got[3] != 0 and got[4] == 0
+
+
+class TestRandomizedOverlaySweep:
+    """200 seeded random polygon pairs (convex + every-3rd with a
+    hole): inclusion-exclusion area identities, idempotence, and an
+    independent Girard angle-sum closed form for the convex areas —
+    the randomized analogue of the curated rect/poly overlay gates."""
+
+    R = 6_371_010.0
+
+    @staticmethod
+    def _convex_wkt(rng, lon0, lat0, rmin=1.0, rmax=6.0):
+        k = int(rng.integers(4, 9))
+        # evenly spaced angles with bounded jitter: keeps the order
+        # strict, the spacing non-degenerate, AND the center inside
+        # the ring (all vertices on a circle -> convex; angle gaps
+        # < pi -> star-shaped about the center). An earlier fully
+        # random draw could put all k angles in one half-plane,
+        # producing rings that do NOT contain (lon0, lat0) — which
+        # silently made the hole-variant polygons invalid
+        # (hole outside shell).
+        base = np.linspace(0.0, 2.0 * np.pi, k, endpoint=False)
+        th = base + rng.uniform(-0.35, 0.35, k) * (2.0 * np.pi / k)
+        r = rng.uniform(rmin, rmax)
+        lats = lat0 + r * np.sin(th)
+        lons = lon0 + r * np.cos(th) / np.cos(np.radians(lat0))
+        pts = ", ".join(f"{lon:.10f} {lat:.10f}" for lon, lat in zip(lons, lats))
+        first = f"{lons[0]:.10f} {lats[0]:.10f}"
+        ring = f"({pts}, {first})"
+        return ring, float(r)
+
+    @classmethod
+    def _girard_area(cls, ring_wkt):
+        """Independent closed form: spherical excess by Girard's
+        angle sum over the ring's unit vectors (no shared code with
+        ops.area, which integrates ring_area)."""
+        body = ring_wkt.strip()[1:-1]
+        pairs = [p.split() for p in body.split(",")[:-1]]
+        ll = np.array([[float(a), float(b)] for a, b in pairs])
+        v = gd.lonlat_deg_to_xyz(ll)
+        n = len(v)
+        angles = 0.0
+        for i in range(n):
+            p, q, s = v[(i - 1) % n], v[i], v[(i + 1) % n]
+            # tangent-plane projections of the two edge directions at q
+            t1 = p - q * np.dot(p, q)
+            t2 = s - q * np.dot(s, q)
+            t1 /= np.linalg.norm(t1)
+            t2 /= np.linalg.norm(t2)
+            angles += np.arccos(np.clip(np.dot(t1, t2), -1.0, 1.0))
+        excess = angles - (n - 2) * np.pi
+        return abs(excess) * cls.R * cls.R
+
+    def test_inclusion_exclusion_200_pairs(self):
+        rng = np.random.default_rng(20260814)
+        n_overlapping = 0
+        for i in range(200):
+            lon0 = float(rng.uniform(-150, 150))
+            lat0 = float(rng.uniform(-55, 55))
+            ring_a, ra = self._convex_wkt(rng, lon0, lat0)
+            if i % 3 == 0:
+                hole, _ = self._convex_wkt(
+                    rng, lon0, lat0, rmin=0.05, rmax=0.25
+                )
+                wa = f"POLYGON ({ring_a}, {hole})"
+            else:
+                hole = None
+                wa = f"POLYGON ({ring_a})"
+            # B's center within ~1 radius of A's -> overlap is common
+            lon1 = lon0 + float(rng.uniform(-ra, ra))
+            lat1 = float(np.clip(lat0 + rng.uniform(-ra, ra), -58, 58))
+            ring_b, _ = self._convex_wkt(rng, lon1, lat1)
+            wb = f"POLYGON ({ring_b})"
+
+            a, b = from_wkt(wa), from_wkt(wb)
+            aA, aB = ops.area(a), ops.area(b)
+            ia = ops.area(ops.intersection(a, b))
+            da = ops.area(ops.difference(a, b))
+            ua = ops.area(ops.union(a, b))
+            tol = max(aA, aB) * 1e-9
+            assert abs(ia + da - aA) < tol, (i, wa, wb)
+            assert abs(ua - (aA + aB - ia)) < tol, (i, wa, wb)
+            if ia > 0:
+                n_overlapping += 1
+
+            # independent Girard closed form (convex outer ring; with
+            # a hole, subtract the hole's own excess)
+            want = self._girard_area(ring_a)
+            if hole is not None:
+                want -= self._girard_area(hole)
+            assert aA == pytest.approx(want, rel=1e-6), (i, wa)
+
+            if i % 5 == 0:  # idempotence spot checks
+                assert ops.area(ops.intersection(a, a)) == pytest.approx(
+                    aA, rel=1e-9
+                )
+                assert ops.area(ops.union(a, a)) == pytest.approx(aA, rel=1e-9)
+                assert ops.area(ops.difference(a, a)) < tol
+        # the sweep must actually exercise the overlay paths
+        assert n_overlapping > 60, n_overlapping

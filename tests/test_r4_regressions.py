@@ -110,3 +110,34 @@ class TestFunnelNullTs:
             for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
         }
         assert got == {"u1": 0, "u2": 3, "u3": 1}
+
+
+class TestHoleNestingValidation:
+    def test_hole_outside_shell_is_invalid(self):
+        from duckdb_geography_spark.geo.geography import (
+            from_wkt,
+            validation_error,
+        )
+
+        bad = (
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(10 10, 11 10, 11 11, 10 11, 10 10))"
+        )
+        g = from_wkt(bad, validate=False)
+        assert validation_error(g) == "Hole 1 is not contained in its shell"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            from_wkt(bad)
+
+    def test_proper_hole_still_valid(self):
+        from duckdb_geography_spark.geo.geography import (
+            from_wkt,
+            validation_error,
+        )
+
+        good = (
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))"
+        )
+        assert validation_error(from_wkt(good)) is None
