@@ -39,6 +39,8 @@ def _isempty_udf(s: pd.Series) -> pd.Series:
 
 
 def s2_isempty(geog) -> Column:
+    """True for empty geographies — decided from the encoded tag byte
+    alone, no geometry decode (src/s2_accessors.cpp:21-49)."""
     return _isempty_udf(_c(geog))
 
 
@@ -120,6 +122,8 @@ def s2_x(geog) -> Column:
 
 
 def s2_y(geog) -> Column:
+    """Latitude of a single point, NaN otherwise
+    (src/s2_accessors.cpp:325-409)."""
     return _y_udf(_c(geog))
 
 

@@ -20,6 +20,15 @@ from pyspark.sql import functions as F
 
 from .io import s2_geogfromtext
 
+__all__ = [
+    "s2_data_cities",
+    "s2_data_countries",
+    "s2_data_city",
+    "s2_data_country",
+    "s2_dependencies",
+    "s2",
+]
+
 N_CITIES = 243
 N_COUNTRIES = 177
 
@@ -125,6 +134,9 @@ def s2_data_city(name: str):
 
 
 def s2_data_country(name: str):
+    """Country WKT by name -> encoded geography bytes (driver-side
+    scalar; reference: src/s2_data.cpp:143-190). Errors like the
+    reference on unknown names."""
     from ..geo.geography import from_wkt
 
     return from_wkt(_lookup(_countries_pdf(), name)).encode()

@@ -129,6 +129,8 @@ def s2_geogfromwkb(wkb) -> Column:
 
 
 def s2_geogfromwkb_novalidate(wkb) -> Column:
+    """WKB -> GEOGRAPHY without validation — invalid inputs parse and
+    report through s2_is_valid_reason (src/s2_functions_io.cpp:248-273)."""
     return _geogfromwkb_novalidate_udf(_c(wkb))
 
 

@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 
 from .functions.io import s2_aswkb, s2_geogfromwkb
 
+__all__ = [
+    "s2_register_geoarrow_extensions",
+    "to_geoarrow_table",
+    "from_geoarrow_table",
+    "write_geoparquet",
+    "read_geoparquet",
+    "write_geoparquet_dir",
+    "read_geoparquet_dir",
+    "GEOARROW_META",
+]
+
 #: Arrow extension metadata the reference emits
 #: (src/s2_geoarrow.cpp:48-84: spherical edges, OGC:CRS84)
 GEOARROW_META = {
@@ -156,8 +167,14 @@ def from_geoarrow_table(
 
 
 def write_geoparquet(df: DataFrame, path: str, geog_col: str = "geog") -> None:
+    """Collect ``df`` on the driver and write ONE geoparquet file with
+    geoarrow.wkb column metadata — the single-file convenience twin of
+    :func:`write_geoparquet_dir` (which writes distributed)."""
     pq.write_table(to_geoarrow_table(df, geog_col), path)
 
 
 def read_geoparquet(spark: SparkSession, path: str, geog_col: str = "geog") -> DataFrame:
+    """Read one geoparquet file (geoarrow.wkb column) into a DataFrame
+    with our GEOGRAPHY encoding; single-file twin of
+    :func:`read_geoparquet_dir`."""
     return from_geoarrow_table(spark, pq.read_table(path), geog_col)

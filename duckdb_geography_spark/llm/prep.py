@@ -17,6 +17,9 @@ __all__ = [
     "redact_pii",
     "decontaminate",
     "hash_sample",
+    "stratified_sample",
+    "weighted_mix",
+    "dedup_lines",
     "pack_chunks",
     "PII_PATTERNS",
 ]

@@ -68,6 +68,7 @@ def dot(a, b) -> Column:
 
 
 def norm(a) -> Column:
+    """Euclidean norm of an array<float/double> column (pure Column)."""
     return F.sqrt(dot(a, a))
 
 

@@ -47,6 +47,8 @@ STOPWORDS = {
 
 
 def char_count(text) -> Column:
+    """Character count (F.length; named for symmetry with the other
+    per-document stats)."""
     return F.length(_c(text))
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "stream_dedup",
     "read_documents_stream",
     "collect_benchmark_grams",
+    "funnel_stages",
+    "stream_interval_join",
     "stream_decontaminate",
 ]
 
