@@ -110,20 +110,29 @@ def main() -> None:
     # to whichever queries happen to touch each table first
     import glob as _glob
 
-    for p in sorted(_glob.glob(f"{SF_DIR}/*.parquet")):
-        with open(p, "rb") as fh:
+    def _warm(path):
+        if os.path.isdir(path):  # Spark-written dataset directory
+            for sub in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+                _warm(sub)
+            return
+        with open(path, "rb") as fh:
             while fh.read(1 << 24):
                 pass
+
+    for p in sorted(_glob.glob(f"{SF_DIR}/*.parquet")):
+        _warm(p)
 
     # three passes per query, report the min: steady-state throughput,
     # insulated from one-off JIT/compaction/noisy-neighbor blips
     # (observed run-to-run spread on this box is +-30%, so two passes
-    # still let a blip through)
+    # still let a blip through). SPARK_GRAFT_PASSES=1 for long
+    # large-sf scaling runs where wall-clock matters more than jitter.
+    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
     timings = {}
     total = 0.0
     for name in bench_queries:
         best, rows = float("inf"), 0
-        for _ in range(3):
+        for _ in range(passes):
             t0 = time.perf_counter()
             rows = qs[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

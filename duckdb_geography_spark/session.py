@@ -31,6 +31,12 @@ def get_spark(app_name: str = "duckdb_geography_spark", cpus: str | int = "*",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # local mode runs driver and executors in ONE JVM whose default
+        # heap is 1g — fine for sf0.1 fixtures, OOM at sf1+. Only
+        # effective when this call actually creates the JVM.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     )
     if shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,142 @@
+"""Generate an sf1.0-equivalent dataset for SCALING measurements by
+replicating /root/testdata/sf0.1 10x with shifted keys.
+
+The driver's fixtures stop at sf0.1; this produces 10x the rows with
+the same schema, the same per-copy distributions, and intact
+referential integrity (every copy shifts ALL related keys by the same
+stride, so join fan-outs match sf0.1 exactly). Content columns are
+perturbed per copy so content-keyed operators scale linearly instead
+of quadratically:
+
+- ``documents.text`` goes through a per-copy letter rotation
+  (F.translate), making shingle sets disjoint across copies — near-dup
+  structure per copy matches sf0.1, total candidate pairs ~10x (NOT
+  45x, which is what 10 near-identical copies of every doc would give
+  and would measure an artifact, not the engine);
+- ``embeddings.embedding`` gets a per-copy alternating-sign offset so
+  cosine near-dup pairs replicate per copy instead of cross-copy.
+
+Dimension tables (region, nation, part, supplier) keep their TPC-H
+scaling (part/supplier also x10; region/nation fixed).
+
+Output: /root/repo/.scale/sf1/*.parquet (gitignored — ~170 MB).
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get(
+    "SCALE_DST",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"),
+)
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+
+#: key columns shifted per copy, per table (stride = 10^ceil(log10(max+1)))
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: key spaces must shift with the SAME stride across tables so FK
+#: relationships survive (o_custkey must follow c_custkey's shift)
+KEY_SPACES = {
+    "c_custkey": "customer",
+    "o_custkey": "customer",
+    "o_orderkey": "orders",
+    "l_orderkey": "orders",
+    "p_partkey": "part",
+    "l_partkey": "part",
+    "s_suppkey": "supplier",
+    "l_suppkey": "supplier",
+    "event_id": "events_id",
+    "user_id": "events_user",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+FIXED = ["region", "nation"]
+SCALED = ["customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.session import get_spark
+
+    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(DST, exist_ok=True)
+
+    for t in FIXED:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+        print(f"{t}: copied")
+
+    # one stride per key SPACE, from the max over every column bound to it
+    strides = {}
+    for t in SCALED:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for c in KEY_COLS[t]:
+            space = KEY_SPACES[c]
+            mx = df.agg(F.max(F.col(c).cast("long"))).first()[0] or 0
+            strides[space] = max(strides.get(space, 0), int(mx) + 1)
+    # round strides up to a power of ten (readable shifted ids)
+    for k, v in strides.items():
+        s = 1
+        while s < v:
+            s *= 10
+        strides[k] = s
+
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+
+    for t in SCALED:
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            df = src
+            for c in KEY_COLS[t]:
+                df = df.withColumn(
+                    c, (F.col(c).cast("long") + F.lit(i * strides[KEY_SPACES[c]])).cast("long")
+                )
+            if t == "documents" and i > 0:
+                rot_l = lower[i:] + lower[:i]
+                rot_u = upper[i:] + upper[:i]
+                df = df.withColumn(
+                    "text", F.translate("text", lower + upper, rot_l + rot_u)
+                )
+            if t == "embeddings" and i > 0:
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (
+                            x
+                            + F.lit(0.07 * i)
+                            * F.when(j % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+                        ).cast("float"),
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
