@@ -31,6 +31,7 @@ REGISTRY = [
     ("Casts & Conversions", f"{PKG}.functions.casts", ()),
     ("Sample Data", f"{PKG}.functions.data", ()),
     ("Spatial Joins", f"{PKG}.joins", ("SpatialJoinLintWarning",)),
+    ("Spatial Join Rewrite", f"{PKG}.rewrite", ("RewriteUnsupported",)),
     ("Temporal Joins", f"{PKG}.temporal", ()),
     ("Deduplication", f"{PKG}.llm.dedup", ()),
     ("Similarity Search", f"{PKG}.llm.similarity", ()),
@@ -340,6 +341,20 @@ assert len(lint_spatial_joins(naive, warn=False)) == 1  # the footgun
 recipe = spatial_join(cities, s2_data_countries(spark),
                       left_key="name", right_key="name")
 assert lint_spatial_joins(recipe, warn=False) == []""",
+    "rewrite_spatial_joins": """import warnings
+cities = s2_data_cities(spark).select(
+    F.col("name").alias("city"), F.col("geog").alias("cgeog")).limit(40)
+two = s2_data_countries(spark).select(
+    F.col("name").alias("country"), F.col("geog").alias("ngeog")).limit(20)
+naive = cities.join(two, s2_intersects("cgeog", "ngeog")).select(
+    "country", "city")  # executes as an unconditioned cartesian join
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    fixed = rewrite_spatial_joins(naive)
+plan = fixed._jdf.queryExecution().executedPlan().toString()
+assert "CartesianProduct" not in plan
+assert "BroadcastNestedLoopJoin" not in plan
+assert {tuple(r) for r in fixed.collect()} == {tuple(r) for r in naive.collect()}""",
     # --- temporal ---
     "asof_join": """import datetime as dt
 t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)

@@ -1,0 +1,132 @@
+"""Auto-rewrite of naive spatial joins (rewrite.py): the rewritten
+plan must be cartesian-free and row-for-row equal to the naive one,
+across the DataFrame and spark.sql surfaces."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_geography_spark import joins as J
+from duckdb_geography_spark import rewrite as RW
+from duckdb_geography_spark.functions import predicates as G
+from duckdb_geography_spark.functions.data import (
+    s2_data_cities,
+    s2_data_countries,
+)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    cities = (
+        s2_data_cities(spark)
+        .select(F.col("name").alias("city"), F.col("geog").alias("cgeog"))
+        .limit(60)
+        .cache()
+    )
+    countries = (
+        s2_data_countries(spark)
+        .select(F.col("name").alias("country"), F.col("geog").alias("ngeog"))
+        .limit(40)
+        .cache()
+    )
+    cities.count(), countries.count()
+    return cities, countries
+
+
+def _pairs(df):
+    return {(r["country"], r["city"]) for r in df.collect()}
+
+
+class TestRewrite:
+    def test_intersects_rewrite_matches_naive(self, spark, sides):
+        cities, countries = sides
+        naive = cities.join(countries, G.s2_intersects("cgeog", "ngeog")).select(
+            "country", "city"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rw = RW.rewrite_spatial_joins(naive)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert rw.columns == ["country", "city"]
+        assert _pairs(rw) == _pairs(naive)
+        assert any(issubclass(x.category, J.SpatialJoinLintWarning) for x in w)
+
+    def test_swapped_arguments_still_equal(self, spark, sides):
+        cities, countries = sides
+        naive = cities.join(countries, G.s2_intersects("ngeog", "cgeog")).select(
+            "country", "city"
+        )
+        rw = RW.rewrite_spatial_joins(naive, warn=False)
+        assert _pairs(rw) == _pairs(naive)
+
+    def test_contains_rewrite(self, spark, sides):
+        cities, countries = sides
+        naive = countries.join(cities, G.s2_contains("ngeog", "cgeog")).select(
+            "country", "city"
+        )
+        rw = RW.rewrite_spatial_joins(naive, warn=False)
+        assert _pairs(rw) == _pairs(naive)
+
+    def test_contains_wrong_order_raises(self, spark, sides):
+        cities, countries = sides
+        # contains(right.col, left.col): direction can't be expressed
+        # by swapping sides — must refuse, not silently flip semantics
+        naive = cities.join(countries, G.s2_contains("ngeog", "cgeog"))
+        with pytest.raises(RW.RewriteUnsupported, match="argument order"):
+            RW.rewrite_spatial_joins(naive, warn=False)
+
+    def test_dwithin_literal_rewrite(self, spark, sides):
+        cities, countries = sides
+        naive = cities.join(
+            countries, G.s2_dwithin("cgeog", "ngeog", 100_000.0)
+        ).select("country", "city")
+        rw = RW.rewrite_spatial_joins(naive, warn=False)
+        assert _pairs(rw) == _pairs(naive)
+
+    def test_sql_surface(self, spark, sides):
+        from duckdb_geography_spark.functions.register import (
+            register_sql_functions,
+        )
+
+        cities, countries = sides
+        register_sql_functions(spark)
+        cities.createOrReplaceTempView("rw_cities")
+        countries.createOrReplaceTempView("rw_countries")
+        q = (
+            "SELECT country, city FROM rw_cities JOIN rw_countries "
+            "ON s2_intersects(cgeog, ngeog)"
+        )
+        naive = spark.sql(q)
+        rw = RW.sql(spark, q)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rw = RW.rewrite_spatial_joins(naive)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert _pairs(rw) == _pairs(naive)
+
+    def test_noop_without_naive_join(self, spark, sides):
+        cities, _ = sides
+        assert RW.rewrite_spatial_joins(cities) is cities
+        # recipe plans are untouched too
+        rw = RW.rewrite_spatial_joins(
+            J.covering_join(
+                cities.withColumnRenamed("cgeog", "geog"),
+                sides[1].withColumnRenamed("ngeog", "geog"),
+                left_key="city",
+                right_key="country",
+            )
+        )
+        assert J.lint_spatial_joins(rw, warn=False) == []
+
+    def test_deep_join_raises(self, spark, sides):
+        cities, countries = sides
+        naive = cities.join(countries, G.s2_intersects("cgeog", "ngeog"))
+        deep = naive.groupBy("country").count()
+        with pytest.raises(RW.RewriteUnsupported):
+            RW.rewrite_spatial_joins(deep, warn=False)
