@@ -65,31 +65,31 @@ def register_sql_functions(spark: SparkSession) -> None:
     parent_lsb = f"shiftleft(CAST(1 AS BIGINT), CAST(2 * (30 - {parent_tgt}) AS INT))"
     for ddl in (
         f"CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_is_valid(c BIGINT) "
-        f"RETURNS BOOLEAN RETURN {valid}",
+        f"RETURNS BOOLEAN COMMENT 'Return true for a structurally valid S2_CELL id.' RETURN {valid}",
         f"CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_level(c BIGINT) "
-        f"RETURNS INT RETURN IF({valid}, {lev_of}, -1)",
+        f"RETURNS INT COMMENT 'Extract the level (0-30, inclusive) from an S2_CELL; -1 for invalid cells.' RETURN IF({valid}, {lev_of}, -1)",
         f"CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_parent(c BIGINT, lev INT) "
-        f"RETURNS BIGINT RETURN IF(NOT s2_cell_is_valid(c) OR {parent_tgt} > s2_cell_level(c), "
+        f"RETURNS BIGINT COMMENT 'Compute a parent S2_CELL (negative lev = relative to the current level).' RETURN IF(NOT s2_cell_is_valid(c) OR {parent_tgt} > s2_cell_level(c), "
         f"CAST(-1 AS BIGINT), "
         f"(c & ~({parent_lsb} + {parent_lsb} - 1)) | {parent_lsb})",
         "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_child(c BIGINT, k INT) "
-        "RETURNS BIGINT RETURN IF(NOT s2_cell_is_valid(c) OR k < 0 OR k > 3 OR (c & -c) = 1, "
+        "RETURNS BIGINT COMMENT 'Compute child k (0-3) of an S2_CELL; -1 for leaves/invalid.' RETURN IF(NOT s2_cell_is_valid(c) OR k < 0 OR k > 3 OR (c & -c) = 1, "
         "CAST(-1 AS BIGINT), "
         "c - (c & -c) + shiftright(c & -c, 2) + 2 * shiftright(c & -c, 2) * CAST(k AS BIGINT))",
         "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_range_min(c BIGINT) "
-        "RETURNS BIGINT RETURN IF(s2_cell_is_valid(c), c - ((c & -c) - 1), CAST(-1 AS BIGINT))",
+        "RETURNS BIGINT COMMENT 'Minimum leaf cell value contained within an S2_CELL.' RETURN IF(s2_cell_is_valid(c), c - ((c & -c) - 1), CAST(-1 AS BIGINT))",
         "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_range_max(c BIGINT) "
-        "RETURNS BIGINT RETURN IF(s2_cell_is_valid(c), c + ((c & -c) - 1), CAST(-1 AS BIGINT))",
+        "RETURNS BIGINT COMMENT 'Maximum leaf cell value contained within an S2_CELL.' RETURN IF(s2_cell_is_valid(c), c + ((c & -c) - 1), CAST(-1 AS BIGINT))",
         "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_contains(a BIGINT, b BIGINT) "
-        "RETURNS BOOLEAN RETURN s2_cell_is_valid(a) AND s2_cell_is_valid(b) "
+        "RETURNS BOOLEAN COMMENT 'Return true if cell a contains cell b.' RETURN s2_cell_is_valid(a) AND s2_cell_is_valid(b) "
         "AND a - ((a & -a) - 1) <= b AND b <= a + ((a & -a) - 1)",
         "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_intersects(a BIGINT, b BIGINT) "
-        "RETURNS BOOLEAN RETURN s2_cell_contains(a, b) OR s2_cell_contains(b, a)",
+        "RETURNS BOOLEAN COMMENT 'Return true if a contains b or b contains a.' RETURN s2_cell_contains(a, b) OR s2_cell_contains(b, a)",
         "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_token(c BIGINT) "
-        "RETURNS STRING RETURN CASE WHEN c = 0 THEN 'X' "
+        "RETURNS STRING COMMENT 'Serialize an S2_CELL as a compact hexadecimal token (X for 0).' RETURN CASE WHEN c = 0 THEN 'X' "
         "ELSE regexp_replace(lpad(lower(hex(c)), 16, '0'), '0+$', '') END",
         "CREATE OR REPLACE TEMPORARY FUNCTION s2_cell_from_token(t STRING) "
-        "RETURNS BIGINT RETURN IF(lower(t) RLIKE '^[0-9a-f]{1,16}$', "
+        "RETURNS BIGINT COMMENT 'Parse a hexadecimal token as an S2_CELL (0 for malformed tokens).' RETURN IF(lower(t) RLIKE '^[0-9a-f]{1,16}$', "
         "CAST(CASE WHEN CAST(conv(rpad(lower(t), 16, '0'), 16, 10) AS DECIMAL(20,0)) "
         "          > CAST('9223372036854775807' AS DECIMAL(20,0)) "
         "THEN CAST(conv(rpad(lower(t), 16, '0'), 16, 10) AS DECIMAL(20,0)) "

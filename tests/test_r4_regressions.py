@@ -141,3 +141,24 @@ class TestHoleNestingValidation:
             "(1 1, 2 1, 2 2, 1 2, 1 1))"
         )
         assert validation_error(from_wkt(good)) is None
+
+
+class TestCatalogFunctionComments:
+    def test_describe_function_carries_comment(self, spark):
+        # FunctionBuilder parity (reference src/function_builder.cpp):
+        # the SQL-DDL cell functions install a description the catalog
+        # can surface through DESCRIBE FUNCTION
+        from duckdb_geography_spark.functions.register import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        for fn, frag in [
+            ("s2_cell_parent", "parent S2_CELL"),
+            ("s2_cell_token", "hexadecimal token"),
+            ("s2_cell_level", "level (0-30"),
+        ]:
+            txt = "\n".join(
+                r[0] for r in spark.sql(f"DESCRIBE FUNCTION {fn}").collect()
+            )
+            assert frag in txt, (fn, txt[:200])
