@@ -186,6 +186,13 @@ def rewrite_spatial_joins(
             "not a spatial join shape this rewriter handles"
         )
     left_df, right_df = _df_of(spark, left_plan), _df_of(spark, right_plan)
+    # a chained query can nest ANOTHER naive join inside either input
+    # (a JOIN b ON pred JOIN c ON pred2) — rewrite children first so
+    # no cartesian survives anywhere in the final plan. Attribute
+    # positions are preserved (the child rewrite keeps column order),
+    # so the index-based column mapping below stays valid.
+    left_df = rewrite_spatial_joins(left_df, level=level, warn=False)
+    right_df = rewrite_spatial_joins(right_df, level=level, warn=False)
     if s0 == "R":  # normalize: arg0 on the left
         # contains/dwithin are argument-ordered; swapping sides means
         # containment direction flips, which covering_join cannot
@@ -198,7 +205,10 @@ def rewrite_spatial_joins(
             )
         left_df, right_df = right_df, left_df
         left_ids, right_ids = right_ids, left_ids
-        i0, i1 = i1, i0
+        # i0/i1 are already indices WITHIN each argument's own side;
+        # swapping the sides moves the args with them, so the indices
+        # stay put (exchanging them only worked when both sides had
+        # symmetric column counts)
         s0, s1 = "L", "R"
     left_geog = left_df.columns[i0]
     right_geog = right_df.columns[i1]

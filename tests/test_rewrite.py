@@ -124,6 +124,24 @@ class TestRewrite:
         )
         assert J.lint_spatial_joins(rw, warn=False) == []
 
+    def test_nested_naive_joins_both_rewritten(self, spark, sides):
+        cities, countries = sides
+        # (cities ⋈ countries) ⋈ cities2 — two naive predicate joins
+        cities2 = cities.select(
+            F.col("city").alias("city2"), F.col("cgeog").alias("c2geog")
+        )
+        inner = cities.join(countries, G.s2_intersects("cgeog", "ngeog"))
+        outer = inner.join(cities2, G.s2_intersects("c2geog", "ngeog")).select(
+            "country", "city", "city2"
+        )
+        rw = RW.rewrite_spatial_joins(outer, warn=False)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        want = {(r["country"], r["city"], r["city2"]) for r in outer.collect()}
+        got = {(r["country"], r["city"], r["city2"]) for r in rw.collect()}
+        assert got == want
+
     def test_deep_join_raises(self, spark, sides):
         cities, countries = sides
         naive = cities.join(countries, G.s2_intersects("cgeog", "ngeog"))
