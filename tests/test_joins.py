@@ -366,3 +366,74 @@ class TestSpatialJoinPlanner:
             ).where(G.s2_intersects("geog", "hg")).count()
         )
         assert n == naive > 0
+
+
+class TestCoveringJoinFuzz:
+    """Seeded random polygon pairs: covering_join(intersects/contains)
+    must equal the brute-force double loop over the exact predicates —
+    guards covering-level edge cases (cells straddling polygon edges,
+    tiny vs large operands) that the curated city/country sample
+    can't reach."""
+
+    def test_matches_bruteforce_on_random_polygons(self, spark):
+        import numpy as np
+
+        from duckdb_geography_spark.functions.io import s2_geogfromtext
+        from duckdb_geography_spark.geo import ops
+        from duckdb_geography_spark.geo.geography import from_wkt
+        from tests.test_overlay import TestRandomizedOverlaySweep as T
+
+        rng = np.random.default_rng(477)
+        wkts = []
+        for _ in range(36):
+            lon0 = float(rng.uniform(-150, 150))
+            lat0 = float(rng.uniform(-55, 55))
+            ring, _r = T._convex_wkt(rng, lon0, lat0, rmin=0.3, rmax=7.0)
+            wkts.append(f"POLYGON ({ring})")
+        # clustered centers so intersections actually occur
+        for i in range(0, 30, 3):
+            lon0 = float(rng.uniform(-150, 150))
+            lat0 = float(rng.uniform(-55, 55))
+            for j in (i, i + 1, i + 2):
+                ring, _r = T._convex_wkt(rng, lon0, lat0, rmin=0.3, rmax=7.0)
+                wkts[j] = f"POLYGON ({ring})"
+        half = len(wkts) // 2
+        gl = [from_wkt(w) for w in wkts[:half]]
+        gr = [from_wkt(w) for w in wkts[half:]]
+        truth_int = {
+            (i, j)
+            for i, a in enumerate(gl)
+            for j, b in enumerate(gr)
+            if ops.intersects(a, b)
+        }
+        truth_con = {
+            (i, j)
+            for i, a in enumerate(gl)
+            for j, b in enumerate(gr)
+            if ops.contains(a, b)
+        }
+        assert truth_int, "fuzz degenerated: no intersecting pair"
+
+        left = spark.createDataFrame(
+            list(enumerate(wkts[:half])), ["lid", "wkt"]
+        ).select("lid", s2_geogfromtext("wkt").alias("geog"))
+        right = spark.createDataFrame(
+            list(enumerate(wkts[half:])), ["rid", "wkt"]
+        ).select("rid", s2_geogfromtext("wkt").alias("geog"))
+        for level in (6, 8):
+            got = {
+                (r["lid"], r["rid"])
+                for r in J.covering_join(
+                    left, right, predicate="intersects", level=level,
+                    left_key="lid", right_key="rid",
+                ).collect()
+            }
+            assert got == truth_int, (level, got ^ truth_int)
+        got_c = {
+            (r["lid"], r["rid"])
+            for r in J.covering_join(
+                left, right, predicate="contains", level=8,
+                left_key="lid", right_key="rid",
+            ).collect()
+        }
+        assert got_c == truth_con
