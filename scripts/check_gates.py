@@ -38,9 +38,14 @@ def main():
         i += 1
     spark = get_spark(cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset directory
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS FROM '{path}'")
     qs, osql = e.queries(), e.oracle_sql()
     names = args or list(qs)
     n_ok = 0
