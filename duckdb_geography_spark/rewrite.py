@@ -73,12 +73,18 @@ def _output_ids(jplan):
 
 
 def _literal_value(expr):
-    """Unwrap Cast chains to a Literal's Python value, else None."""
+    """Unwrap Cast chains to a Literal's numeric value, else None.
+    SQL literals can surface as Java BigDecimal objects through py4j —
+    coerce through str()."""
     node = expr
     for _ in range(4):
         cls = node.getClass().getSimpleName()
         if cls == "Literal":
-            return node.value()
+            v = node.value()
+            try:
+                return float(str(v))
+            except (TypeError, ValueError):
+                return None
         kids = _children(node)
         if len(kids) != 1:
             return None

@@ -110,6 +110,30 @@ class TestRewrite:
         assert "BroadcastNestedLoopJoin" not in plan
         assert _pairs(rw) == _pairs(naive)
 
+    def test_dwithin_sql_surface(self, spark, sides):
+        # the SQL-registered s2_dwithin resolves to the _dwithin_udf
+        # plan name — detection must catch that spelling too
+        from duckdb_geography_spark.functions.register import (
+            register_sql_functions,
+        )
+
+        cities, countries = sides
+        register_sql_functions(spark)
+        cities.createOrReplaceTempView("rw_cities")
+        countries.createOrReplaceTempView("rw_countries")
+        q = (
+            "SELECT country, city FROM rw_cities JOIN rw_countries "
+            "ON s2_dwithin(cgeog, ngeog, 100000.0)"
+        )
+        naive = spark.sql(q)
+        assert len(J.lint_spatial_joins(naive, warn=False)) == 1
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rw = RW.sql(spark, q)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert _pairs(rw) == _pairs(naive)
+
     def test_noop_without_naive_join(self, spark, sides):
         cities, _ = sides
         assert RW.rewrite_spatial_joins(cities) is cities
