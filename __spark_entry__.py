@@ -3932,6 +3932,109 @@ SELECT stage, count(*) AS n_users FROM s GROUP BY stage ORDER BY stage
 """
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end curation pipeline (llm/pipeline.py::curate_corpus):
+    exact dedup -> md5-minhash near-dup removal (LSH candidates +
+    exact 5-gram Jaccard >= 0.7, greedy keep-smaller-key) -> C4/Gopher
+    quality filter -> PII redaction. The oracle replays every stage in
+    one SQL chain, so a wrong survivor set, a mis-refined pair, or a
+    perturbed redaction all break the hash."""
+    from duckdb_geography_spark.llm.pipeline import curate_corpus
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs.select("doc_id", "text"), threshold=0.7, hash_fn="md5", max_bucket=500
+    )
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_fp")
+    ).orderBy("doc_id")
+
+
+def _curation_sql():
+    from duckdb_geography_spark.llm.dedup import _MERSENNE61, _perm_coeffs
+    from duckdb_geography_spark.llm.prep import PII_PATTERNS
+
+    a, b = _perm_coeffs(64, 42)
+    mins = ",\n    ".join(
+        f"min((h * {int(a[k])} + {int(b[k])}) % {_MERSENNE61}) AS m{k}"
+        for k in range(64)
+    )
+    band_key = lambda bi: "concat_ws(',', " + ", ".join(  # noqa: E731
+        f"m{bi * 8 + r}" for r in range(8)
+    ) + ")"
+    bucket_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {band_key(bi)} AS bk FROM sig"
+        for bi in range(8)
+    )
+    red = "text"
+    for pat, rep in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{pat_sql}', '{rep}', 'g')"
+    return f"""
+WITH ex AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+        FROM d1)),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id),
+buckets AS (
+  {bucket_union}
+),
+elig AS (
+  SELECT band, bk FROM buckets GROUP BY band, bk
+  HAVING count(*) BETWEEN 2 AND 500),
+eb AS (
+  SELECT b.doc_id, b.band, b.bk
+  FROM buckets b JOIN elig e ON b.band = e.band AND b.bk = e.bk),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM eb a JOIN eb b ON a.band = b.band AND a.bk = b.bk
+  WHERE a.doc_id < b.doc_id),
+grams AS (
+  SELECT doc_id, list(g) AS gs FROM sh GROUP BY doc_id),
+losers AS (
+  SELECT DISTINCT c.key_b AS doc_id
+  FROM cand c JOIN grams ga ON c.key_a = ga.doc_id
+              JOIN grams gb ON c.key_b = gb.doc_id
+  WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+        / nullif(len(list_distinct(list_concat(ga.gs, gb.gs))), 0) >= 0.7),
+d2 AS (
+  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+toks AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+  FROM d2),
+m AS (
+  SELECT doc_id, text,
+    len(ws) AS n_tok,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(list_aggregate(list_transform(ws, t -> length(t)), 'sum') AS DOUBLE)
+              / len(ws) END AS mwl,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct(list_transform(ws, t -> lower(t)))) AS DOUBLE)
+              / len(ws) END AS dup_r,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / length(text) END AS digit_r
+  FROM toks)
+SELECT doc_id, md5({red}) AS clean_fp
+FROM m
+WHERE n_tok >= 5 AND n_tok <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
+  AND dup_r <= 0.6 AND digit_r <= 0.3
+ORDER BY doc_id
+"""
+
+
 def _q_weighted_mix(spark, sf_dir):
     """Deterministic weighted source mix (llm/prep.py::weighted_mix):
     four sources at different rates, the rest dropped; per-source
@@ -4612,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_neighbor_gate": _q_cell_neighbor_gate,
         "cell_union_gate": _q_cell_union_gate,
         "bounds_box_gate": _q_bounds_box_gate,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -4697,4 +4801,5 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _CHAR_ENTROPY_SQL,
         "weighted_mix": _WEIGHTED_MIX_SQL,
         "funnel": _FUNNEL_SQL,
+        "corpus_curation": _curation_sql(),
     }

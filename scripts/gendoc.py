@@ -37,6 +37,7 @@ REGISTRY = [
     ("Similarity Search", f"{PKG}.llm.similarity", ()),
     ("Text Statistics", f"{PKG}.llm.textstats", ("STOPWORDS",)),
     ("Dataset Preparation", f"{PKG}.llm.prep", ("PII_PATTERNS",)),
+    ("Curation Pipeline", f"{PKG}.llm.pipeline", ()),
     ("Language Models", f"{PKG}.llm.lm", ()),
     ("Repetition Signals", f"{PKG}.llm.repetition", ()),
     ("URL / Web", f"{PKG}.llm.web", ()),
@@ -418,6 +419,14 @@ assert "<EMAIL>" in df.select(redact_pii("text").alias("t")).first()["t"]""",
      (2, "SUBSCRIBE!\\nreal content two")], ["doc_id", "text"])
 out = {r["doc_id"]: r["text_clean"] for r in dedup_lines(df).collect()}
 assert out[1] == "real content one"  # the shared line is boilerplate""",
+    "curate_corpus": """base = " ".join(f"alpha{i:02d} beta{i:02d}" for i in range(30))
+rows = [(1, base), (2, base), (3, base + " tail"),
+        (4, "mail a@b.com " + " ".join(f"gamma{i:02d}" for i in range(30)))]
+df = spark.createDataFrame(rows, ["doc_id", "text"])
+out = curate_corpus(df, threshold=0.6, hash_fn="md5")
+got = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+assert set(got) == {1, 4}          # exact dup 2 and near-dup 3 dropped
+assert "<EMAIL>" in got[4]         # PII redacted last""",
     # --- lm ---
     "unigram_nll": """df = spark.createDataFrame(
     [(1, "a a a a"), (2, "a b c d")], ["doc_id", "text"])

@@ -1095,3 +1095,37 @@ def test_weighted_mix_rates_and_determinism(spark):
     assert a == b and a != c
     # empty weights -> empty frame
     assert weighted_mix(df, {}).count() == 0
+
+
+class TestCuratePipeline:
+    def test_curate_corpus_stages(self, spark):
+        from duckdb_geography_spark.llm.pipeline import curate_corpus
+
+        # distinct words keep duplicate_word_ratio at 0 so the quality
+        # filter only drops what the comments say it drops
+        base = " ".join(f"alpha{i:02d} beta{i:02d}" for i in range(30))
+        other = " ".join(f"gamma{i:02d} delta{i:02d}" for i in range(30))
+        rows = [
+            (1, base),                          # survives
+            (2, base),                          # exact dup of 1 -> dropped
+            (3, base + " tail token"),          # near-dup of 1 -> dropped
+            (4, other),                         # survives
+            (5, "x " * 3),                      # too few tokens -> dropped
+            (6, "mail me at a@b.com " + other[: len(other) // 2]),  # redacted
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = curate_corpus(df, threshold=0.6, hash_fn="md5")
+        got = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+        assert set(got) == {1, 4, 6}
+        assert "<EMAIL>" in got[6] and "a@b.com" not in got[6]
+        assert got[1].startswith("alpha00 beta00")  # non-PII text untouched
+
+    def test_curate_corpus_plan_is_bucketed(self, spark):
+        from duckdb_geography_spark.llm.pipeline import curate_corpus
+
+        df = spark.range(50).selectExpr(
+            "id AS doc_id", "concat('document number ', id, ' body text') AS text"
+        )
+        plan = curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
