@@ -780,7 +780,10 @@ def validation_error(g: Geography) -> Optional[str]:
             # (s2geometry's polygon validation rejects bad nesting;
             # message wording here is ours — the reference defers to
             # s2's FindValidationError). Cheap test: one representative
-            # hole vertex against the shell's winding number, only for
+            # hole vertex via ring_contains_point, which compares the
+            # winding number against the ring ORIENTATION — a bare
+            # `winding != 0` would misclassify the antipodal mirror
+            # region (see geodesy.ring_orientation). Only runs for
             # polygons that actually have holes.
             if len(rings) > 1 and len(rings[0]) >= 3:
                 shell = gd.lonlat_deg_to_xyz(rings[0])
@@ -788,11 +791,7 @@ def validation_error(g: Geography) -> Optional[str]:
                     if len(hole) < 3:
                         continue
                     v = gd.lonlat_deg_to_xyz(hole[:1])[0]
-                    if gd.winding_number(v, shell) == 0 and not bool(
-                        (gd.point_segment_distance(
-                            v[None], shell, np.roll(shell, -1, axis=0)
-                        ) < 1e-12).any()
-                    ):
+                    if not gd.ring_contains_point(shell, v):
                         return f"Hole {hi} is not contained in its shell"
     if k == KIND_COLLECTION:
         for sub in g.geoms:

@@ -53,6 +53,9 @@ __all__ = [
 _PREDICATES = {
     "intersects": P.s2_intersects,
     "contains": P.s2_contains,
+    # equal geographies always share covering cells, so the covering
+    # candidates are a superset and the exact refine is sound
+    "equals": P.s2_equals,
     "mayintersect": None,  # covering overlap only, no refine
 }
 
@@ -376,11 +379,27 @@ def broadcast_spatial_join(
     broadcast — the serialized probe index is built once, shipped in
     the broadcast payload, and every executor probe then hits a
     prepared geography (measured 1.67s -> 1.30s on the covering
-    flagship's 482-hit probe set). Build ``predicate_col`` with
-    string-based ``F.col(...)`` references so it re-resolves against
-    the prepared projection."""
+    flagship's 482-hit probe set). The join OUTPUT still carries the
+    ORIGINAL (unprepared) geography bytes, so downstream
+    ``s2_astext``/export sees plain WKT/WKB, not the prepared index
+    summary. Build ``predicate_col`` with string-based ``F.col(...)``
+    references so it re-resolves against the prepared projection; a
+    predicate bound to the original DataFrame's attributes
+    (``small['geog']``) cannot resolve against it, and the join falls
+    back to the unprepared form transparently."""
     if geog_col is not None and geog_col in small.columns:
-        small = small.withColumn(geog_col, s2_prepare(F.col(geog_col)))
+        prepared = small.withColumn("__geog_plain", F.col(geog_col)).withColumn(
+            geog_col, s2_prepare(F.col(geog_col))
+        )
+        try:
+            out = big.join(F.broadcast(prepared), predicate_col, "inner")
+        except Exception:
+            # predicate bound to the pre-projection attributes (df-
+            # bound Column): analysis can't resolve it against the
+            # prepared projection — run unprepared rather than break
+            # the caller
+            return big.join(F.broadcast(small), predicate_col, "inner")
+        return out.withColumn(geog_col, F.col("__geog_plain")).drop("__geog_plain")
     return big.join(F.broadcast(small), predicate_col, "inner")
 
 

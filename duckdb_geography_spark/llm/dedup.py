@@ -331,6 +331,7 @@ def minhash_jaccard_pairs(
     threshold: float = 0.3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = 500,
 ) -> DataFrame:
     """Near-dup pairs with exact n-gram Jaccard, generated the scalable
     way: banded MinHash-LSH candidates -> exact Jaccard refine. No
@@ -339,8 +340,15 @@ def minhash_jaccard_pairs(
 
     Returns (key_a, key_b, jaccard) with jaccard >= threshold, for
     pairs the LSH recalls (recall follows the banding S-curve; raise
-    ``bands`` for lower thresholds)."""
-    cands = minhash_lsh_pairs(df, text_col, key_col, n, num_perm, bands, seed, hash_fn)
+    ``bands`` for lower thresholds). ``max_bucket`` is
+    :func:`minhash_lsh_pairs`'s skew guard — NOTE that a homogeneous
+    duplicate cluster larger than the cap saturates EVERY band's
+    bucket and emits no pairs at all; run :func:`exact_dedup` first
+    (byte-identical copies collapse there) or raise the cap if such
+    clusters are expected."""
+    cands = minhash_lsh_pairs(
+        df, text_col, key_col, n, num_perm, bands, seed, hash_fn, max_bucket
+    )
     texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))
     sim = ngram_jaccard("text_a", "text_b", n)
@@ -362,6 +370,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     seed: int = 42,
     exact_components: bool = False,
+    max_bucket: Optional[int] = 500,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates -> exact n-gram Jaccard refine
     -> keep one representative per duplicate group.
@@ -371,8 +380,18 @@ def minhash_dedup(
     both a and c. ``exact_components=True`` runs full connected
     components over the verified pairs instead (iterative min-label
     propagation, see :func:`connected_components`) and keeps exactly
-    the min-key member of every component."""
-    cands = minhash_lsh_pairs(df, text_col, key_col, n, num_perm, bands, seed)
+    the min-key member of every component.
+
+    ``max_bucket`` (default 500) caps LSH bucket size — a homogeneous
+    near-dup cluster LARGER than the cap saturates every band's
+    bucket and is NOT deduped by this pass (no candidates emitted).
+    Byte-identical copies should be collapsed by :func:`exact_dedup`
+    first (``llm.pipeline.curate_corpus`` stages it that way); raise
+    or disable the cap only if >cap near-identical-but-not-identical
+    clusters are expected and the skew cost is acceptable."""
+    cands = minhash_lsh_pairs(
+        df, text_col, key_col, n, num_perm, bands, seed, max_bucket=max_bucket
+    )
     texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))
     verified = (

@@ -40,14 +40,23 @@ from . import joins as J
 
 __all__ = ["rewrite_spatial_joins", "sql", "RewriteUnsupported"]
 
-#: plan-visible predicate UDF name -> covering_join predicate key
+#: plan-visible predicate UDF name -> covering_join predicate key.
+#: These are SEMANTICS-PRESERVING rewrites: the covering candidates
+#: are a superset of the matches and an exact refine recovers the
+#: predicate. `mayintersect` is deliberately absent — its adaptive
+#: coverings and a fixed-level covering overlap are DIFFERENT
+#: approximations, so the rewrite would change the row set; it is
+#: detected (so users get a loud refusal, not a silent cartesian) but
+#: never rewritten.
 _PREDICATE_NAMES = {
     "s2_intersects": "intersects",
     "s2_contains": "contains",
-    "s2_mayintersect": "mayintersect",
-    "_mayintersect_udf": "mayintersect",
+    "s2_equals": "equals",
 }
 _DWITHIN_NAMES = {"s2_dwithin", "_dwithin_udf"}
+#: detected-but-unrewritable: refuse loudly instead of rewriting to a
+#: different approximation
+_UNREWRITABLE_NAMES = {"s2_mayintersect", "_mayintersect_udf"}
 
 
 class RewriteUnsupported(ValueError):
@@ -105,9 +114,19 @@ def _find_naive_join(node, above_ok=True):
         # before calling .name(), or non-UDF conditions throw
         if cond.getClass().getSimpleName() == "PythonUDF":
             name = cond.name()
+            hinted = any(
+                ch.getClass().getSimpleName() == "ResolvedHint"
+                for ch in _children(node)
+            )
             if (
-                name in _PREDICATE_NAMES or name in _DWITHIN_NAMES
-            ) and " = " not in cond.toString():
+                not hinted  # explicit broadcast: the intentional NL recipe
+                and (
+                    name in _PREDICATE_NAMES
+                    or name in _DWITHIN_NAMES
+                    or name in _UNREWRITABLE_NAMES
+                )
+                and " = " not in cond.toString()
+            ):
                 return node, []
     if cls == "Project" and above_ok:
         exprs = node.projectList()
@@ -138,15 +157,19 @@ def rewrite_spatial_joins(
 
     The rewritten plan computes the SAME rows (covering prefilter +
     exact refine is semantics-preserving for
-    intersects/contains/dwithin; ``mayintersect`` is already a
-    covering test) with the same column names and order. ``level`` is
-    the fixed covering level passed to
-    :func:`~duckdb_geography_spark.joins.covering_join`.
+    intersects/contains/equals/dwithin) with the same column names and
+    order. ``level`` is the fixed covering level passed to
+    :func:`~duckdb_geography_spark.joins.covering_join`. Only INNER
+    joins are rewritten; explicitly-broadcast joins (the intentional
+    NL recipe) are left untouched.
 
     Raises :class:`RewriteUnsupported` when a naive join exists but
-    sits under operators this rewriter does not restructure — the
-    caller should build the query with
-    :func:`~duckdb_geography_spark.joins.spatial_join` directly.
+    cannot be safely restructured — non-inner join types, joins below
+    operators this rewriter does not walk, ``s2_mayintersect``
+    conditions (the fixed-level covering is a DIFFERENT approximation,
+    so rewriting would change the row set) — the caller should build
+    the query with :func:`~duckdb_geography_spark.joins.spatial_join`
+    / ``covering_join(predicate="mayintersect")`` directly.
     """
     spark = df.sparkSession
     analyzed = df._jdf.queryExecution().analyzed()
@@ -161,8 +184,25 @@ def rewrite_spatial_joins(
             "apply the remaining operators to its result"
         )
     join, projects = hit
+    join_type = join.joinType().toString()
+    if join_type != "Inner":
+        raise RewriteUnsupported(
+            f"naive spatial join has type {join_type!r}; only INNER "
+            "joins rewrite to the covering recipe (an outer/semi/anti "
+            "rewrite would change the row set) — restructure around "
+            "joins.spatial_join's inner result"
+        )
     cond = join.condition().get()
     name = cond.name()
+    if name in _UNREWRITABLE_NAMES:
+        raise RewriteUnsupported(
+            "s2_mayintersect join conditions are not rewritten: the "
+            "adaptive-covering test and a fixed-level covering overlap "
+            "are different approximations, so the rewrite would change "
+            "the row set. Use joins.covering_join(predicate="
+            "'mayintersect') explicitly if the fixed-level form is "
+            "acceptable."
+        )
     args = _children(cond)
     left_plan, right_plan = _children(join)
     left_ids, right_ids = _output_ids(left_plan), _output_ids(right_plan)
@@ -281,9 +321,16 @@ def sql(spark, query: str, rewrite: bool = True, level: int = 8) -> DataFrame:
     """``spark.sql`` with the naive-spatial-join rewrite applied —
     paste the reference README's JOIN query and get the covering
     equi-join plan. With ``rewrite=False`` just lints and returns the
-    raw plan."""
+    raw plan. When the plan contains a naive spatial shape the
+    rewriter cannot cover (e.g. a negated predicate condition), the
+    lint warning still fires so a cartesian never ships silently."""
     df = spark.sql(query)
     if not rewrite:
         J.lint_spatial_joins(df)
         return df
-    return rewrite_spatial_joins(df, level=level)
+    out = rewrite_spatial_joins(df, level=level)
+    if out is df:
+        # nothing rewritten: still surface any lintable footgun (a
+        # shape outside the rewriter's detection, e.g. NOT s2_*(...))
+        J.lint_spatial_joins(df)
+    return out

@@ -342,6 +342,38 @@ class TestSpatialJoinPlanner:
         )
         assert J.lint_spatial_joins(mixed, warn=False) == []
 
+    def test_prepared_broadcast_output_is_plain_geography(self, spark, sample):
+        # the probe side uses the prepared index, but the join OUTPUT
+        # must carry the ORIGINAL geography bytes so downstream
+        # s2_astext/export sees WKT, not '<S2ShapeIndex ...>'
+        cities, countries, _ = sample
+        two = countries.where(F.col("name").isin("Canada", "Chile"))
+        got = J.spatial_join(
+            cities.select(F.col("name").alias("city"), F.col("geog")),
+            two,
+            right_geog="geog",
+            left_geog="geog",
+        )
+        rgeog = [c for c in got.columns if c.startswith("geog") and c != "geog"][0]
+        from duckdb_geography_spark.functions.io import s2_astext
+
+        texts = [r["t"] for r in got.select(s2_astext(rgeog).alias("t")).collect()]
+        assert texts and all(not t.startswith("<S2ShapeIndex") for t in texts)
+
+    def test_df_bound_predicate_falls_back_unprepared(self, spark, sample):
+        # a predicate built from the original DataFrame's attributes
+        # cannot resolve against the prepared projection — the join
+        # must fall back instead of raising
+        cities, countries, truth = sample
+        two = countries.where(F.col("name").isin("Canada", "Chile"))
+        r = two.select(F.col("name").alias("m"), F.col("geog").alias("geog2"))
+        big = cities.select(F.col("name").alias("city"), F.col("geog").alias("cg"))
+        pred = G.s2_intersects(big["cg"], r["geog2"])  # df-bound refs
+        got = J.broadcast_spatial_join(big, r, pred, geog_col="geog2")
+        pairs = {(x["m"], x["city"]) for x in got.collect()}
+        want = {(n, c) for (n, c) in truth if n in ("Canada", "Chile")}
+        assert pairs == want
+
     def test_planet_scale_routes_to_range_join(self, spark, sample):
         from duckdb_geography_spark.functions.io import s2_geogfromtext
 

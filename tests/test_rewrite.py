@@ -102,10 +102,9 @@ class TestRewrite:
             "ON s2_intersects(cgeog, ngeog)"
         )
         naive = spark.sql(q)
-        rw = RW.sql(spark, q)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            rw = RW.rewrite_spatial_joins(naive)
+            rw = RW.sql(spark, q)
         plan = rw._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert _pairs(rw) == _pairs(naive)
@@ -172,3 +171,45 @@ class TestRewrite:
         deep = naive.groupBy("country").count()
         with pytest.raises(RW.RewriteUnsupported):
             RW.rewrite_spatial_joins(deep, warn=False)
+
+    def test_equals_join_rewrites(self, spark, sides):
+        cities, _ = sides
+        dup = cities.select(
+            F.col("city").alias("city2"), F.col("cgeog").alias("g2")
+        )
+        naive = cities.join(dup, G.s2_equals("cgeog", "g2")).select(
+            "city", "city2"
+        )
+        rw = RW.rewrite_spatial_joins(naive, warn=False)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = {(r["city"], r["city2"]) for r in rw.collect()}
+        want = {(r["city"], r["city2"]) for r in naive.collect()}
+        assert got == want and len(got) >= cities.count()
+
+    def test_outer_join_type_refused(self, spark, sides):
+        # an outer naive join must NOT silently become an inner
+        # covering join (the row set would change)
+        cities, countries = sides
+        naive = cities.join(
+            countries, G.s2_intersects("cgeog", "ngeog"), "left"
+        )
+        with pytest.raises(RW.RewriteUnsupported, match="only INNER"):
+            RW.rewrite_spatial_joins(naive, warn=False)
+
+    def test_mayintersect_refused_not_rewritten(self, spark, sides):
+        # fixed-level covering overlap is a DIFFERENT approximation
+        # than the adaptive mayintersect test — refuse, don't alter
+        cities, countries = sides
+        naive = cities.join(countries, G.s2_mayintersect("cgeog", "ngeog"))
+        with pytest.raises(RW.RewriteUnsupported, match="mayintersect"):
+            RW.rewrite_spatial_joins(naive, warn=False)
+
+    def test_broadcast_hinted_join_left_alone(self, spark, sides):
+        # the explicit-broadcast NL recipe is intentional: the rewriter
+        # must not second-guess it (same exemption as the lint)
+        cities, countries = sides
+        bc = cities.join(
+            F.broadcast(countries), G.s2_intersects("cgeog", "ngeog")
+        )
+        assert RW.rewrite_spatial_joins(bc, warn=False) is bc
