@@ -388,16 +388,19 @@ def broadcast_spatial_join(
     (``small['geog']``) cannot resolve against it, and the join falls
     back to the unprepared form transparently."""
     if geog_col is not None and geog_col in small.columns:
+        from pyspark.errors import AnalysisException
+
         prepared = small.withColumn("__geog_plain", F.col(geog_col)).withColumn(
             geog_col, s2_prepare(F.col(geog_col))
         )
         try:
             out = big.join(F.broadcast(prepared), predicate_col, "inner")
-        except Exception:
+        except AnalysisException:
             # predicate bound to the pre-projection attributes (df-
             # bound Column): analysis can't resolve it against the
             # prepared projection — run unprepared rather than break
-            # the caller
+            # the caller. Only ANALYSIS failures fall back; runtime
+            # errors surface normally.
             return big.join(F.broadcast(small), predicate_col, "inner")
         return out.withColumn(geog_col, F.col("__geog_plain")).drop("__geog_plain")
     return big.join(F.broadcast(small), predicate_col, "inner")
