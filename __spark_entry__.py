@@ -3934,17 +3934,22 @@ SELECT stage, count(*) AS n_users FROM s GROUP BY stage ORDER BY stage
 
 def _q_corpus_curation(spark, sf_dir):
     """End-to-end curation pipeline (llm/pipeline.py::curate_corpus):
-    exact dedup -> md5-minhash near-dup removal (LSH candidates +
-    exact 5-gram Jaccard >= 0.7, greedy keep-smaller-key) -> C4/Gopher
-    quality filter -> PII redaction. The oracle replays every stage in
-    one SQL chain, so a wrong survivor set, a mis-refined pair, or a
-    perturbed redaction all break the hash."""
+    exact dedup -> md5-minhash near-dup removal (16-band LSH
+    candidates + exact 5-gram Jaccard >= 0.7, greedy
+    keep-smaller-key) -> C4/Gopher quality filter -> PII redaction.
+    The oracle replays every stage in one SQL chain, so a wrong
+    survivor set, a mis-refined pair, or a perturbed redaction all
+    break the hash."""
     from duckdb_geography_spark.llm.pipeline import curate_corpus
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     out = curate_corpus(
-        docs.select("doc_id", "text"), threshold=0.7, hash_fn="md5", max_bucket=500
+        docs.select("doc_id", "text"),
+        threshold=0.7,
+        bands=16,
+        hash_fn="md5",
+        max_bucket=500,
     )
     return out.select(
         "doc_id", F.md5("text_clean").alias("clean_fp")
@@ -3960,12 +3965,13 @@ def _curation_sql():
         f"min((h * {int(a[k])} + {int(b[k])}) % {_MERSENNE61}) AS m{k}"
         for k in range(64)
     )
+    # 16 bands of 4 rows — curate_corpus's recall-correct default
     band_key = lambda bi: "concat_ws(',', " + ", ".join(  # noqa: E731
-        f"m{bi * 8 + r}" for r in range(8)
+        f"m{bi * 4 + r}" for r in range(4)
     ) + ")"
     bucket_union = "\n  UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band, {band_key(bi)} AS bk FROM sig"
-        for bi in range(8)
+        for bi in range(16)
     )
     red = "text"
     for pat, rep in PII_PATTERNS:

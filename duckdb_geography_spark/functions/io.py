@@ -25,6 +25,7 @@ __all__ = [
     "s2_geogfromwkb_novalidate",
     "s2_aswkb",
     "s2_prepare",
+    "s2_unprepare",
 ]
 
 
@@ -168,6 +169,34 @@ def _prepare_udf(s: pd.Series) -> pd.Series:
         prepared = Geography(KIND_PREPARED, geoms=[g], prepared_size=len(raw))
         out.append(prepared.encode())
     return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(BinaryType())
+def _unprepare_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+            continue
+        raw = bytes(b)
+        if raw[0] != KIND_PREPARED:
+            out.append(raw)  # already plain
+            continue
+        g = U.decode_cached(raw)
+        # the prepared payload embeds the original geometry; re-encode
+        # it to recover the plain tagged form
+        out.append(g.geoms[0].encode() if g.geoms else raw)
+    return pd.Series(out, dtype=object)
+
+
+def s2_unprepare(geog) -> Column:
+    """Inverse of :func:`s2_prepare`: recover the plain tagged
+    encoding from a PREPARED value (passthrough for anything else).
+    Lets a join ship ONLY the prepared bytes in a broadcast and
+    restore plain geographies on the output side — the prepared
+    payload already embeds the original geometry, so nothing is
+    transferred twice."""
+    return _unprepare_udf(_c(geog))
 
 
 def s2_prepare(geog) -> Column:

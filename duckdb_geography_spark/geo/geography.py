@@ -791,7 +791,13 @@ def validation_error(g: Geography) -> Optional[str]:
                     if len(hole) < 3:
                         continue
                     v = gd.lonlat_deg_to_xyz(hole[:1])[0]
-                    if not gd.ring_contains_point(shell, v):
+                    # the extra 1e-12 edge-distance band keeps hole
+                    # vertices that sit ON the shell boundary within
+                    # floating-point noise valid (winding_number is
+                    # unstable that close to the arc)
+                    if not gd.ring_contains_point(shell, v) and (
+                        gd.min_distance_point_to_ring_edges(v, shell) > 1e-12
+                    ):
                         return f"Hole {hi} is not contained in its shell"
     if k == KIND_COLLECTION:
         for sub in g.geoms:

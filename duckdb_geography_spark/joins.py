@@ -33,7 +33,7 @@ from pyspark.sql.types import ArrayType, LongType
 from .functions import cells as C
 from .functions import predicates as P
 from .functions.bounds import s2_covering_fixed_level
-from .functions.io import s2_prepare
+from .functions.io import s2_prepare, s2_unprepare
 from .functions import geoudfs as U
 from .s2.coverer import covering_of_encoded
 from .geo import geodesy as gd
@@ -380,7 +380,9 @@ def broadcast_spatial_join(
     the broadcast payload, and every executor probe then hits a
     prepared geography (measured 1.67s -> 1.30s on the covering
     flagship's 482-hit probe set). The join OUTPUT still carries the
-    ORIGINAL (unprepared) geography bytes, so downstream
+    ORIGINAL (unprepared) geography bytes — restored post-join via
+    ``s2_unprepare`` from the prepared payload itself, so the
+    broadcast ships each geography ONCE — and downstream
     ``s2_astext``/export sees plain WKT/WKB, not the prepared index
     summary. Build ``predicate_col`` with string-based ``F.col(...)``
     references so it re-resolves against the prepared projection; a
@@ -390,9 +392,7 @@ def broadcast_spatial_join(
     if geog_col is not None and geog_col in small.columns:
         from pyspark.errors import AnalysisException
 
-        prepared = small.withColumn("__geog_plain", F.col(geog_col)).withColumn(
-            geog_col, s2_prepare(F.col(geog_col))
-        )
+        prepared = small.withColumn(geog_col, s2_prepare(F.col(geog_col)))
         try:
             out = big.join(F.broadcast(prepared), predicate_col, "inner")
         except AnalysisException:
@@ -402,7 +402,7 @@ def broadcast_spatial_join(
             # the caller. Only ANALYSIS failures fall back; runtime
             # errors surface normally.
             return big.join(F.broadcast(small), predicate_col, "inner")
-        return out.withColumn(geog_col, F.col("__geog_plain")).drop("__geog_plain")
+        return out.withColumn(geog_col, s2_unprepare(F.col(geog_col)))
     return big.join(F.broadcast(small), predicate_col, "inner")
 
 

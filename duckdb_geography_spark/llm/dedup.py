@@ -371,6 +371,7 @@ def minhash_dedup(
     seed: int = 42,
     exact_components: bool = False,
     max_bucket: Optional[int] = 500,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup removal: LSH candidates -> exact n-gram Jaccard refine
     -> keep one representative per duplicate group.
@@ -390,7 +391,7 @@ def minhash_dedup(
     or disable the cap only if >cap near-identical-but-not-identical
     clusters are expected and the skew cost is acceptable."""
     cands = minhash_lsh_pairs(
-        df, text_col, key_col, n, num_perm, bands, seed, max_bucket=max_bucket
+        df, text_col, key_col, n, num_perm, bands, seed, hash_fn, max_bucket
     )
     texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))

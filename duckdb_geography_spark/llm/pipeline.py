@@ -24,7 +24,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard
+from .dedup import exact_dedup, minhash_dedup
 from .prep import redact_pii
 from .textstats import quality_filter
 
@@ -38,42 +38,39 @@ def curate_corpus(
     threshold: float = 0.7,
     n: int = 5,
     num_perm: int = 64,
-    bands: int = 8,
+    bands: int = 16,
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_bucket: Optional[int] = 500,
     quality_kwargs: Optional[dict] = None,
 ) -> DataFrame:
     """Curated corpus: rows of ``df`` that survive exact dedup,
-    MinHash near-dup removal (LSH candidates refined by exact n-gram
-    Jaccard >= ``threshold``, greedy keep-smaller-key), and the
-    C4/Gopher :func:`~duckdb_geography_spark.llm.textstats.quality_filter`
+    MinHash near-dup removal (:func:`~duckdb_geography_spark.llm.dedup.
+    minhash_dedup`: LSH candidates refined by exact n-gram Jaccard >=
+    ``threshold``, greedy keep-smaller-key), and the C4/Gopher
+    :func:`~duckdb_geography_spark.llm.textstats.quality_filter`
     — with ``<text_col>_clean`` added as the PII-redacted text.
+
+    ``bands`` defaults to 16 (4 rows/band): at the default
+    ``threshold=0.7`` that puts LSH recall near 1.0 for true
+    near-dups; 8 bands of 8 rows would recall only ~38% of pairs at
+    J=0.7 (the banding S-curve).
 
     ``hash_fn='md5'`` makes the whole chain exactly replayable by the
     DuckDB oracle (the ``corpus_curation`` driver gate).
     """
     d1 = exact_dedup(df, text_col, key_col)
-    cands = minhash_lsh_pairs(
+    d2 = minhash_dedup(
         d1,
         text_col,
         key_col,
         n=n,
         num_perm=num_perm,
         bands=bands,
+        threshold=threshold,
         seed=seed,
-        hash_fn=hash_fn,
         max_bucket=max_bucket,
+        hash_fn=hash_fn,
     )
-    texts_a = d1.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("__ta"))
-    texts_b = d1.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("__tb"))
-    losers = (
-        cands.join(texts_a, "key_a")
-        .join(texts_b, "key_b")
-        .where(ngram_jaccard("__ta", "__tb", n) >= threshold)
-        .select(F.col("key_b").alias(key_col))
-        .distinct()
-    )
-    d2 = d1.join(losers, key_col, "left_anti")
     d3 = d2.where(quality_filter(text_col, **(quality_kwargs or {})))
     return d3.withColumn(f"{text_col}_clean", redact_pii(text_col))
