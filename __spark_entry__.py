@@ -4041,6 +4041,107 @@ ORDER BY doc_id
 """
 
 
+def _q_stream_neardup(spark, sf_dir):
+    """Streaming windowed near-dup ownership (streaming/events.py::
+    windowed_neardup_owners + neardup_novel): documents get a
+    deterministic synthetic event time (doc_id minutes past a fixed
+    epoch), stream through an append-mode tumbling-window min-owner
+    aggregation, and the finisher keeps docs owning ALL 8 band
+    buckets in their hour. Ownership is min-(ts,key), so the result
+    is micro-batch-order independent and the oracle replays it as a
+    plain GROUP BY (ts is monotone in doc_id, so min-(ts,key) ==
+    min(doc_id)); append mode only flushes windows whose end the
+    final watermark passed, which the oracle mirrors with the same
+    max(ts)-1s cutoff."""
+    import tempfile
+    import uuid
+
+    from duckdb_geography_spark.streaming.events import (
+        neardup_novel,
+        windowed_neardup_owners,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)"
+        ).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="nd_gate_")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).parquet(d)
+    owners = windowed_neardup_owners(
+        src, bands=8, num_perm=64, hash_fn="md5", watermark="1 second"
+    )
+    qname = f"nd_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        owners.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_neardup did not finish in 300s")
+    novel = neardup_novel(spark.table(qname), bands=8)
+    return novel.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_s"),
+        "doc_id",
+    ).orderBy("doc_id")
+
+
+def _stream_neardup_sql():
+    from duckdb_geography_spark.llm.dedup import _MERSENNE61, _perm_coeffs
+
+    a, b = _perm_coeffs(64, 42)
+    mins = ",\n    ".join(
+        f"min((h * {int(a[k])} + {int(b[k])}) % {_MERSENNE61}) AS m{k}"
+        for k in range(64)
+    )
+    band_key = lambda bi: "concat_ws(',', " + ", ".join(  # noqa: E731
+        f"m{bi * 8 + r}" for r in range(8)
+    ) + ")"
+    bucket_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {band_key(bi)} AS bk FROM sig"
+        for bi in range(8)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) AS ts
+  FROM documents),
+mx AS (SELECT max(ts) AS m FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+        FROM d)),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hs GROUP BY doc_id),
+buckets AS (
+  {bucket_union}
+),
+w AS (
+  SELECT b.doc_id, date_trunc('hour', d.ts) AS ws, b.band, b.bk
+  FROM buckets b JOIN d ON b.doc_id = d.doc_id),
+own AS (
+  SELECT ws, band, bk, min(doc_id) AS owner FROM w GROUP BY ws, band, bk),
+nov AS (
+  SELECT ws, owner AS doc_id FROM own GROUP BY ws, owner HAVING count(*) = 8)
+SELECT strftime(n.ws, '%Y-%m-%d %H:%M:%S') AS window_s, n.doc_id
+FROM nov n, mx
+WHERE n.ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 SECOND
+ORDER BY n.doc_id
+"""
+
+
 def _q_weighted_mix(spark, sf_dir):
     """Deterministic weighted source mix (llm/prep.py::weighted_mix):
     four sources at different rates, the rest dropped; per-source
@@ -4722,6 +4823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_union_gate": _q_cell_union_gate,
         "bounds_box_gate": _q_bounds_box_gate,
         "corpus_curation": _q_corpus_curation,
+        "stream_neardup": _q_stream_neardup,
     }
 
 
@@ -4808,4 +4910,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix": _WEIGHTED_MIX_SQL,
         "funnel": _FUNNEL_SQL,
         "corpus_curation": _curation_sql(),
+        "stream_neardup": _stream_neardup_sql(),
     }

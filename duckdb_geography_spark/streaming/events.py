@@ -37,6 +37,8 @@ __all__ = [
     "funnel_stages",
     "stream_interval_join",
     "stream_decontaminate",
+    "windowed_neardup_owners",
+    "neardup_novel",
 ]
 
 
@@ -460,3 +462,89 @@ def stream_decontaminate(
         F.lit([str(g) for g in bench_grams]),
     )
     return docs.withColumn("contaminated", F.coalesce(flag, F.lit(False)))
+
+
+def windowed_neardup_owners(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    window_duration: str = "1 hour",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming near-dup bucket OWNERSHIP: each document's MinHash
+    band buckets, grouped into tumbling event-time windows, with the
+    earliest ``(ts, key)`` document as each bucket's owner.
+
+    This is the streaming half of near-dup suppression expressed as
+    ONE stateful operator (a windowed min-aggregation in append mode,
+    deterministic by the ``min(struct(ts, key))`` tie-break — no
+    arbitrary-survivor semantics). Feed the appended output to
+    :func:`neardup_novel` (a plain batch aggregation over the sink)
+    to get the documents that own ALL their buckets in their window —
+    i.e. had no near-dup candidate earlier in the window.
+
+    The signature is the single-expression map-side form
+    (``llm.dedup.minhash_signature``): in streaming, the batch
+    module's faster explode+groupBy signature would be a SECOND
+    stateful aggregation, so the per-row expression is the right
+    trade. State is bounded by (buckets per window) and ages out with
+    the watermark.
+    """
+    from ..llm.dedup import minhash_signature
+
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    d = _ensure_event_time(docs, ts_col).withWatermark(ts_col, watermark)
+    sig = minhash_signature(text_col, n=n, num_perm=num_perm, seed=seed, hash_fn=hash_fn)
+    banded = (
+        d.select(
+            F.col(key_col).alias("__key"),
+            F.col(ts_col).alias("__ts"),
+            sig.alias("__sig"),
+        )
+        .select(
+            "__key",
+            "__ts",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"bi -> struct(bi AS band, "
+                    f"concat_ws(',', slice(__sig, bi * {rows} + 1, {rows})) AS bk))"
+                )
+            ).alias("__b"),
+        )
+        .select(
+            "__key", "__ts", F.col("__b.band").alias("band"), F.col("__b.bk").alias("bk")
+        )
+    )
+    return (
+        banded
+        .groupBy(F.window("__ts", window_duration).alias("__w"), "band", "bk")
+        .agg(F.min(F.struct(F.col("__ts"), F.col("__key"))).alias("__first"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "band",
+            "bk",
+            F.col("__first.__key").alias("owner"),
+        )
+    )
+
+
+def neardup_novel(owners: DataFrame, bands: int = 8) -> DataFrame:
+    """Batch finisher for :func:`windowed_neardup_owners`: documents
+    that own ALL ``bands`` of their buckets within their window — no
+    earlier in-window document shared any LSH bucket with them.
+    Returns (window_start, doc_id)."""
+    return (
+        owners.groupBy("window_start", F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("__n_owned"))
+        .where(F.col("__n_owned") == bands)
+        .select("window_start", "doc_id")
+    )

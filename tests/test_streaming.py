@@ -320,3 +320,54 @@ def test_funnel_stages_ordered_subsequence(spark):
         for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2}
+
+
+def test_windowed_neardup_owners_and_novel(spark, tmp_path):
+    """Windowed streaming near-dup: a doc arriving after a near-dup in
+    its window owns fewer than `bands` buckets and is suppressed by the
+    neardup_novel finisher; distinct docs own all their buckets. The
+    min-(ts,key) ownership makes the result deterministic regardless
+    of micro-batching."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog in the morning sun",
+        2: "a completely different second document about other topics entirely",
+        3: "the quick brown fox jumps over the lazy dog in the morning sun x",
+        4: "yet another unrelated document with fresh content and words",
+        99: "late sentinel far in the future to flush every window cleanly",
+    }
+    mins = {1: 0, 2: 1, 3: 5, 4: 6, 99: 60 * 24}
+    d = tmp_path / "nd_in"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "ts": pd.Series(
+                [t0 + dt.timedelta(minutes=mins[k]) for k in texts]
+            ).astype("datetime64[us]"),
+        }
+    ).to_parquet(d / "docs.parquet")
+    schema = spark.read.parquet(str(d / "docs.parquet")).schema
+    src = spark.readStream.schema(schema).parquet(str(d))
+    owners = SE.windowed_neardup_owners(src, bands=8, num_perm=64)
+    q = (
+        owners.writeStream.format("memory")
+        .queryName("nd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("nd_stream")
+    novel = sorted(
+        r["doc_id"] for r in SE.neardup_novel(got, bands=8).collect()
+    )
+    assert novel == [1, 2, 4]  # 3 is a near-dup of 1; 99's window unflushed
+    # doc 3 appears as owner of at most a band or two, never all 8
+    owned_by_3 = got.where(F.col("owner") == 3).count()
+    assert 0 <= owned_by_3 < 8
