@@ -1464,7 +1464,7 @@ LIMIT 10
 
 def _q_ivf_trained_topk(spark, sf_dir):
     """IVF top-k with TRAINED centroids: deterministic spherical
-    k-means on the 256 smallest vec_ids (llm/similarity.py::
+    k-means on a 256-row md5-keyed hash sample (llm/similarity.py::
     train_ivf_centroids), then the same probe/rank pipeline as
     ivf_topk. The oracle replays training bit-for-bit (same numpy
     routine on the same pandas-read sample) and embeds the resulting
@@ -1489,7 +1489,7 @@ def _q_ivf_trained_topk(spark, sf_dir):
 
 def _ivf_trained_topk_sql():
     """Trained-centroid oracle. The training replay reads the SAME
-    sample the Spark query uses (the 256 smallest non-query vec_ids)
+    sample the Spark query uses (256 non-query rows in md5-hash key order)
     from the driver's correctness scale factor — sf0.01, the scale the
     brief pins for oracle comparison. Training is float64 numpy either
     way, so the centroid literals are bit-identical."""
@@ -1500,12 +1500,9 @@ def _ivf_trained_topk_sql():
     pdf = _pd.read_parquet(
         "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pdf = pdf[pdf["vec_id"] != 0].sort_values("vec_id").head(256)
-    import numpy as _np
+    from duckdb_geography_spark.llm.similarity import training_sample_pandas
 
-    sample = _np.array(
-        [[float(x) for x in v] for v in pdf["embedding"]], dtype=_np.float64
-    )
+    sample = training_sample_pandas(pdf[pdf["vec_id"] != 0], sample_size=256)
     cents = train_ivf_centroids(sample, n_centroids=16, seed=11)
     vals = ",\n    ".join(
         f"({j + 1}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
@@ -3505,7 +3502,7 @@ ORDER BY d.doc_id
 
 def _q_semdedup(spark, sf_dir):
     """SemDedup (Abbas et al. 2023): trained spherical-k-means
-    clusters (k=8, the 128 smallest vec_ids as the sample), then
+    clusters (k=8, a 128-row md5-keyed hash sample), then
     within-cluster keep-earliest pruning at rounded cosine >= 0.40
     (the synthetic embeddings have no natural >0.52 pairs, so the
     gate threshold sits where real drops occur). The oracle replays
@@ -3534,10 +3531,9 @@ def _semdedup_sql():
     pdf = _pd.read_parquet(
         "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pdf = pdf.sort_values("vec_id").head(128)
-    sample = _np.array(
-        [[float(x) for x in v] for v in pdf["embedding"]], dtype=_np.float64
-    )
+    from duckdb_geography_spark.llm.similarity import training_sample_pandas
+
+    sample = training_sample_pandas(pdf, sample_size=128)
     cents = train_ivf_centroids(sample, n_centroids=8, seed=11)
     vals = ",\n    ".join(
         f"({j + 1}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
@@ -4280,10 +4276,9 @@ def _pq_topk_sql():
     pdf = _pd.read_parquet(
         "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    sample = pdf[pdf["vec_id"] != 0].sort_values("vec_id").head(256)
-    X = _np.array(
-        [[float(x) for x in v] for v in sample["embedding"]], dtype=_np.float64
-    )
+    from duckdb_geography_spark.llm.similarity import training_sample_pandas
+
+    X = training_sample_pandas(pdf[pdf["vec_id"] != 0], sample_size=256)
     books = train_pq_codebooks(X, m=8, k=16, seed=7)
     qv = [float(x) for x in pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]]
     lut = pq_adc_lut(qv, books)

@@ -33,6 +33,7 @@ def _c(col) -> Column:
 
 @F.pandas_udf(BooleanType())
 def _isempty_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     # tag-only read: byte 1 flag bit, never decodes the body
     # (reference fast path: src/s2_accessors.cpp:19-49)
     return pd.Series(U.tag_is_empty(s))
@@ -46,6 +47,7 @@ def s2_isempty(geog) -> Column:
 
 @F.pandas_udf(BooleanType())
 def _is_valid_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     out = []
     for b in s:
         if b is None:
@@ -63,6 +65,7 @@ def s2_is_valid(geog) -> Column:
 
 @F.pandas_udf(StringType())
 def _is_valid_reason_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     out = []
     for b in s:
         if b is None:
@@ -81,6 +84,7 @@ def s2_is_valid_reason(geog) -> Column:
 def _scalar_udf(fn):
     @F.pandas_udf(DoubleType())
     def _udf(s: pd.Series) -> pd.Series:
+        s = U.coerce_geog(s)
         out = []
         for b in s:
             if b is None:
@@ -129,6 +133,7 @@ def s2_y(geog) -> Column:
 
 @F.pandas_udf(IntegerType())
 def _dimension_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     out = []
     for b in s:
         if b is None:
@@ -146,6 +151,7 @@ def s2_dimension(geog) -> Column:
 
 @F.pandas_udf(IntegerType())
 def _num_points_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     out = []
     for b in s:
         if b is None:

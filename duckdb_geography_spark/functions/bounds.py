@@ -60,6 +60,7 @@ def _c(col) -> Column:
 
 @F.pandas_udf(ArrayType(LongType()))
 def _covering_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     out = []
     for b in s:
         if b is None:
@@ -86,6 +87,7 @@ def s2_covering_fixed_level(geog, fixed_level: int) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(s: pd.Series) -> pd.Series:
+        s = U.coerce_geog(s)
         out = []
         for b in s:
             if b is None:
@@ -100,6 +102,7 @@ def s2_covering_fixed_level(geog, fixed_level: int) -> Column:
 
 @F.pandas_udf(BOX_SCHEMA)
 def _bounds_box_udf(s: pd.Series) -> pd.DataFrame:
+    s = U.coerce_geog(s)
     rows = []
     for b in s:
         if b is None:
@@ -270,6 +273,7 @@ def s2_box_struct(box) -> Column:
 
 @F.pandas_udf(ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)  # type: ignore[call-overload]
 def _bounds_box_agg_arr(s: pd.Series):
+    s = U.coerce_geog(s)
     rect = ops.EMPTY_RECT
     for b in s:
         if b is None:

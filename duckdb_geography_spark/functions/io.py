@@ -73,6 +73,7 @@ def s2_geogfromtext_novalidate(wkt) -> Column:
 
 @F.pandas_udf(StringType())
 def _astext_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     return pd.Series(
         [U.decode_cached(bytes(b)).to_wkt(None) if b is not None else None for b in s],
         dtype=object,
@@ -95,6 +96,7 @@ def s2_format(geog, precision: int) -> Column:
 
     @F.pandas_udf(StringType())
     def _format_udf(s: pd.Series) -> pd.Series:
+        s = U.coerce_geog(s)
         return pd.Series(
             [U.decode_cached(bytes(b)).to_wkt(p) if b is not None else None for b in s],
             dtype=object,
@@ -139,6 +141,7 @@ def s2_geogfromwkb_novalidate(wkb) -> Column:
 def _aswkb_udf(s: pd.Series) -> pd.Series:
     from ..geo.geography import to_wkb
 
+    s = U.coerce_geog(s)
     return pd.Series(
         [to_wkb(U.decode_cached(bytes(b))) if b is not None else None for b in s],
         dtype=object,
@@ -156,6 +159,7 @@ PREPARE_THRESHOLD_BYTES = 64
 
 @F.pandas_udf(BinaryType())
 def _prepare_udf(s: pd.Series) -> pd.Series:
+    s = U.coerce_geog(s)
     out = []
     for b in s:
         if b is None:
@@ -179,7 +183,7 @@ def _unprepare_udf(s: pd.Series) -> pd.Series:
             out.append(None)
             continue
         raw = bytes(b)
-        if raw[0] != KIND_PREPARED:
+        if not raw or raw[0] != KIND_PREPARED:
             out.append(raw)  # already plain
             continue
         g = U.decode_cached(raw)

@@ -49,6 +49,7 @@ def _batch_overlap(s1: pd.Series, s2: pd.Series):
     the reference's definite-false early-out
     (src/s2_binary_index_ops.cpp:287-312).
     """
+    s1, s2 = U.coerce_geog(s1), U.coerce_geog(s2)
     n = len(s1)
     null_mask = np.zeros(n, dtype=bool)
     # a non-empty geography encoded WITHOUT a covering can't be pruned:
@@ -108,6 +109,7 @@ def _batch_overlap(s1: pd.Series, s2: pd.Series):
 
 def _binary_bool_udf(exact_fn, name):
     def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        s1, s2 = U.coerce_geog(s1), U.coerce_geog(s2)
         null_mask, overlap = _batch_overlap(s1, s2)
         out = np.full(len(s1), False, dtype=object)
         out[null_mask] = None
@@ -163,6 +165,7 @@ def s2_equals(geog1, geog2) -> Column:
 
 def _overlay_udf(fn, name):
     def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        s1, s2 = U.coerce_geog(s1), U.coerce_geog(s2)
         out = []
         for b1, b2 in zip(s1, s2):
             if b1 is None or b2 is None:
@@ -206,6 +209,7 @@ def _batch_distance(s1: pd.Series, s2: pd.Series, slow_fn=None) -> np.ndarray:
     from ..geo import geodesy as gd
     from ..geo.geography import KIND_CELL_CENTER
 
+    s1, s2 = U.coerce_geog(s1), U.coerce_geog(s2)
     n = len(s1)
     out = np.full(n, np.nan, dtype=np.float64)
     nulls = np.zeros(n, dtype=bool)

@@ -109,6 +109,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     def _format_sql_udf(s: pd.Series, prec: pd.Series) -> pd.Series:
         from . import geoudfs as GU
 
+        s = GU.coerce_geog(s)
         out = []
         for b, p in zip(s, prec):
             if b is None or p is None:
@@ -190,6 +191,9 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     @F.pandas_udf(ArrayType(LongType()))
     def _covering_fixed_sql_udf(s: pd.Series, lev: pd.Series) -> pd.Series:
+        from . import geoudfs as GU
+
+        s = GU.coerce_geog(s)
         levels = lev.dropna().unique()
         if len(levels) > 1:
             raise ValueError("s2_covering_fixed_level(): level must be a constant")

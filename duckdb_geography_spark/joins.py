@@ -402,7 +402,21 @@ def broadcast_spatial_join(
             # the caller. Only ANALYSIS failures fall back; runtime
             # errors surface normally.
             return big.join(F.broadcast(small), predicate_col, "inner")
-        return out.withColumn(geog_col, s2_unprepare(F.col(geog_col)))
+        # restore the small side's geography BY POSITION: when both
+        # join sides carry a column named geog_col (the default 'geog'
+        # is the common case) a name-based withColumn raises
+        # AMBIGUOUS_REFERENCE — rename positionally, unprepare only the
+        # small side's slot, and alias the original names back
+        names = out.columns
+        prep_idx = len(big.columns) + prepared.columns.index(geog_col)
+        tmp = out.toDF(*[f"__bsj{i}" for i in range(len(names))])
+        cols = [
+            (
+                s2_unprepare(F.col(f"__bsj{i}")) if i == prep_idx else F.col(f"__bsj{i}")
+            ).alias(nm)
+            for i, nm in enumerate(names)
+        ]
+        return tmp.select(*cols)
     return big.join(F.broadcast(small), predicate_col, "inner")
 
 
@@ -528,6 +542,36 @@ def lint_spatial_joins(df: DataFrame, warn: bool = True) -> list:
         for i in range(ch.size()):
             yield from _walk(ch.apply(i))
 
+    def _conjuncts(expr):
+        # top-level AND components of the join condition
+        if expr.getClass().getSimpleName() == "And":
+            yield from _conjuncts(expr.left())
+            yield from _conjuncts(expr.right())
+        else:
+            yield expr
+
+    def _has_equijoin_key(cond_expr, join_node):
+        """True only when some equality conjunct references attributes
+        from BOTH join children — i.e. it actually becomes a hash-join
+        key. `b.type = 'x'` (single-side/literal equality) pushes down
+        as a filter, leaving the underlying join UNCONDITIONED, so a
+        substring ' = ' test is not enough."""
+        lout = join_node.left().outputSet()
+        rout = join_node.right().outputSet()
+        for conj in _conjuncts(cond_expr):
+            if conj.getClass().getSimpleName() not in ("EqualTo", "EqualNullSafe"):
+                continue
+            ar, br = conj.left().references(), conj.right().references()
+            if (
+                not ar.intersect(lout).isEmpty()
+                and not br.intersect(rout).isEmpty()
+            ) or (
+                not ar.intersect(rout).isEmpty()
+                and not br.intersect(lout).isEmpty()
+            ):
+                return True
+        return False
+
     hits = []
     analyzed = df._jdf.queryExecution().analyzed()
     for node in _walk(analyzed):
@@ -539,9 +583,10 @@ def lint_spatial_joins(df: DataFrame, warn: bool = True) -> list:
         cond_str = cond.get().toString()
         if not any(f"{nm}(" in cond_str for nm in _SPATIAL_PREDICATE_NAMES):
             continue
-        if " = " in cond_str:
-            # mixed condition: the equality component hash-joins and
-            # the predicate becomes a residual filter — scalable
+        if _has_equijoin_key(cond.get(), node):
+            # mixed condition with a real cross-side equality: that
+            # component hash-joins and the predicate becomes a
+            # residual filter — scalable
             continue
         children = node.children()
         if any(

@@ -357,17 +357,41 @@ def ivf_training_sample(
     key_col: str = "vec_id",
     sample_size: int = 256,
 ) -> np.ndarray:
-    """Bounded deterministic training sample: the ``sample_size``
-    smallest keys (a TakeOrdered — no full sort, no shuffle), stacked
-    driver-side. Order-stable at any parallelism, so training is
-    reproducible run to run."""
+    """Bounded deterministic training sample, ordered by
+    ``(md5(key), key)`` (a TakeOrdered — no full sort, no shuffle),
+    stacked driver-side.
+
+    Hash order, not key order: when keys correlate with content
+    (time-ordered ingest — early rows are not the corpus
+    distribution), the smallest-keys sample trains biased centroids
+    and IVF recall silently degrades at scale (VERDICT r4). md5 of
+    the decimal key string is content-independent, deterministic at
+    any parallelism, and computable identically by any SQL engine,
+    so oracle replays (:func:`training_sample_pandas`) stay
+    bit-for-bit."""
     rows = (
         df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
-        .orderBy("k")
+        .orderBy(F.md5(F.col("k").cast("string")), "k")
         .limit(int(sample_size))
         .collect()
     )
     return np.array([[float(x) for x in r.v] for r in rows], dtype=np.float64)
+
+
+def training_sample_pandas(pdf, vec_col="embedding", key_col="vec_id", sample_size=256) -> np.ndarray:
+    """Driver-side replay of :func:`ivf_training_sample`'s sampling
+    spec over a pandas frame — the oracle twin. Shares the exact
+    ordering (md5 of the decimal key string, then key) so trained
+    centroids replay bit-for-bit."""
+    import hashlib
+
+    keyed = pdf.assign(
+        __h=[hashlib.md5(str(k).encode()).hexdigest() for k in pdf[key_col]]
+    ).sort_values(["__h", key_col])
+    head = keyed.head(int(sample_size))
+    return np.array(
+        [[float(x) for x in v] for v in head[vec_col]], dtype=np.float64
+    )
 
 
 def _dots_expr(vec_col: str, mat: np.ndarray) -> str:
@@ -386,14 +410,18 @@ def ivf_assign(vec_col: str, dim: int, n_centroids: int = 16, seed: int = 11) ->
     """IVF coarse-quantizer assignment: 1-based index of the centroid
     with the largest dot product. Norm of the vector cancels in the
     argmax (centroids are unit), so this equals the cosine argmax.
-    Expression tier (the DuckDB oracle's twin): note the dots array is
-    evaluated twice (array_position + array_max are one expression and
-    interpreted HOFs get no subexpression elimination) — use
-    ``ivf_assign_udf`` for the write-time hot path."""
+    Expression tier (the DuckDB oracle's twin): single-pass argmax —
+    the dots array is built ONCE and folded by a struct max whose
+    second field is the negated index, so ties pick the smallest
+    index exactly like ``array_position(dots, array_max(dots))`` did,
+    without evaluating the interpreted HOF chain twice. The numpy
+    ``ivf_assign_udf`` remains the write-time hot path."""
     cents = _ivf_centroids(dim, n_centroids, seed)
+    n = len(cents)
     return F.expr(
-        f"array_position({_dots_expr(vec_col, cents)}, "
-        f"array_max({_dots_expr(vec_col, cents)}))"
+        f"CAST(-(array_max(zip_with({_dots_expr(vec_col, cents)}, "
+        f"sequence(1, {n}), "
+        f"(d, i) -> named_struct('d', d, 'ni', -i))).ni) AS BIGINT)"
     )
 
 

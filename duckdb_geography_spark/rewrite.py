@@ -22,17 +22,30 @@ reference query is scalable verbatim:
     from duckdb_geography_spark import rewrite
     df = rewrite.sql(spark, "SELECT ... JOIN ... ON s2_intersects(...)")
 
-Scope (explicit, checked, loud): the offending Join must sit at the
-plan root or under attribute-only Projects (which is exactly what
-``SELECT cols FROM a JOIN b ON pred`` analyzes to). Joins buried
-under other operators raise ``RewriteUnsupported`` with the manual
-recipe named — a wrong silent rewrite would be worse than the warning.
+Scope: the naive Join may sit ANYWHERE in the plan — under Filters,
+Aggregates, Sorts, Projects with expressions, other Joins (the
+reference's host planner composes freely, README.md:14-19, and so
+does this). The rewrite is plan surgery: the offending Join subtree
+is replaced by the covering recipe's analyzed plan wrapped in a
+remap Project that republishes the ORIGINAL output names and
+exprIds (``AttributeReference.withName/withExprId``), so every
+operator above — whatever it is — re-resolves untouched. Mixed
+conditions (``ON s2_intersects(a.g, b.g) AND b.type = 'x'``) rewrite
+too: the spatial conjunct drives the covering join and the remaining
+conjuncts become a post-join Filter (semantics-preserving for the
+INNER joins this handles). Conditions that already contain a real
+cross-side equality hash-join fine on their own and are left alone.
+
+Still refused loudly (``RewriteUnsupported`` naming the manual
+recipe): non-INNER naive joins, ``s2_mayintersect`` as the only
+spatial conjunct (a fixed-level covering is a DIFFERENT
+approximation — rewriting would change the row set), computed
+geography arguments, and both-arguments-same-side shapes.
 """
 
 from __future__ import annotations
 
 import warnings
-from typing import Optional
 
 from pyspark.sql import DataFrame
 
@@ -47,14 +60,15 @@ __all__ = ["rewrite_spatial_joins", "sql", "RewriteUnsupported"]
 #: coverings and a fixed-level covering overlap are DIFFERENT
 #: approximations, so the rewrite would change the row set; it is
 #: detected (so users get a loud refusal, not a silent cartesian) but
-#: never rewritten.
+#: never DRIVES a rewrite. As a residual conjunct next to a
+#: rewritable predicate it is exact (a plain filter) and survives.
 _PREDICATE_NAMES = {
     "s2_intersects": "intersects",
     "s2_contains": "contains",
     "s2_equals": "equals",
 }
 _DWITHIN_NAMES = {"s2_dwithin", "_dwithin_udf"}
-#: detected-but-unrewritable: refuse loudly instead of rewriting to a
+#: detected-but-undriving: refuse loudly instead of rewriting to a
 #: different approximation
 _UNREWRITABLE_NAMES = {"s2_mayintersect", "_mayintersect_udf"}
 
@@ -65,10 +79,23 @@ class RewriteUnsupported(ValueError):
 
 
 def _df_of(spark, jplan) -> DataFrame:
-    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-        spark._jsparkSession, jplan
+    # Spark 4 moved Dataset to org.apache.spark.sql.classic; fall back
+    # to the 3.x path instead of hard-coupling to one internal class
+    # (ADVICE r4). A missing class surfaces as a non-callable
+    # JavaPackage -> TypeError.
+    jvm = spark._jvm
+    for cls in (
+        jvm.org.apache.spark.sql.classic.Dataset,
+        jvm.org.apache.spark.sql.Dataset,
+    ):
+        try:
+            jdf = cls.ofRows(spark._jsparkSession, jplan)
+        except TypeError:
+            continue
+        return DataFrame(jdf, spark)
+    raise RuntimeError(
+        "no Dataset.ofRows entry point found in this Spark version"
     )
-    return DataFrame(jdf, spark)
 
 
 def _children(node):
@@ -76,9 +103,21 @@ def _children(node):
     return [ch.apply(i) for i in range(ch.size())]
 
 
-def _output_ids(jplan):
+def _output_attrs(jplan):
     out = jplan.output()
-    return {out.apply(i).exprId().id(): i for i in range(out.size())}
+    return [out.apply(i) for i in range(out.size())]
+
+
+def _output_ids(jplan):
+    return {a.exprId().id(): i for i, a in enumerate(_output_attrs(jplan))}
+
+
+def _conjuncts(expr):
+    if expr.getClass().getSimpleName() == "And":
+        yield from _conjuncts(expr.left())
+        yield from _conjuncts(expr.right())
+    else:
+        yield expr
 
 
 def _literal_value(expr):
@@ -101,89 +140,83 @@ def _literal_value(expr):
     return None
 
 
-def _find_naive_join(node, above_ok=True):
-    """Return (join_node, projects_above) for the first naive spatial
-    join reachable through attribute-only Projects, or None. A join
-    deeper in the plan (below filters/aggregates/other joins) returns
-    the sentinel string 'deep' so callers can raise loudly instead of
-    silently keeping the cartesian plan."""
-    cls = node.getClass().getSimpleName()
-    if cls == "Join" and node.condition().isDefined():
-        cond = node.condition().get()
+def _split_condition(join):
+    """Classify a join condition. Returns None when the join is not a
+    naive spatial join (no spatial-UDF conjunct, or a real cross-side
+    equality already makes it a hash join); otherwise
+    ``(driving, residuals)`` where ``driving`` is the spatial PythonUDF
+    conjunct the covering recipe will express (None when only
+    unrewritable spatial conjuncts exist) and ``residuals`` are the
+    remaining conjuncts to re-apply as a post-join Filter."""
+    conjs = list(_conjuncts(join.condition().get()))
+    lout, rout = join.left().outputSet(), join.right().outputSet()
+    for c in conjs:
+        if c.getClass().getSimpleName() not in ("EqualTo", "EqualNullSafe"):
+            continue
+        ar, br = c.left().references(), c.right().references()
+        if (
+            not ar.intersect(lout).isEmpty() and not br.intersect(rout).isEmpty()
+        ) or (
+            not ar.intersect(rout).isEmpty() and not br.intersect(lout).isEmpty()
+        ):
+            # a real equi-join key: Spark hash-joins, the spatial
+            # predicate is just a residual filter — scalable already
+            return None
+    names = {}
+    for c in conjs:
         # py4j proxies "have" every attribute — gate on the class
         # before calling .name(), or non-UDF conditions throw
-        if cond.getClass().getSimpleName() == "PythonUDF":
-            name = cond.name()
-            hinted = any(
-                ch.getClass().getSimpleName() == "ResolvedHint"
-                for ch in _children(node)
-            )
-            if (
-                not hinted  # explicit broadcast: the intentional NL recipe
-                and (
-                    name in _PREDICATE_NAMES
-                    or name in _DWITHIN_NAMES
-                    or name in _UNREWRITABLE_NAMES
-                )
-                and " = " not in cond.toString()
-            ):
-                return node, []
-    if cls == "Project" and above_ok:
-        exprs = node.projectList()
-        only_attrs = all(
-            exprs.apply(i).getClass().getSimpleName() == "AttributeReference"
-            for i in range(exprs.size())
-        )
-        hit = _find_naive_join(_children(node)[0], above_ok=only_attrs)
-        if isinstance(hit, tuple):
-            join, projs = hit
-            if not only_attrs:
-                return "deep"
-            return join, projs + [node]
-        return hit
-    # anything else: a naive join below it is out of scope
-    for ch in _children(node):
-        if _find_naive_join(ch, above_ok=False) is not None:
-            return "deep"
+        if c.getClass().getSimpleName() == "PythonUDF":
+            names[c] = c.name()
+    spatial = {
+        c: nm
+        for c, nm in names.items()
+        if nm in _PREDICATE_NAMES or nm in _DWITHIN_NAMES or nm in _UNREWRITABLE_NAMES
+    }
+    if not spatial:
+        return None
+    driving = next(
+        (c for c, nm in spatial.items() if nm not in _UNREWRITABLE_NAMES), None
+    )
+    residuals = [c for c in conjs if c is not driving]
+    return driving, residuals
+
+
+def _find_naive_join(node, path=()):
+    """DFS for the topmost naive spatial join. Returns
+    ``(join, ancestors, split)`` where ancestors is the root-to-parent
+    list of ``(node, child_index)`` pairs, or None."""
+    if (
+        node.getClass().getSimpleName() == "Join"
+        and node.condition().isDefined()
+        and not any(
+            ch.getClass().getSimpleName() == "ResolvedHint" for ch in _children(node)
+        )  # explicit broadcast: the intentional NL recipe
+    ):
+        split = _split_condition(node)
+        if split is not None:
+            return node, list(path), split
+    for i, ch in enumerate(_children(node)):
+        hit = _find_naive_join(ch, path + ((node, i),))
+        if hit is not None:
+            return hit
     return None
 
 
-def rewrite_spatial_joins(
-    df: DataFrame, level: int = 8, warn: bool = True
-) -> DataFrame:
-    """Rewrite a naive geography-predicate join into the covering
-    equi-join recipe; return ``df`` unchanged when no naive join is
-    present.
+def _fold_and(spark, exprs):
+    jvm = spark._jvm
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = jvm.org.apache.spark.sql.catalyst.expressions.And(out, e)
+    return out
 
-    The rewritten plan computes the SAME rows (covering prefilter +
-    exact refine is semantics-preserving for
-    intersects/contains/equals/dwithin) with the same column names and
-    order. ``level`` is the fixed covering level passed to
-    :func:`~duckdb_geography_spark.joins.covering_join`. Only INNER
-    joins are rewritten; explicitly-broadcast joins (the intentional
-    NL recipe) are left untouched.
 
-    Raises :class:`RewriteUnsupported` when a naive join exists but
-    cannot be safely restructured — non-inner join types, joins below
-    operators this rewriter does not walk, ``s2_mayintersect``
-    conditions (the fixed-level covering is a DIFFERENT approximation,
-    so rewriting would change the row set) — the caller should build
-    the query with :func:`~duckdb_geography_spark.joins.spatial_join`
-    / ``covering_join(predicate="mayintersect")`` directly.
-    """
-    spark = df.sparkSession
-    analyzed = df._jdf.queryExecution().analyzed()
-    hit = _find_naive_join(analyzed)
-    if hit is None:
-        return df
-    if hit == "deep":
-        raise RewriteUnsupported(
-            "a geography-predicate join sits below operators "
-            "rewrite_spatial_joins does not restructure; express the "
-            "join with duckdb_geography_spark.joins.spatial_join and "
-            "apply the remaining operators to its result"
-        )
-    join, projects = hit
+def _rewrite_one(spark, root, join, ancestors, driving, residuals, level, warn):
+    """Replace ``join`` (at ``ancestors`` below ``root``) with the
+    covering recipe + residual Filter + exprId-remap Project; return
+    the rebuilt root plan."""
+    jvm = spark._jvm
+    toSeq = jvm.PythonUtils.toSeq
     join_type = join.joinType().toString()
     if join_type != "Inner":
         raise RewriteUnsupported(
@@ -192,9 +225,7 @@ def rewrite_spatial_joins(
             "rewrite would change the row set) — restructure around "
             "joins.spatial_join's inner result"
         )
-    cond = join.condition().get()
-    name = cond.name()
-    if name in _UNREWRITABLE_NAMES:
+    if driving is None:
         raise RewriteUnsupported(
             "s2_mayintersect join conditions are not rewritten: the "
             "adaptive-covering test and a fixed-level covering overlap "
@@ -203,7 +234,8 @@ def rewrite_spatial_joins(
             "'mayintersect') explicitly if the fixed-level form is "
             "acceptable."
         )
-    args = _children(cond)
+    name = driving.name()
+    args = _children(driving)
     left_plan, right_plan = _children(join)
     left_ids, right_ids = _output_ids(left_plan), _output_ids(right_plan)
 
@@ -250,12 +282,12 @@ def rewrite_spatial_joins(
                 "joins.spatial_join"
             )
         left_df, right_df = right_df, left_df
-        left_ids, right_ids = right_ids, left_ids
         # i0/i1 are already indices WITHIN each argument's own side;
         # swapping the sides moves the args with them, so the indices
-        # stay put (exchanging them only worked when both sides had
-        # symmetric column counts)
-        s0, s1 = "L", "R"
+        # stay put
+        swapped = True
+    else:
+        swapped = False
     left_geog = left_df.columns[i0]
     right_geog = right_df.columns[i1]
 
@@ -290,30 +322,98 @@ def rewrite_spatial_joins(
             f"recipe (level={level}); build with joins.spatial_join to "
             "choose the strategy explicitly",
             J.SpatialJoinLintWarning,
-            stacklevel=2,
+            stacklevel=3,
         )
-    # re-apply the attribute-only projections by (side, position):
-    # covering_join emits left columns then right columns in input
-    # order (right columns renamed only on collision), so positions
-    # are stable even when names changed
-    n_left = len(left_df.columns)
-    for proj in reversed(projects):
-        exprs = proj.projectList()
-        cols = []
-        for i in range(exprs.size()):
-            attr = exprs.apply(i)
-            aid = attr.exprId().id()
-            if aid in left_ids:
-                pos = left_ids[aid]
-            elif aid in right_ids:
-                pos = n_left + right_ids[aid]
-            else:
-                raise RewriteUnsupported(
-                    f"projected column {attr.toString()} is not a join "
-                    "input column"
-                )
-            cols.append(out[out.columns[pos]].alias(attr.name()))
-        out = out.select(*cols)
+    new_plan = out._jdf.queryExecution().analyzed()
+    new_attrs = _output_attrs(new_plan)
+    old_attrs = _output_attrs(join)  # inner join: left.output ++ right.output
+    n_left, n_right = len(left_df.columns), len(right_df.columns)
+    if len(new_attrs) != n_left + n_right or len(old_attrs) != n_left + n_right:
+        raise RewriteUnsupported(
+            "covering recipe changed the join arity — cannot remap "
+            "columns positionally"
+        )
+    # covering_join emits left columns then right columns in INPUT
+    # order (right renamed only on collision), so positions map 1:1.
+    # If the condition's sides were swapped to normalize the predicate,
+    # the new plan's left block corresponds to the OLD right block.
+    if swapped:
+        order = list(range(n_left, n_left + n_right)) + list(range(n_left))
+    else:
+        order = list(range(n_left + n_right))
+    # remap Project: republish the rewritten plan's columns under the
+    # ORIGINAL names and exprIds so every ancestor re-resolves as-is.
+    # A projectList AttributeReference is a *reference*, so changed
+    # ids need a real Alias(child)(exprId=old) definition; unchanged
+    # ids pass through as-is.
+    AliasCls = jvm.org.apache.spark.sql.catalyst.expressions.Alias
+    none = jvm.scala.Option.apply(None)
+    empty = toSeq([])
+    remap = []
+    for new_pos, old in zip(order, old_attrs):
+        na = new_attrs[new_pos]
+        if na.exprId().id() == old.exprId().id() and na.name() == old.name():
+            remap.append(na)
+        else:
+            remap.append(
+                AliasCls(na, old.name(), old.exprId(), empty, none, empty)
+            )
+    cur = jvm.org.apache.spark.sql.catalyst.plans.logical.Project(
+        toSeq(remap), new_plan
+    )
+    if residuals:
+        # residual conjuncts (single-side equalities, extra spatial
+        # predicates, arbitrary boolean exprs) reference only join
+        # output attrs — all republished by the remap Project, so the
+        # ORIGINAL expression objects re-resolve unchanged. For INNER
+        # joins, condition-conjunct -> post-join Filter is exact
+        # (NULL and false both drop the row in both positions).
+        cur = jvm.org.apache.spark.sql.catalyst.plans.logical.Filter(
+            _fold_and(spark, residuals), cur
+        )
+    for anc, child_idx in reversed(ancestors):
+        kids = _children(anc)
+        cur = anc.withNewChildren(toSeq(kids[:child_idx] + [cur] + kids[child_idx + 1 :]))
+    return cur
+
+
+def rewrite_spatial_joins(
+    df: DataFrame, level: int = 8, warn: bool = True
+) -> DataFrame:
+    """Rewrite every naive geography-predicate join in ``df``'s plan
+    into the covering equi-join recipe; return ``df`` unchanged when
+    no naive join is present.
+
+    The rewritten plan computes the SAME rows (covering prefilter +
+    exact refine is semantics-preserving for
+    intersects/contains/equals/dwithin) with the same column names,
+    order, and exprIds — operators above the join (filters,
+    aggregates, sorts, projections, further joins) are reattached
+    verbatim. ``level`` is the fixed covering level passed to
+    :func:`~duckdb_geography_spark.joins.covering_join`. Only INNER
+    joins are rewritten; explicitly-broadcast joins (the intentional
+    NL recipe) are left untouched.
+
+    Raises :class:`RewriteUnsupported` when a naive join exists but
+    cannot be safely restructured — non-inner join types,
+    ``s2_mayintersect``-only conditions (the fixed-level covering is a
+    DIFFERENT approximation, so rewriting would change the row set),
+    computed geography arguments — the caller should build the query
+    with :func:`~duckdb_geography_spark.joins.spatial_join` /
+    ``covering_join(predicate="mayintersect")`` directly.
+    """
+    spark = df.sparkSession
+    out = df
+    for _ in range(10):  # several naive joins rewrite one per pass
+        analyzed = out._jdf.queryExecution().analyzed()
+        hit = _find_naive_join(analyzed)
+        if hit is None:
+            return out
+        join, ancestors, (driving, residuals) = hit
+        rebuilt = _rewrite_one(
+            spark, analyzed, join, ancestors, driving, residuals, level, warn
+        )
+        out = _df_of(spark, rebuilt)
     return out
 
 

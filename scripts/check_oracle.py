@@ -1,6 +1,7 @@
 """Replicates the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() twin on DuckDB, compare rowcount +
-schema-ordered values. Usage: python scripts/check_oracle.py [sf_dir]"""
+schema-ordered values. Usage:
+python scripts/check_oracle.py [sf_dir] [gate_name ...]  (no names = all)"""
 
 from __future__ import annotations
 
@@ -34,7 +35,7 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only=None) -> int:
     from duckdb_geography_spark.session import get_spark
 
     spark = get_spark(cpus=8)
@@ -43,6 +44,11 @@ def main(sf_dir: str) -> int:
     for t in e.TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
     qs, osql = e.queries(), e.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown gates: {sorted(unknown)}")
+        qs = {n: qs[n] for n in only}
     failures = []
     for name, fn in qs.items():
         try:
@@ -88,4 +94,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            only=sys.argv[2:] or None,
+        )
+    )

@@ -165,12 +165,55 @@ class TestRewrite:
         got = {(r["country"], r["city"], r["city2"]) for r in rw.collect()}
         assert got == want
 
-    def test_deep_join_raises(self, spark, sides):
+    def test_aggregate_above_join_rewrites(self, spark, sides):
+        # round-5: operators ABOVE the naive join no longer refuse —
+        # the join subtree is replaced in place (exprId-remap Project)
+        # and the Aggregate reattaches verbatim
         cities, countries = sides
         naive = cities.join(countries, G.s2_intersects("cgeog", "ngeog"))
         deep = naive.groupBy("country").count()
-        with pytest.raises(RW.RewriteUnsupported):
-            RW.rewrite_spatial_joins(deep, warn=False)
+        rw = RW.rewrite_spatial_joins(deep, warn=False)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        want = {(r["country"], r["count"]) for r in deep.collect()}
+        got = {(r["country"], r["count"]) for r in rw.collect()}
+        assert got == want and len(got) > 0
+
+    def test_filter_and_aggregate_above_join_rewrite(self, spark, sides):
+        # the first thing a real user writes: README join + WHERE +
+        # GROUP BY (reference README.md:14-19 composes freely)
+        cities, countries = sides
+        naive = cities.join(countries, G.s2_intersects("cgeog", "ngeog"))
+        deep = (
+            naive.where(F.col("city") != "__nobody__")
+            .groupBy("country")
+            .count()
+            .orderBy("country")
+        )
+        rw = RW.rewrite_spatial_joins(deep, warn=False)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert [tuple(r) for r in rw.collect()] == [tuple(r) for r in deep.collect()]
+
+    def test_mixed_condition_single_side_equality_rewrites(self, spark, sides):
+        # ON s2_intersects(...) AND b.col = 'literal' — the equality is
+        # a pushed-down filter, NOT a join key; the covering recipe
+        # must drive and the equality must survive as a residual
+        cities, countries = sides
+        naive = cities.join(
+            countries,
+            G.s2_intersects("cgeog", "ngeog")
+            & (F.col("country") != "__nobody__"),
+        )
+        rw = RW.rewrite_spatial_joins(naive, warn=False)
+        plan = rw._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        want = {(r["city"], r["country"]) for r in naive.collect()}
+        got = {(r["city"], r["country"]) for r in rw.collect()}
+        assert got == want and len(got) > 0
 
     def test_equals_join_rewrites(self, spark, sides):
         cities, _ = sides
