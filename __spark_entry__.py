@@ -4719,6 +4719,153 @@ ORDER BY e.err_id
 
 
 # ---------------------------------------------------------------------------
+# round-5 gates: implicit cell coercion + deep-plan auto-rewrite
+# ---------------------------------------------------------------------------
+
+#: cell ids built by pure integer arithmetic BOTH engines evaluate
+#: identically — no geo functions needed on the oracle side. Valid
+#: rows: face k%4, level k%6+3, Hilbert-position bits from a
+#: Knuth-hash of the key, proper trailing 10..0 lsb. Invalid rows
+#: (k%5=0): face 6 (top bits 110 -> structurally invalid), encoded as
+#: the signed value -2*2^61 + lsb.
+_COERCE_LSB = (
+    "CASE (k % 6) + 3 WHEN 3 THEN 18014398509481984 WHEN 4 THEN 4503599627370496 "
+    "WHEN 5 THEN 1125899906842624 WHEN 6 THEN 281474976710656 "
+    "WHEN 7 THEN 70368744177664 ELSE 17592186044416 END"
+)
+_COERCE_P = "((k * 2654435761) % 549755813888) * 2097152"
+_COERCE_CELL = (
+    f"CASE WHEN k % 5 = 0 THEN -4611686018427387904 + ({_COERCE_LSB}) "
+    f"ELSE (k % 4) * 2305843009213693952 "
+    f"+ (({_COERCE_P}) - (({_COERCE_P}) % (2 * ({_COERCE_LSB})))) "
+    f"+ ({_COERCE_LSB}) END"
+)
+
+
+def _q_cell_coercion_gate(spark, sf_dir):
+    """Implicit S2_CELL->GEOGRAPHY coercion (DuckDB cost-0 cast
+    parity, reference src/s2_cell_ops.cpp:1033-1051): every geography
+    function takes a BARE cell id (and a bare array<long> cell union)
+    on the SQL surface. Oracle facts derive from the arithmetic
+    construction alone — emptiness/level/intersection follow from the
+    known face/level, and the coerced-vs-explicit-cast equalities are
+    invariants (TRUE per row)."""
+    from duckdb_geography_spark.functions.register import register_sql_functions
+
+    _prep(spark)
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    ).createOrReplaceTempView("coerce_keys")
+    return spark.sql(
+        f"""
+SELECT k,
+  cell,
+  s2_isempty(cell) AS is_empty,
+  s2_intersects(cell, cell) AS self_isect,
+  s2_cell_level(cell) AS lvl,
+  s2_area(cell) = s2_area(s2_cell_to_geography(cell)) AS area_match,
+  s2_astext(cell) = s2_astext(s2_cell_to_geography(cell)) AS wkt_match,
+  s2_area(array(cell, cell)) = s2_area(s2_cell_union_to_geography(array(cell))) AS union_match,
+  s2_area(cell) > 0 AS area_pos
+FROM (SELECT k, {_COERCE_CELL} AS cell FROM coerce_keys)
+ORDER BY k
+"""
+    )
+
+
+def _cell_coercion_sql():
+    return f"""
+SELECT k,
+  {_COERCE_CELL} AS cell,
+  (k % 5 = 0) AS is_empty,
+  (k % 5 <> 0) AS self_isect,
+  CAST(CASE WHEN k % 5 = 0 THEN -1 ELSE (k % 6) + 3 END AS INT) AS lvl,
+  TRUE AS area_match,
+  TRUE AS wkt_match,
+  TRUE AS union_match,
+  (k % 5 <> 0) AS area_pos
+FROM (SELECT c_custkey AS k FROM customer)
+ORDER BY k
+"""
+
+
+def _q_rewrite_deep_gate(spark, sf_dir):
+    """The round-5 auto-rewrite surface end-to-end: the reference
+    README's naive-join SQL (README.md:14-19) COMPOSED under WHERE +
+    GROUP BY + ORDER BY — the shape rewrite_spatial_joins previously
+    refused — pasted verbatim into rewrite.sql. The rewriter replaces
+    the naive s2_dwithin join with the buffered covering distance
+    join via plan surgery and reattaches the aggregation; the oracle
+    recomputes the snapped great-circle distances in SQL (same CTE
+    math as dwithin_gate) with the same filter + rollup."""
+    import warnings as _warnings
+
+    from duckdb_geography_spark import rewrite as RW
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
+    from duckdb_geography_spark.functions.register import register_sql_functions
+
+    _prep(spark)
+    register_sql_functions(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        s2_cell_center_to_geography(
+            C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat())
+        ).alias("geog"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    xmin, ymin, _, _ = synth.nation_box()
+    centers = nation.select(
+        "n_nationkey",
+        (xmin + 27.5).alias("clon"),
+        (ymin + 12.5).alias("clat"),
+    ).select(
+        "n_nationkey",
+        s2_cell_center_to_geography(C.s2_cellfromlonlat("clon", "clat")).alias("geog"),
+    )
+    cust.createOrReplaceTempView("rw_cust")
+    centers.createOrReplaceTempView("rw_centers")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # the rewrite advisory
+        return RW.sql(
+            spark,
+            """
+SELECT n.n_nationkey, count(*) AS n_within
+FROM rw_cust c JOIN rw_centers n ON s2_dwithin(c.geog, n.geog, 1000000.0)
+WHERE c.c_custkey % 3 != 0
+GROUP BY n.n_nationkey
+ORDER BY n.n_nationkey
+""",
+        )
+
+
+def _rewrite_deep_sql():
+    from duckdb_geography_spark import synth
+
+    cpts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, "
+        f"{synth.CUST_LAT_SQL} AS lat FROM customer WHERE c_custkey % 3 != 0"
+    )
+    npts = (
+        f"SELECT n_nationkey AS k, ({synth.NATION_XMIN_SQL}) + 27.5 AS lon, "
+        f"({synth.NATION_YMIN_SQL}) + 12.5 AS lat FROM nation"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_c")},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_c", "_c").lstrip()},
+{synth.cellfromlonlat_cte(npts, "_n").lstrip()},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_n", "_n").lstrip()}
+SELECT n.k AS n_nationkey, CAST(count(*) AS BIGINT) AS n_within
+FROM centers_c c CROSS JOIN centers_n n
+WHERE 2.0 * asin(least(1.0, 0.5 * sqrt((c.x-n.x)*(c.x-n.x) + (c.y-n.y)*(c.y-n.y) + (c.z-n.z)*(c.z-n.z)))) * 6371010.0 <= 1000000.0
+GROUP BY n.k
+ORDER BY n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4738,6 +4885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "stream_neardup": _q_stream_neardup,
         # --- new gates added in round 5 ---
+        "cell_coercion_gate": _q_cell_coercion_gate,
+        "rewrite_deep_gate": _q_rewrite_deep_gate,
         # --- recorded only in the r3 window ---
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
@@ -4909,4 +5058,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _FUNNEL_SQL,
         "corpus_curation": _curation_sql(),
         "stream_neardup": _stream_neardup_sql(),
+        "cell_coercion_gate": _cell_coercion_sql(),
+        "rewrite_deep_gate": _rewrite_deep_sql(),
     }

@@ -93,7 +93,12 @@ def s2_geography_to_cell_center(geog) -> Column:
 def _cell_polygon(cid: np.uint64) -> Geography:
     lons, lats = cm.cell_vertex_lonlat(np.array([cid] * 4, dtype=np.uint64), np.arange(4))
     ring = np.stack([lons, lats], axis=1)
-    return Geography(KIND_POLYGON, polygons=[[ring]])
+    g = Geography(KIND_POLYGON, polygons=[[ring]])
+    # a cell's perfect covering is the cell itself — memoizing it lets
+    # encode() skip the adaptive region coverer (~200ms/value), the
+    # dominant cost of CELL->GEOGRAPHY at scale
+    g._cov = np.array([cid], dtype=np.uint64)
+    return g
 
 
 @F.pandas_udf(BinaryType())
@@ -103,17 +108,51 @@ def _cell_to_geography_udf(s: pd.Series) -> pd.Series:
         if v is None:
             out.append(None)
             continue
-        cid = np.uint64(np.int64(v))
-        if not cm.is_valid(np.array([cid]))[0]:
-            out.append(Geography(KIND_POLYGON).encode())
-        else:
-            out.append(_cell_polygon(cid).encode())
+        out.append(_cell_geog_bytes(int(np.int64(v))))
     return pd.Series(out, dtype=object)
 
 
 def s2_cell_to_geography(cell) -> Column:
     """S2_CELL -> 4-vertex spherical polygon (src/s2_cell_ops.cpp:553-576)."""
     return _cell_to_geography_udf(_c(cell))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16384)
+def _cell_geog_bytes(i: int) -> bytes:
+    """Encoded CELL->GEOGRAPHY polygon for a signed cell id — the
+    kernel of s2_cell_to_geography AND the implicit coercion path
+    (geoudfs.coerce_geog), id-memoized per worker (cell polygons are
+    deterministic and ~100 B, so repeated ids — broadcast sides,
+    shared covering cells — decode once)."""
+    cid = np.uint64(np.int64(i))
+    if not cm.is_valid(np.array([cid]))[0]:
+        return Geography(KIND_POLYGON).encode()
+    return _cell_polygon(cid).encode()
+
+
+@lru_cache(maxsize=4096)
+def _cell_union_geog_bytes(ids: tuple) -> bytes:
+    """Encoded S2_CELL_UNION->GEOGRAPHY dissolved border for a tuple
+    of signed cell ids — shared by the explicit cast UDF and the
+    implicit coercion path. The normalized union IS its own perfect
+    covering, so encode() skips the adaptive coverer whenever it
+    fits the embedded-covering slot."""
+    cells = normalize_cell_union(np.array(ids, dtype=np.int64).view(np.uint64))
+    if len(cells) == 0:
+        return Geography(KIND_POLYGON).encode()
+    if len(cells) == 1:
+        return _cell_geog_bytes(int(cells.view(np.int64)[0]))
+    from ..geo.cell_border import cell_union_border_lonlat
+
+    polys = cell_union_border_lonlat(cells)
+    kind = KIND_POLYGON if len(polys) == 1 else KIND_MULTIPOLYGON
+    g = Geography(kind, polygons=polys)
+    if len(cells) <= 8:
+        g._cov = np.asarray(cells, dtype=np.uint64)
+    return g.encode()
 
 
 @F.pandas_udf(BinaryType())
@@ -123,19 +162,7 @@ def _cell_union_to_geography_udf(s: pd.Series) -> pd.Series:
         if arr is None:
             out.append(None)
             continue
-        cells = normalize_cell_union(np.array(arr, dtype=np.int64).view(np.uint64))
-        if len(cells) == 0:
-            out.append(Geography(KIND_POLYGON).encode())
-        elif len(cells) == 1:
-            out.append(_cell_polygon(cells[0]).encode())
-        else:
-            from ..geo.cell_border import cell_union_border_lonlat
-
-            polys = cell_union_border_lonlat(cells)
-            if len(polys) == 1:
-                out.append(Geography(KIND_POLYGON, polygons=polys).encode())
-            else:
-                out.append(Geography(KIND_MULTIPOLYGON, polygons=polys).encode())
+        out.append(_cell_union_geog_bytes(tuple(int(v) for v in arr)))
     return pd.Series(out, dtype=object)
 
 

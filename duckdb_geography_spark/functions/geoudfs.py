@@ -205,49 +205,33 @@ def coerce_geog(s: pd.Series) -> pd.Series:
         if isinstance(first, (int, np.integer, decimal.Decimal)):
             # DECIMAL/odd-integer object columns (SQL literals arrive
             # as decimal.Decimal): same S2_CELL coercion, exact math
-            from ..s2 import cellmath as cm
-            from .casts import _cell_polygon
-            from ..geo.geography import KIND_POLYGON
+            from .casts import _cell_geog_bytes
 
-            out = []
-            for v in s:
-                if v is None:
-                    out.append(None)
-                    continue
-                cid = np.uint64(np.int64(_cell_id_from_number(v)))
-                if not cm.is_valid(np.array([cid]))[0]:
-                    out.append(Geography(KIND_POLYGON).encode())
-                else:
-                    out.append(_cell_polygon(cid).encode())
-            return pd.Series(out, dtype=object)
+            return pd.Series(
+                [
+                    None if v is None else _cell_geog_bytes(_cell_id_from_number(v))
+                    for v in s
+                ],
+                dtype=object,
+            )
         if isinstance(first, (np.ndarray, list, tuple)):
-            from ..s2.coverer import normalize_cell_union
-            from .casts import _cell_polygon
-            from ..geo.geography import KIND_MULTIPOLYGON, KIND_POLYGON
+            from .casts import _cell_union_geog_bytes
 
-            out = []
-            for arr in s:
-                if arr is None:
-                    out.append(None)
-                    continue
-                ids = np.array([_cell_id_from_number(v) for v in arr], dtype=np.int64)
-                cells = normalize_cell_union(ids.view(np.uint64))
-                if len(cells) == 0:
-                    out.append(Geography(KIND_POLYGON).encode())
-                elif len(cells) == 1:
-                    out.append(_cell_polygon(cells[0]).encode())
-                else:
-                    from ..geo.cell_border import cell_union_border_lonlat
-
-                    polys = cell_union_border_lonlat(cells)
-                    kind = KIND_POLYGON if len(polys) == 1 else KIND_MULTIPOLYGON
-                    out.append(Geography(kind, polygons=polys).encode())
-            return pd.Series(out, dtype=object)
+            return pd.Series(
+                [
+                    None
+                    if arr is None
+                    else _cell_union_geog_bytes(
+                        tuple(_cell_id_from_number(v) for v in arr)
+                    )
+                    for arr in s
+                ],
+                dtype=object,
+            )
         return s  # let the caller's bytes() raise its usual error
     if s.dtype.kind in "iuf":
         from ..s2 import cellmath as cm
-        from .casts import _cell_polygon
-        from ..geo.geography import KIND_POLYGON
+        from .casts import _cell_geog_bytes
 
         # float64 source = Arrow's nullable-long path. A leaf-level id
         # does not fit the 53-bit mantissa; it rounds to a NEARBY
@@ -265,9 +249,9 @@ def coerce_geog(s: pd.Series) -> pd.Series:
                 out.append(None)
                 continue
             i = _cell_id_from_number(v)
-            cid = np.uint64(np.int64(i))
-            if not cm.is_valid(np.array([cid]))[0]:
-                if is_float_src and i not in (0, -1):
+            if is_float_src and i not in (0, -1):
+                cid = np.uint64(np.int64(i))
+                if not cm.is_valid(np.array([cid]))[0]:
                     raise ValueError(
                         "implicit S2_CELL->GEOGRAPHY coercion: value "
                         f"{v!r} arrived via Arrow's nullable-long "
@@ -277,9 +261,7 @@ def coerce_geog(s: pd.Series) -> pd.Series:
                         "column or cast explicitly with "
                         "s2_cell_to_geography."
                     )
-                out.append(Geography(KIND_POLYGON).encode())
-            else:
-                out.append(_cell_polygon(cid).encode())
+            out.append(_cell_geog_bytes(i))
         return pd.Series(out, dtype=object)
     return s
 
