@@ -42,12 +42,52 @@ GEOARROW_META = {
 }
 
 
+class GeoArrowWkbType(pa.ExtensionType):
+    """A live ``geoarrow.wkb`` pyarrow ExtensionType (reference
+    src/s2_geoarrow.cpp:18-93 registers the equivalent callbacks with
+    DuckDB's Arrow runtime). Storage is plain binary WKB; the
+    serialized metadata carries the edge model + CRS. Registered by
+    :func:`s2_register_geoarrow_extensions`, after which tables from
+    other geoarrow-aware libraries round-trip through
+    ``__arrow_ext_deserialize__`` with their edge model intact."""
+
+    def __init__(self, edges: str = "spherical", crs: str = "OGC:CRS84"):
+        self._ext_meta = {"edges": edges, "crs": crs}
+        super().__init__(pa.binary(), "geoarrow.wkb")
+
+    @property
+    def edges(self) -> str:
+        return self._ext_meta.get("edges", "planar")
+
+    @property
+    def crs(self):
+        return self._ext_meta.get("crs")
+
+    def __arrow_ext_serialize__(self) -> bytes:
+        return json.dumps(self._ext_meta).encode()
+
+    @classmethod
+    def __arrow_ext_deserialize__(cls, storage_type, serialized):
+        meta = json.loads(serialized.decode() or "{}") if serialized else {}
+        # geoarrow's default for an omitted "edges" key is PLANAR
+        return cls(edges=meta.get("edges", "planar"), crs=meta.get("crs"))
+
+
 def s2_register_geoarrow_extensions() -> bool:
     """Reference parity: SELECT * FROM s2_register_geoarrow_extensions()
-    returns true (test/sql/geography/geoarrow.test:6-9). The reference
-    registers geoarrow extension types with its Arrow runtime; pyarrow
-    field metadata needs no registration, so this is a no-op that
-    exists for API parity and always succeeds."""
+    returns true (test/sql/geography/geoarrow.test:6-9). Registers
+    :class:`GeoArrowWkbType` with pyarrow's extension registry
+    (idempotent — an already-registered name, e.g. by
+    ``geoarrow-pyarrow``, is left in place) so IPC/pandas round-trips
+    reconstruct typed arrays. Field-metadata tagging keeps working
+    regardless, so this returns True even when registration is
+    unavailable."""
+    try:
+        pa.register_extension_type(GeoArrowWkbType())
+    except pa.ArrowKeyError:
+        pass  # already registered (ours or another geoarrow library's)
+    except Exception:
+        pass  # metadata tagging still interops
     return True
 
 
@@ -59,14 +99,27 @@ def _tag_schema(schema: pa.Schema, geog_col: str) -> pa.Schema:
     return schema.set(idx, field)
 
 
-def to_geoarrow_table(df: DataFrame, geog_col: str = "geog") -> pa.Table:
+def to_geoarrow_table(
+    df: DataFrame, geog_col: str = "geog", extension: bool = False
+) -> pa.Table:
     """Export: geography -> WKB column tagged geoarrow.wkb.
 
     DRIVER-SIDE interop helper: collects the whole DataFrame, so it is
     bounded by driver memory — use it for dimension tables and query
-    results, and :func:`write_geoparquet_dir` for anything large."""
+    results, and :func:`write_geoparquet_dir` for anything large.
+    ``extension=True`` returns the column as a LIVE
+    :class:`GeoArrowWkbType` ExtensionArray (call
+    :func:`s2_register_geoarrow_extensions` first so IPC round-trips
+    re-materialize the type); the default stays field-metadata tagged,
+    which every geoarrow reader — including parquet footers — already
+    understands."""
     wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
     tbl = pa.Table.from_pandas(wkb_df.toPandas(), preserve_index=False)
+    if extension:
+        idx = tbl.schema.get_field_index(geog_col)
+        storage = tbl.column(idx).combine_chunks().cast(pa.binary())
+        ext_arr = pa.ExtensionArray.from_storage(GeoArrowWkbType(), storage)
+        return tbl.set_column(idx, pa.field(geog_col, ext_arr.type), ext_arr)
     # single source of truth for the field tagging (shared with the
     # distributed write_geoparquet_dir path)
     return tbl.cast(_tag_schema(tbl.schema, geog_col))
@@ -144,14 +197,35 @@ def from_geoarrow_table(
     """Import: WKB column tagged geoarrow.wkb -> GEOGRAPHY encoding.
 
     ``strict`` enforces the spherical-edges check the reference
-    performs on ingestion (src/s2_geoarrow.cpp:27-29)."""
+    performs on ingestion (src/s2_geoarrow.cpp:27-29). Accepts BOTH
+    carriers of the extension: a live ExtensionType column (ours or
+    another geoarrow library's — the edge model is read from the
+    type's serialized metadata) and plain field-metadata tagging."""
     idx = table.schema.get_field_index(geog_col)
-    meta = table.schema.field(idx).metadata or {}
-    name = meta.get(b"ARROW:extension:name", b"").decode()
+    field = table.schema.field(idx)
+    if isinstance(field.type, pa.ExtensionType):
+        ext_type = field.type
+        name = ext_type.extension_name
+        try:
+            ext = json.loads(
+                (ext_type.__arrow_ext_serialize__() or b"{}").decode() or "{}"
+            )
+        except Exception:
+            ext = {}
+        # unwrap to storage so the pandas/Spark conversion below sees
+        # plain binary
+        storage = table.column(idx).combine_chunks()
+        storage = (
+            storage.storage if hasattr(storage, "storage") else storage.cast(pa.binary())
+        )
+        table = table.set_column(idx, pa.field(geog_col, pa.binary()), storage)
+    else:
+        meta = field.metadata or {}
+        name = meta.get(b"ARROW:extension:name", b"").decode()
+        ext = json.loads(meta.get(b"ARROW:extension:metadata", b"{}") or b"{}")
     if strict:
         if name != "geoarrow.wkb":
             raise ValueError(f"column {geog_col!r} is not geoarrow.wkb (got {name!r})")
-        ext = json.loads(meta.get(b"ARROW:extension:metadata", b"{}") or b"{}")
         # the geoarrow spec's default for an omitted "edges" key is
         # PLANAR: accepting it silently would reinterpret planar
         # polygons as geodesic ones (edges shift by up to tens of km)

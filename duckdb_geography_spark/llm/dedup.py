@@ -211,6 +211,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_bucket: Optional[int] = 500,
+    warn_dropped: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice of the
     minhash signature -> same bucket. One explode + one equi-join; no
@@ -232,6 +233,16 @@ def minhash_lsh_pairs(
     (cf. the candidate cap in spark-ml's MinHashLSH
     approxSimilarityJoin). ``max_bucket=None`` disables the guard
     (NOT recommended beyond toy scale).
+
+    NOTE the default changed from None to 500 in round 4: homogeneous
+    near-dup clusters larger than the cap saturate every band's
+    bucket and emit zero candidate pairs — run :func:`exact_dedup`
+    first or raise the cap when such clusters are expected.
+    ``warn_dropped=True`` makes the recall loss observable: it runs
+    one extra bounded job (per-bucket counts only — no member lists)
+    and emits a UserWarning naming how many buckets/rows the guard
+    dropped. Off by default because the count job re-evaluates the
+    signature subtree.
 
     Returns (key_a, key_b) candidates, key_a < key_b, deduped.
     """
@@ -289,12 +300,29 @@ def minhash_lsh_pairs(
         # join. The signature subtree is shared between the two
         # branches up through sig's exchange, which ReuseExchange
         # dedups — the shingle explode + 64-way min scan runs once.
-        eligible = (
-            buckets.groupBy("__bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where((F.col("__n") >= 2) & (F.col("__n") <= int(max_bucket)))
-            .select("__bucket")
-        )
+        counts = buckets.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+        if warn_dropped:
+            import warnings
+
+            drop = (
+                counts.where(F.col("__n") > int(max_bucket))
+                .agg(F.count(F.lit(1)).alias("nb"), F.sum("__n").alias("nk"))
+                .collect()[0]
+            )
+            if drop["nb"]:
+                warnings.warn(
+                    f"minhash_lsh_pairs: skew guard dropped {drop['nb']} "
+                    f"bucket(s) holding {drop['nk']} member rows (> "
+                    f"max_bucket={max_bucket}); clusters larger than the "
+                    "cap only pair through their other bands. Run "
+                    "exact_dedup first or raise max_bucket if full "
+                    "recall over giant duplicate clusters is required.",
+                    UserWarning,
+                    stacklevel=3,
+                )
+        eligible = counts.where(
+            (F.col("__n") >= 2) & (F.col("__n") <= int(max_bucket))
+        ).select("__bucket")
         buckets = buckets.join(eligible, "__bucket", "left_semi")
     members = buckets.groupBy("__bucket").agg(
         F.sort_array(F.collect_list("__key")).alias("__ks")
@@ -332,6 +360,7 @@ def minhash_jaccard_pairs(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_bucket: Optional[int] = 500,
+    warn_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with exact n-gram Jaccard, generated the scalable
     way: banded MinHash-LSH candidates -> exact Jaccard refine. No
@@ -347,7 +376,8 @@ def minhash_jaccard_pairs(
     (byte-identical copies collapse there) or raise the cap if such
     clusters are expected."""
     cands = minhash_lsh_pairs(
-        df, text_col, key_col, n, num_perm, bands, seed, hash_fn, max_bucket
+        df, text_col, key_col, n, num_perm, bands, seed, hash_fn, max_bucket,
+        warn_dropped=warn_dropped,
     )
     texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))
@@ -372,6 +402,7 @@ def minhash_dedup(
     exact_components: bool = False,
     max_bucket: Optional[int] = 500,
     hash_fn: str = "xxhash64",
+    warn_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates -> exact n-gram Jaccard refine
     -> keep one representative per duplicate group.
@@ -391,7 +422,8 @@ def minhash_dedup(
     or disable the cap only if >cap near-identical-but-not-identical
     clusters are expected and the skew cost is acceptable."""
     cands = minhash_lsh_pairs(
-        df, text_col, key_col, n, num_perm, bands, seed, hash_fn, max_bucket
+        df, text_col, key_col, n, num_perm, bands, seed, hash_fn, max_bucket,
+        warn_dropped=warn_dropped,
     )
     texts_a = df.select(F.col(key_col).alias("key_a"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(key_col).alias("key_b"), F.col(text_col).alias("text_b"))

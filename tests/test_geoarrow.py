@@ -84,3 +84,64 @@ def test_geoparquet_dir_distributed_roundtrip(spark, tmp_path):
     a = cities.select(G.s2_format("geog", 6).alias("t")).collect()
     b = back.select(G.s2_format("geog", 6).alias("t")).collect()
     assert {r.t for r in a} == {r.t for r in b}
+
+
+# ---------------------------------------------------------------------------
+# live pyarrow ExtensionType (round 5; reference src/s2_geoarrow.cpp:18-93,
+# test/python/test_geoarrow.py:13-86)
+# ---------------------------------------------------------------------------
+
+
+def test_register_extension_idempotent():
+    assert GA.s2_register_geoarrow_extensions() is True
+    assert GA.s2_register_geoarrow_extensions() is True  # second call: no raise
+
+
+def test_extension_export_roundtrips_through_ipc(spark):
+    import pyarrow as pa
+
+    GA.s2_register_geoarrow_extensions()
+    cities = D.s2_data_cities(spark).limit(10)
+    tbl = GA.to_geoarrow_table(cities, extension=True)
+    assert isinstance(tbl.schema.field("geog").type, GA.GeoArrowWkbType)
+    assert tbl.schema.field("geog").type.edges == "spherical"
+    # IPC round-trip re-materializes the registered type
+    import io
+
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, tbl.schema) as w:
+        w.write_table(tbl)
+    buf.seek(0)
+    back_tbl = pa.ipc.open_stream(buf).read_all()
+    assert isinstance(back_tbl.schema.field("geog").type, GA.GeoArrowWkbType)
+    back = GA.from_geoarrow_table(spark, back_tbl)
+    a = cities.select("name", G.s2_format("geog", 6).alias("t")).collect()
+    b = back.select("name", G.s2_format("geog", 6).alias("t")).collect()
+    assert {(r.name, r.t) for r in a} == {(r.name, r.t) for r in b}
+
+
+def test_cross_library_extension_array_imports(spark):
+    # simulate a table built by ANOTHER geoarrow-aware library: a raw
+    # ExtensionArray over WKB storage, no field metadata at all
+    import pyarrow as pa
+
+    GA.s2_register_geoarrow_extensions()
+    point_wkb = bytes.fromhex("0101000000000000000000f03f0000000000000040")  # POINT(1 2)
+    storage = pa.array([point_wkb], type=pa.binary())
+    arr = pa.ExtensionArray.from_storage(GA.GeoArrowWkbType(), storage)
+    tbl = pa.table({"name": pa.array(["p"]), "geog": arr})
+    back = GA.from_geoarrow_table(spark, tbl)
+    # points snap to leaf cell centers on parse (engine-wide contract)
+    got = back.select(G.s2_format("geog", 6).alias("t")).head()["t"]
+    assert got == "POINT (1 2)"
+
+
+def test_planar_extension_type_rejected_strict(spark):
+    import pyarrow as pa
+
+    GA.s2_register_geoarrow_extensions()
+    storage = pa.array([b"\x00"], type=pa.binary())
+    arr = pa.ExtensionArray.from_storage(GA.GeoArrowWkbType(edges="planar"), storage)
+    tbl = pa.table({"geog": arr})
+    with pytest.raises(ValueError, match="spherical"):
+        GA.from_geoarrow_table(spark, tbl)

@@ -335,6 +335,34 @@ class TestAdviceFixes:
         hits = lint_spatial_joins(naive, warn=False)
         assert len(hits) == 1
 
+    def test_lsh_warn_dropped_fires_on_skew_guard(self, spark):
+        import warnings
+
+        from duckdb_geography_spark.llm.dedup import minhash_lsh_pairs
+
+        rows = [(i, "the same boilerplate text repeated everywhere") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            pairs = minhash_lsh_pairs(
+                df, max_bucket=10, warn_dropped=True
+            ).collect()
+        msgs = [str(w.message) for w in caught if "skew guard dropped" in str(w.message)]
+        assert msgs and "max_bucket=10" in msgs[0]
+        assert pairs == []  # every band saturates: guard drops all
+
+    def test_lsh_warn_dropped_silent_when_no_drop(self, spark):
+        import warnings
+
+        from duckdb_geography_spark.llm.dedup import minhash_lsh_pairs
+
+        rows = [(i, f"distinct document number {i} with words") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            minhash_lsh_pairs(df, max_bucket=500, warn_dropped=True).collect()
+        assert not [w for w in caught if "skew guard" in str(w.message)]
+
     def test_lint_still_suppresses_real_equijoin(self, spark):
         from duckdb_geography_spark.functions.register import register_sql_functions
         from duckdb_geography_spark.joins import lint_spatial_joins
