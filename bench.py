@@ -75,6 +75,12 @@ def main() -> None:
         "char_entropy",
         "funnel",
     ]
+    only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
+    if only:
+        unknown = set(only) - set(bench_queries)
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+        bench_queries = [q for q in bench_queries if q in only]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
     # which would otherwise be billed to the first UDF query

@@ -36,6 +36,9 @@ DST = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"),
 )
 COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+#: optional comma-separated subset of tables to (re)generate — the
+#: sf10 scaling point only needs the tables its 3 headline gates read
+ONLY = [t for t in os.environ.get("SCALE_TABLES", "").split(",") if t]
 
 #: key columns shifted per copy, per table (stride = 10^ceil(log10(max+1)))
 KEY_COLS = {
@@ -79,6 +82,8 @@ def main():
     os.makedirs(DST, exist_ok=True)
 
     for t in FIXED:
+        if ONLY and t not in ONLY:
+            continue
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
@@ -102,7 +107,26 @@ def main():
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
 
+    def _letter_perm(i: int) -> str:
+        """Distinct lowercase permutation per copy for up to 104
+        copies: rotation x {identity, reversal, adjacent-swap,
+        both}. A plain rotation collides after 26 copies (copy 26
+        would equal copy 0, reintroducing the cross-copy near-dup
+        artifact the rotation exists to avoid)."""
+        r, t = i % 26, (i // 26) % 4
+        base = lower[r:] + lower[:r]
+        if t in (1, 3):
+            base = base[::-1]
+        if t in (2, 3):
+            base = "".join(base[j + 1] + base[j] for j in range(0, 26, 2))
+        return base
+
+    perms = [_letter_perm(i) for i in range(COPIES)]
+    assert len(set(perms)) == COPIES, "letter perms must be copy-distinct"
+
     for t in SCALED:
+        if ONLY and t not in ONLY:
+            continue
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
         for i in range(COPIES):
@@ -112,10 +136,9 @@ def main():
                     c, (F.col(c).cast("long") + F.lit(i * strides[KEY_SPACES[c]])).cast("long")
                 )
             if t == "documents" and i > 0:
-                rot_l = lower[i:] + lower[:i]
-                rot_u = upper[i:] + upper[:i]
+                pl = perms[i]
                 df = df.withColumn(
-                    "text", F.translate("text", lower + upper, rot_l + rot_u)
+                    "text", F.translate("text", lower + upper, pl + pl.upper())
                 )
             if t == "embeddings" and i > 0:
                 df = df.withColumn(
