@@ -4866,6 +4866,159 @@ ORDER BY n_nationkey
 
 
 # ---------------------------------------------------------------------------
+# round 5: lexical retrieval, duplicate-substring spans, DSIR selection
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "table", "scan", "merge"]
+
+
+def _q_bm25_retrieval(spark, sf_dir):
+    """BM25 top-25 over `documents` for a fixed 4-term query —
+    integer-micronat scores, exact cross-engine (llm/retrieval.py)."""
+    from duckdb_geography_spark.llm import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, _BM25_TERMS, k=25).select(
+        "doc_id", "n_matched", "bm25_micro"
+    )
+
+
+def _bm25_sql():
+    from duckdb_geography_spark.llm.retrieval import _bm25_constants
+
+    ck, c0, c1 = _bm25_constants(1.2, 0.75)
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+consts AS (SELECT count(*) AS D, sum(dl) AS L FROM dl),
+dfs AS (SELECT word, count(DISTINCT doc_id) AS df_ct FROM words
+        WHERE word IN ({terms}) GROUP BY 1),
+idf AS (SELECT word,
+  CAST(round(ln(CAST(2 * (SELECT D FROM consts) + 2 AS DOUBLE)) * 1e6) AS BIGINT)
+  - CAST(round(ln(CAST(2 * df_ct + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro FROM dfs),
+terms AS (
+  SELECT t.doc_id,
+    CAST(round(CAST(i.idf_micro AS DOUBLE) * t.tf * {ck!r}
+      / (t.tf + {c0!r} + {c1!r} * d.dl * (SELECT D FROM consts) / (SELECT L FROM consts))) AS BIGINT) AS term_micro
+  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+  WHERE t.word IN ({terms}))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+FROM terms GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 25
+"""
+
+
+def _q_tfidf_vectors(spark, sf_dir):
+    """Sparse TF-IDF posting rows with exact micronat idf weights
+    (llm/retrieval.py::tf_idf)."""
+    from duckdb_geography_spark.llm import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        R.tf_idf(docs)
+        .select("doc_id", "word", "tf", "w_micro")
+        .orderBy("doc_id", "word")
+    )
+
+
+_TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+dfs AS (SELECT word, count(DISTINCT doc_id) AS df_ct FROM words GROUP BY 1),
+consts AS (SELECT count(*) AS D FROM documents)
+SELECT t.doc_id, t.word, t.tf,
+  t.tf * (CAST(round(ln(CAST((SELECT D FROM consts) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        - CAST(round(ln(CAST(f.df_ct + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS w_micro
+FROM tf t JOIN dfs f USING (word)
+ORDER BY doc_id, word
+"""
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Per-document duplicate-substring coverage: maximal repeated
+    5-word-window spans merged by gaps-and-islands
+    (llm/spans.py::duplication_stats — the Lee et al. 2022 exact-
+    substring dedup signal)."""
+    from duckdb_geography_spark.llm import spans as S
+
+    docs = _t(spark, sf_dir, "documents")
+    return S.duplication_stats(docs, 5).orderBy("doc_id")
+
+
+_DUP_SPANS_SQL = """
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws
+  FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ws[i+1:i+5], ' ')) AS h
+  FROM words, unnest(range(0, len(ws) - 5 + 1)) AS t(i)
+  WHERE len(ws) >= 5),
+dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM pos WHERE h IN (SELECT h FROM dup)),
+flags AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS f
+  FROM dpos),
+isl AS (
+  SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flags),
+sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e FROM isl GROUP BY doc_id, island),
+agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_words FROM sp GROUP BY doc_id)
+SELECT w.doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(dup_words, 0) AS BIGINT) AS dup_words,
+  round(CASE WHEN len(ws) > 0 THEN CAST(coalesce(dup_words, 0) AS DOUBLE) / len(ws) ELSE 0.0 END, 6) AS dup_frac
+FROM words w LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights of every document toward the
+    lang='en' slice as target (llm/dsir.py) — integer-micronat
+    hashed-bigram log-ratios, md5-bucketed for oracle replay."""
+    from duckdb_geography_spark.llm import dsir as D
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    tc = D.hashed_feature_counts(target, buckets=1000)
+    return D.dsir_weights(docs, tc, buckets=1000).orderBy("doc_id")
+
+
+_DSIR_SQL = """
+WITH base AS (SELECT doc_id, lang, trim(text) AS t FROM documents),
+words AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(t, '\\s+'), w -> w <> '') AS ws FROM base),
+grams AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS BIGINT) % 1000 AS bucket
+  FROM (
+    SELECT doc_id, lang, array_to_string(ws[i+1:i+1], ' ') AS g
+    FROM words, unnest(range(0, len(ws))) AS t(i) WHERE len(ws) >= 1
+    UNION ALL
+    SELECT doc_id, lang, array_to_string(ws[i+1:i+2], ' ') AS g
+    FROM words, unnest(range(0, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2)),
+tmodel AS (SELECT bucket, count(*) AS c FROM grams WHERE lang = 'en' GROUP BY bucket),
+rmodel AS (SELECT bucket, count(*) AS c FROM grams GROUP BY bucket),
+consts AS (SELECT
+  CAST(round(ln(CAST((SELECT coalesce(sum(c), 0) FROM rmodel) + 1000 AS DOUBLE)) * 1e6) AS BIGINT)
+  - CAST(round(ln(CAST((SELECT coalesce(sum(c), 0) FROM tmodel) + 1000 AS DOUBLE)) * 1e6) AS BIGINT) AS cm),
+docf AS (SELECT doc_id, bucket, count(*) AS cd FROM grams GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id, sum(d.cd) AS n_feats,
+    sum(d.cd * (coalesce(CAST(round(ln(CAST(t.c + 1 AS DOUBLE)) * 1e6) AS BIGINT), 0)
+              - coalesce(CAST(round(ln(CAST(r.c + 1 AS DOUBLE)) * 1e6) AS BIGINT), 0))) AS s
+  FROM docf d LEFT JOIN tmodel t USING (bucket) LEFT JOIN rmodel r USING (bucket)
+  GROUP BY d.doc_id)
+SELECT b.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+  CAST(coalesce(s + n_feats * (SELECT cm FROM consts), 0) AS BIGINT) AS w_micro
+FROM base b LEFT JOIN scored USING (doc_id) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4887,6 +5040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new gates added in round 5 ---
         "cell_coercion_gate": _q_cell_coercion_gate,
         "rewrite_deep_gate": _q_rewrite_deep_gate,
+        "bm25_retrieval": _q_bm25_retrieval,
+        "tfidf_vectors": _q_tfidf_vectors,
+        "dup_spans": _q_dup_spans,
+        "dsir_weights": _q_dsir_weights,
         # --- recorded only in the r3 window ---
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
@@ -5060,4 +5217,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_neardup": _stream_neardup_sql(),
         "cell_coercion_gate": _cell_coercion_sql(),
         "rewrite_deep_gate": _rewrite_deep_sql(),
+        "bm25_retrieval": _bm25_sql(),
+        "tfidf_vectors": _TFIDF_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
+        "dsir_weights": _DSIR_SQL,
     }

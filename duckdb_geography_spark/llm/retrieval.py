@@ -1,0 +1,238 @@
+"""Sparse lexical retrieval — TF-IDF weighting and BM25 scoring over
+a document corpus, the standard keyword-search / relevance-ranking
+primitives a training-data pipeline needs for targeted corpus slicing
+(pull every document relevant to a benchmark topic), hard-negative
+mining, and query-driven subset export.
+
+100 TB shape: the inverted statistics are two hash aggregations —
+``(key, word) -> tf`` (map-side combinable) and ``word -> df`` (a
+vocabulary-sized table Spark broadcasts) — and scoring a query is a
+semi-filter of the posting rows to the query's terms (an ``IN`` list
+pushed into the scan for small queries) followed by one per-document
+aggregate and a ``TakeOrderedAndProject`` top-k. No all-pairs stage,
+no Python in any per-row path, nothing driver-side.
+
+Determinism (the same integer-micronat discipline as :mod:`.lm`):
+every logarithm takes an INTEGER argument and is immediately rounded
+to integer micronats (``round(ln(k) * 1e6)``), so idf values are
+exact longs; the only floating arithmetic is the fixed-association
+BM25 term expression over exactly-representable inputs, rounded to a
+long per term BEFORE the per-document sum — so document scores are
+exact integers, order-independent, and bit-replayable by the DuckDB
+oracle. BM25 constants (k1, b) are folded into three doubles in
+Python and embedded as literals on both engines via ``repr``, which
+round-trips doubles exactly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "term_frequencies",
+    "document_frequencies",
+    "tf_idf",
+    "bm25_scores",
+    "bm25_topk",
+]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _words(text) -> Column:
+    # identical tokenization to lm.py / textstats.py: whitespace split
+    # of trimmed text, empty tokens dropped
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda x: x != "")
+
+
+def _ln_micro(col: Column) -> Column:
+    """``round(ln(x) * 1e6)`` as a long — exact for integer ``x``
+    (cross-engine parity pytest-asserted in tests/test_llm.py)."""
+    return F.round(F.log(col.cast("double")) * 1e6).cast("long")
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Posting rows ``(key, word, tf, dl)`` — per-document term
+    counts plus the document length in words. One explode + one
+    map-side-combinable aggregate; ``dl`` rides along as
+    ``sum(tf) over the doc`` computed in the same shuffle (a second
+    small aggregate keyed by the document, then a broadcast-size
+    equi-join is avoided by a window-free two-level agg)."""
+    tf = (
+        df.select(_c(key_col).alias("__key"), F.explode(_words(text_col)).alias("word"))
+        .groupBy("__key", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # dl from the tf rows themselves (sum of tf per key): reuses the
+    # already-shuffled (key, word) partitioning; the second shuffle is
+    # on key alone and map-side combinable.
+    dl = tf.groupBy("__key").agg(F.sum("tf").alias("dl"))
+    return (
+        tf.join(dl, "__key")
+        .select(F.col("__key").alias(key_col), "word", "tf", "dl")
+    )
+
+
+def document_frequencies(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """``(word, df_ct)`` — the number of DISTINCT documents containing
+    each word. Vocabulary-sized output: the broadcastable dimension
+    side of every scoring join."""
+    return (
+        df.select(_c(key_col).alias("__key"), F.explode(_words(text_col)).alias("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df_ct"))
+    )
+
+
+def tf_idf(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Sparse TF-IDF rows ``(key, word, tf, w_micro)`` with the
+    smoothed idf ``ln((D + 1) / (df + 1))`` in integer micronats:
+    ``w_micro = tf * (ln_micro(D+1) - ln_micro(df+1))`` — an exact
+    long, replayable cross-engine. ``D`` is the corpus document
+    count, attached via the same fold-proof single-row hash join
+    :mod:`.lm` uses (key ``D >>> 63`` = 0, which Catalyst cannot
+    constant-fold away, keeping the plan a broadcast HASH join)."""
+    tf = term_frequencies(df, text_col=text_col, key_col=key_col)
+    dfs = document_frequencies(df, text_col=text_col, key_col=key_col)
+    totals = (
+        df.agg(F.count(F.lit(1)).alias("__D"))
+        .select(
+            F.shiftrightunsigned(F.col("__D"), 63).cast("int").alias("__k"),
+            _ln_micro(F.col("__D") + 1).alias("__lnD1"),
+        )
+    )
+    model = dfs.select(
+        "word", _ln_micro(F.col("df_ct") + 1).alias("__lndf1")
+    )
+    return (
+        tf.join(model, "word")
+        .withColumn("__k", F.shiftrightunsigned(F.col("tf"), 63).cast("int"))
+        .join(F.broadcast(totals), "__k")
+        .select(
+            _c(key_col),
+            "word",
+            "tf",
+            (F.col("tf") * (F.col("__lnD1") - F.col("__lndf1"))).alias("w_micro"),
+        )
+    )
+
+
+def _bm25_constants(k1: float, b: float) -> tuple[float, float, float]:
+    """The three folded BM25 doubles: (k1+1, k1*(1-b), k1*b).
+    Computed once in Python; embed with ``repr`` on both engines."""
+    return (k1 + 1.0, k1 * (1.0 - b), k1 * b)
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 relevance against ``query_terms``:
+    ``(key, n_matched, bm25_micro)`` for every document matching at
+    least one term, with the Lucene-positive idf
+    ``ln((N + 1) / (df + 0.5)) = ln(2N + 2) - ln(2*df + 1)`` (integer
+    log arguments on both sides) and the classic length-normalized tf
+    saturation. Each term's contribution is rounded to an integer
+    micronat-scaled long BEFORE the per-document sum:
+
+    ``term = round(idf_micro * tf * (k1+1) / (tf + k1*(1-b) + k1*b*dl*D/L))``
+
+    where ``D`` = document count and ``L`` = total corpus words (so
+    ``dl*D/L`` is dl/avgdl with exact integer inputs). All floating
+    ops are fixed-association IEEE doubles over exactly-representable
+    operands — bit-identical cross-engine — so ``bm25_micro`` is an
+    exact integer.
+
+    Scale shape: posting rows are filtered to the query's terms with
+    an ``isin`` predicate (pushed to the scan), the idf side is a
+    broadcast of ``len(query_terms)`` rows, and corpus constants
+    attach via the fold-proof single-row hash join. One narrow
+    aggregate per document ends the plan.
+    """
+    terms: List[str] = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    ck, c0, c1 = _bm25_constants(k1, b)
+    tf = term_frequencies(df, text_col=text_col, key_col=key_col).where(
+        F.col("word").isin(terms)
+    )
+    dfs = document_frequencies(df, text_col=text_col, key_col=key_col).where(
+        F.col("word").isin(terms)
+    )
+    totals = (
+        df.select(F.size(_words(text_col)).alias("__dl"))
+        .agg(F.count(F.lit(1)).alias("__D"), F.sum("__dl").alias("__L"))
+        .select(
+            F.shiftrightunsigned(F.col("__D"), 63).cast("int").alias("__k"),
+            F.col("__D"),
+            F.col("__L"),
+            (
+                _ln_micro(F.lit(2) * F.col("__D") + 2)
+            ).alias("__ln2D2"),
+        )
+    )
+    idf = dfs.select(
+        "word", _ln_micro(F.lit(2) * F.col("df_ct") + 1).alias("__ln2df1")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .withColumn("__k", F.shiftrightunsigned(F.col("tf"), 63).cast("int"))
+        .join(F.broadcast(totals), "__k")
+        .select(
+            _c(key_col),
+            F.round(
+                (F.col("__ln2D2") - F.col("__ln2df1")).cast("double")
+                * F.col("tf")
+                * F.lit(ck)
+                / (
+                    F.col("tf")
+                    + F.lit(c0)
+                    + F.lit(c1) * F.col("dl") * F.col("__D") / F.col("__L")
+                )
+            )
+            .cast("long")
+            .alias("__term_micro"),
+        )
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("__term_micro").alias("bm25_micro"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score (ties broken by ascending
+    key — a total order, so the cut is deterministic). ``orderBy +
+    limit`` plans as ``TakeOrderedAndProject``: per-partition heaps,
+    never a global sort."""
+    s = bm25_scores(
+        df, query_terms, text_col=text_col, key_col=key_col, k1=k1, b=b
+    )
+    return s.orderBy(F.col("bm25_micro").desc(), F.col(key_col)).limit(k)

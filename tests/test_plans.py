@@ -63,6 +63,10 @@ _PURE_JVM = [
     "tpch_pricing_summary",
     "tpch_top_orders",
     "events_hourly",
+    "bm25_retrieval",
+    "tfidf_vectors",
+    "dup_spans",
+    "dsir_weights",
 ]
 
 #: queries promised to run their vector math as Arrow-batched numpy
