@@ -74,6 +74,9 @@ def main() -> None:
         "bigram_nll",
         "char_entropy",
         "funnel",
+        "bm25_retrieval",
+        "dup_spans",
+        "dsir_weights",
     ]
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:

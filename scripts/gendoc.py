@@ -39,6 +39,9 @@ REGISTRY = [
     ("Dataset Preparation", f"{PKG}.llm.prep", ("PII_PATTERNS",)),
     ("Curation Pipeline", f"{PKG}.llm.pipeline", ()),
     ("Language Models", f"{PKG}.llm.lm", ()),
+    ("Lexical Retrieval", f"{PKG}.llm.retrieval", ()),
+    ("Duplicate Spans", f"{PKG}.llm.spans", ()),
+    ("Importance Resampling (DSIR)", f"{PKG}.llm.dsir", ()),
     ("Repetition Signals", f"{PKG}.llm.repetition", ()),
     ("URL / Web", f"{PKG}.llm.web", ()),
     ("Product Quantization", f"{PKG}.llm.pq", ()),
