@@ -38,6 +38,7 @@ __all__ = [
     "duplicated_windows",
     "duplicate_spans",
     "duplication_stats",
+    "remove_duplicate_spans",
 ]
 
 
@@ -93,6 +94,105 @@ def duplicated_windows(
     return pos.join(dup, "h", "left_semi").select(key_col, "pos", "h")
 
 
+def _merge_islands(
+    positions: DataFrame, k: int, key_col: str
+) -> DataFrame:
+    """Gaps-and-islands merge of ``(key, pos)`` window positions into
+    half-open maximal spans ``(key, span_start, span_end, n_windows)``."""
+    byo = Window.partitionBy(key_col).orderBy("pos")
+    islands = (
+        positions.select(key_col, "pos")
+        .withColumn(
+            "__new",
+            (F.col("pos") - F.lag("pos", 1).over(byo) > k).cast("int"),
+        )
+        .withColumn(
+            "__island", F.sum(F.coalesce(F.col("__new"), F.lit(0))).over(byo)
+        )
+    )
+    return (
+        islands.groupBy(key_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(key_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """The cleaning transform: cut every duplicated span out of the
+    corpus, returning ``df`` with ``text_col`` rewritten (words
+    re-joined by single spaces — tokenization here is whitespace-based
+    throughout, so downstream stats are unaffected by the collapse).
+
+    With ``keep_first=True`` (the Lee et al. policy) the corpus-wide
+    FIRST occurrence of each duplicated window — minimum ``(key, pos)``
+    over the window's hash — survives; only the excess occurrences are
+    cut, so no content is lost from the corpus, only repeats. With
+    ``keep_first=False`` every occurrence is removed (the aggressive
+    variant for boilerplate known to be worthless). Granularity is the
+    ``k``-word window: a surviving first occurrence whose span overlaps
+    an excess one keeps its words (word-level union of kept positions).
+
+    Scale shape: adds ONE min-aggregate on the window hash to the
+    :func:`duplicate_spans` plan (owner election — min of a (key,pos)
+    struct, map-side combinable), then a per-document array filter;
+    still no all-pairs stage and no Python.
+    """
+    pos = window_positions(df, k, text_col=text_col, key_col=key_col)
+    if keep_first:
+        owners = (
+            pos.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(F.struct(_c(key_col), F.col("pos"))).alias("__o"),
+            )
+            .where(F.col("__n") >= 2)
+            .select(
+                "h",
+                F.col("__o").getField(key_col).alias("__okey"),
+                F.col("__o").getField("pos").alias("__opos"),
+            )
+        )
+        excess = pos.join(owners, "h").where(
+            ~((_c(key_col) == F.col("__okey")) & (F.col("pos") == F.col("__opos")))
+        )
+    else:
+        dup = (
+            pos.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= 2)
+            .select("h")
+        )
+        excess = pos.join(dup, "h", "left_semi")
+    spans = _merge_islands(excess, k, key_col)
+    per_doc = spans.groupBy(key_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    out = df.join(per_doc, key_col, "left")
+    words = _words(text_col)
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        words,
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i >= s.getField("span_start")) & (i < s.getField("span_end"))
+        ),
+    )
+    cleaned = F.when(_c(text_col).isNotNull(), F.concat_ws(" ", kept))
+    return out.withColumn(text_col, cleaned).drop("__spans")
+
+
 def duplicate_spans(
     df: DataFrame, k: int, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
@@ -108,28 +208,7 @@ def duplicate_spans(
     bounded by single-document length, never corpus size.
     """
     dups = duplicated_windows(df, k, text_col=text_col, key_col=key_col)
-    byo = Window.partitionBy(key_col).orderBy("pos")
-    islands = (
-        dups.select(key_col, "pos")
-        .withColumn(
-            "__new",
-            (
-                F.col("pos") - F.lag("pos", 1).over(byo) > k
-            ).cast("int"),
-        )
-        .withColumn(
-            "__island", F.sum(F.coalesce(F.col("__new"), F.lit(0))).over(byo)
-        )
-    )
-    return (
-        islands.groupBy(key_col, "__island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + k).alias("span_end"),
-            F.count(F.lit(1)).alias("n_windows"),
-        )
-        .select(key_col, "span_start", "span_end", "n_windows")
-    )
+    return _merge_islands(dups, k, key_col)
 
 
 def duplication_stats(

@@ -134,6 +134,45 @@ class TestSpans:
         with pytest.raises(ValueError):
             S.window_positions(df, 0)
 
+    def test_remove_keep_first_preserves_one_occurrence(self, spark):
+        shared = "d1 d2 d3"
+        df = _docs(spark, [f"{shared} tail0 tail1", f"{shared} other words"])
+        out = {r.doc_id: r.text for r in
+               S.remove_duplicate_spans(df, 3).collect()}
+        # doc 0 holds the corpus-wide first occurrence (min key) -> intact
+        assert out[0] == f"{shared} tail0 tail1"
+        assert out[1] == "other words"
+
+    def test_remove_all_occurrences(self, spark):
+        shared = "d1 d2 d3"
+        df = _docs(spark, [f"{shared} tail0 tail1", f"{shared} other words"])
+        out = {r.doc_id: r.text for r in
+               S.remove_duplicate_spans(df, 3, keep_first=False).collect()}
+        assert out[0] == "tail0 tail1"
+        assert out[1] == "other words"
+
+    def test_remove_within_doc_keeps_first_instance(self, spark):
+        df = _docs(spark, ["p q r x0 x1 x2 x3 p q r", "no dup content at all"])
+        out = {r.doc_id: r.text for r in
+               S.remove_duplicate_spans(df, 3).collect()}
+        assert out[0] == "p q r x0 x1 x2 x3"
+        assert out[1] == "no dup content at all"
+
+    def test_remove_null_text_stays_null(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.text for r in
+               S.remove_duplicate_spans(df, 3).collect()}
+        assert out[0] is None and out[1] == "a b c" and out[2] == ""
+
+    def test_remove_untouched_docs_keep_text(self, spark):
+        df = _docs(spark, ["unique alpha beta gamma", "totally different words here"])
+        out = {r.doc_id: r.text for r in
+               S.remove_duplicate_spans(df, 3).collect()}
+        assert out[0] == "unique alpha beta gamma"
+        assert out[1] == "totally different words here"
+
 
 # ---------------------------------------------------------------------------
 # DSIR
