@@ -5018,6 +5018,198 @@ FROM base b LEFT JOIN scored USING (doc_id) ORDER BY doc_id
 """
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct counting (llm/sketch.py) in BOTH regimes
+    — ~150 distinct users/event_type exercises the linear-counting
+    branch, 2000 distinct event_ids/event_type the raw-harmonic branch
+    — with the exact COUNT(DISTINCT) alongside. Every output column is
+    integer-derived (exact BIGINT harmonic denominator, micronat-log
+    linear counting, one precomputed-constant division), so the
+    estimates hash-match DuckDB bit-for-bit."""
+    from duckdb_geography_spark.llm.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    parts = []
+    for scope, key in (("event_ids", "event_id"), ("users", "user_id")):
+        est = hll_distinct(
+            ev, key, group_cols=["event_type"], p=8, hash_fn="md5"
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct(key).alias("exact_distinct")
+        )
+        parts.append(
+            est.join(exact, "event_type").select(
+                F.lit(scope).alias("scope"),
+                "event_type",
+                "v_registers",
+                "z_num",
+                "est_raw",
+                "distinct_est",
+                "exact_distinct",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("scope", "event_type")
+
+
+def _hll_sql():
+    import math as _math
+
+    p, m = 8, 256
+    nbits, scale = 60 - p, 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << scale)
+    ln_m = int(round(_math.log(m) * 1_000_000))
+    mask = (1 << nbits) - 1
+    big = 1 << scale
+
+    def one(scope, key):
+        z = f"(z_present + ({m} - v_registers) * ({big}::BIGINT))"
+        raw = f"round({numer!r} / CAST({z} AS DOUBLE), 6)"
+        lc = (
+            f"round(CAST({m}::BIGINT * ({ln_m}::BIGINT - CAST(round(ln(CAST("
+            f"{m} - v_registers AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)"
+            f" / 1000000.0, 6)"
+        )
+        return f"""
+SELECT '{scope}' AS scope, e.event_type, v_registers, {z}::BIGINT AS z_num,
+  {raw} AS est_raw,
+  CASE WHEN {raw} <= {2.5 * m} AND v_registers < {m} THEN {lc}
+       ELSE {raw} END AS distinct_est,
+  x.exact_distinct
+FROM (
+  SELECT event_type, count(*) AS v_registers,
+         sum((1::BIGINT << ({scale} - m_rho))::BIGINT)::BIGINT AS z_present
+  FROM (
+    SELECT event_type, h >> {nbits} AS reg,
+      max(CASE WHEN (h & {mask}) = 0 THEN {nbits + 1}
+               ELSE {nbits + 1} - length(bin((h & {mask})::BIGINT)) END) AS m_rho
+    FROM (SELECT event_type,
+            ('0x'||substr(md5(CAST({key} AS VARCHAR)),1,15))::BIGINT AS h
+          FROM events WHERE {key} IS NOT NULL) hh
+    GROUP BY event_type, reg) regs
+  GROUP BY event_type) e
+JOIN (SELECT event_type, count(DISTINCT {key})::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type) x ON e.event_type = x.event_type"""
+
+    return (
+        one("event_ids", "event_id")
+        + "\nUNION ALL\n"
+        + one("users", "user_id")
+        + "\nORDER BY scope, event_type"
+    )
+
+
+_HLL_SQL = _hll_sql()
+
+
+def _q_cms_counts(spark, sf_dir):
+    """Count-min frequency estimation (llm/sketch.py): sketch the
+    corpus word stream into 4x1024 cells, then point-estimate the 15
+    most frequent words (plus a guaranteed-absent probe) against their
+    exact counts — est >= exact always, both integer columns."""
+    from duckdb_geography_spark.llm.sketch import cms_lookup, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    # bounded driver-side probe list (15 words) — same pattern as the
+    # ANN gates' query vector; avoids joining `est` back into its own
+    # lineage (plan-branch reuse can mis-resolve the join condition)
+    top = [
+        (r.w, int(r.exact))
+        for r in exact.orderBy(F.desc("exact"), "w").limit(15).collect()
+    ] + [("zzz_absent_probe", 0)]
+    probes = spark.createDataFrame(top, ["w", "exact"])
+    sk = cms_sketch(words, "w", depth=4, width=1024, hash_fn="md5")
+    est = cms_lookup(
+        sk, probes.select("w"), "w", depth=4, width=1024, hash_fn="md5"
+    )
+    return (
+        est.join(probes, est["key"] == probes["w"])
+        .select(
+            F.col("key").alias("word"),
+            F.col("exact").cast("long").alias("exact"),
+            F.col("est"),
+        )
+        .orderBy("word")
+    )
+
+
+_CMS_SQL = r"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+  FROM documents),
+exact AS (SELECT w, count(*)::BIGINT AS exact FROM t GROUP BY w),
+probes AS (
+  (SELECT w FROM exact ORDER BY exact DESC, w LIMIT 15)
+  UNION ALL SELECT 'zzz_absent_probe'),
+cells AS (
+  SELECT j, ('0x'||substr(md5(CAST(j AS VARCHAR) || ':' || w),1,15))::BIGINT % 1024 AS cell,
+         count(*)::BIGINT AS c
+  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+  GROUP BY 1, 2),
+probe AS (
+  SELECT p.w, js.j,
+         ('0x'||substr(md5(CAST(js.j AS VARCHAR) || ':' || p.w),1,15))::BIGINT % 1024 AS cell
+  FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js),
+est AS (
+  SELECT p.w, min(coalesce(c.c, 0))::BIGINT AS est
+  FROM probe p LEFT JOIN cells c ON p.j = c.j AND p.cell = c.cell
+  GROUP BY p.w)
+SELECT e.w AS word, coalesce(x.exact, 0)::BIGINT AS exact, e.est
+FROM est e LEFT JOIN exact x ON e.w = x.w
+ORDER BY word
+"""
+
+
+def _q_int8_topk(spark, sf_dir):
+    """Scalar int8 quantization ANN (llm/similarity.py::int8_cosine_topk):
+    per-vector symmetric codes with one fixed rounding convention, so
+    the quantized-cosine score is integer math up to a single sqrt and
+    division — replayed exactly by the SQL twin. The 4-8x scan-width
+    reduction is the point at 100 TB."""
+    from duckdb_geography_spark.llm.similarity import int8_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return int8_cosine_topk(
+        emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10
+    )
+
+
+_INT8_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qc AS (
+  SELECT list_transform(qv, x -> CAST(floor(
+           x / (list_max(list_transform(qv, y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS qcodes
+  FROM q),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings WHERE vec_id <> 0),
+vc AS (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(dv, x -> abs(x))) = 0
+         THEN list_transform(dv, x -> 0::BIGINT)
+         ELSE list_transform(dv, x -> CAST(floor(
+                x / (list_max(list_transform(dv, y -> abs(y))) / 127.0) + 0.5) AS BIGINT))
+    END AS codes
+  FROM v),
+s AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(codes) + 1), i -> codes[i] * qc.qcodes[i])) AS dot_i,
+    list_sum(list_transform(codes, c -> c * c)) AS vv,
+    list_sum(list_transform(qc.qcodes, c -> c * c)) AS qq
+  FROM vc, qc)
+SELECT vec_id,
+  CASE WHEN vv = 0 THEN 0.0
+       ELSE round(CAST(dot_i AS DOUBLE) / sqrt(CAST(vv AS DOUBLE) * CAST(qq AS DOUBLE)), 6)
+  END AS score_q8
+FROM s ORDER BY score_q8 DESC, vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5044,6 +5236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": _q_tfidf_vectors,
         "dup_spans": _q_dup_spans,
         "dsir_weights": _q_dsir_weights,
+        "hll_distinct": _q_hll_distinct,
+        "cms_counts": _q_cms_counts,
+        "int8_topk": _q_int8_topk,
         # --- recorded only in the r3 window ---
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
@@ -5221,4 +5416,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_vectors": _TFIDF_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "dsir_weights": _DSIR_SQL,
+        "hll_distinct": _HLL_SQL,
+        "cms_counts": _CMS_SQL,
+        "int8_topk": _INT8_TOPK_SQL,
     }

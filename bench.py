@@ -77,6 +77,9 @@ def main() -> None:
         "bm25_retrieval",
         "dup_spans",
         "dsir_weights",
+        "hll_distinct",
+        "cms_counts",
+        "int8_topk",
     ]
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:
