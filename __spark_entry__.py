@@ -5181,6 +5181,144 @@ def _q_int8_topk(spark, sf_dir):
     )
 
 
+def _q_stream_hll(spark, sf_dir):
+    """STREAMING HyperLogLog: windowed register table (bounded
+    windows x 256 rows of state vs unbounded exact-distinct key
+    state), availableNow into a memory sink, then the SAME batch
+    estimate math (llm/sketch.py::hll_estimate) over the sink — the
+    whole chain replayed by the hourly SQL twin. Register max is
+    commutative, so the result is micro-batch-order independent."""
+    import uuid
+
+    from duckdb_geography_spark.llm.sketch import hll_estimate
+    from duckdb_geography_spark.streaming import events as SE
+
+    _prep(spark)
+    ev = SE.read_events_stream(spark, sf_dir)
+    regs = SE.windowed_hll_registers(
+        ev, key_col="user_id", p=8, hash_fn="md5"
+    )
+    qname = f"hll_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_hll did not finish in 300s")
+    est = hll_estimate(spark.table(qname), group_cols=["window_start"], p=8)
+    return est.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "v_registers",
+        "z_num",
+        "est_raw",
+        "distinct_est",
+    ).orderBy("hour")
+
+
+def _stream_hll_sql():
+    import math as _math
+
+    p, m = 8, 256
+    nbits, scale = 60 - p, 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << scale)
+    ln_m = int(round(_math.log(m) * 1_000_000))
+    mask = (1 << nbits) - 1
+    big = 1 << scale
+    z = f"(z_present + ({m} - v_registers) * ({big}::BIGINT))"
+    raw = f"round({numer!r} / CAST({z} AS DOUBLE), 6)"
+    lc = (
+        f"round(CAST({m}::BIGINT * ({ln_m}::BIGINT - CAST(round(ln(CAST("
+        f"{m} - v_registers AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0, 6)"
+    )
+    return f"""
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, v_registers,
+  {z}::BIGINT AS z_num, {raw} AS est_raw,
+  CASE WHEN {raw} <= {2.5 * m} AND v_registers < {m} THEN {lc}
+       ELSE {raw} END AS distinct_est
+FROM (
+  SELECT hour, count(*) AS v_registers,
+         sum((1::BIGINT << ({scale} - m_rho))::BIGINT)::BIGINT AS z_present
+  FROM (
+    SELECT date_trunc('hour', ts) AS hour, h >> {nbits} AS reg,
+      max(CASE WHEN (h & {mask}) = 0 THEN {nbits + 1}
+               ELSE {nbits + 1} - length(bin((h & {mask})::BIGINT)) END) AS m_rho
+    FROM (SELECT ts,
+            ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+          FROM events WHERE user_id IS NOT NULL) hh
+    GROUP BY 1, 2) regs
+  GROUP BY hour) agg
+ORDER BY hour
+"""
+
+
+_STREAM_HLL_SQL = _stream_hll_sql()
+
+
+def _q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join prefilter (llm/sketch.py): the vocabulary of
+    lang='en' documents becomes a 4096-bit bloom (a bounded bit_or
+    aggregate, broadcastable at any dim cardinality); every corpus
+    word probes it. Output = per-word (maybe, exact) membership — no
+    false negatives ever, false positives bounded and deterministic,
+    both replayed bit-for-bit by the SQL twin."""
+    from duckdb_geography_spark.llm.sketch import bloom_contains, bloom_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def words(df):
+        return df.select(
+            F.explode(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+            ).alias("w")
+        )
+
+    dim = words(docs.where(F.col("lang") == "en")).distinct()
+    vocab = words(docs).distinct()
+    sk = bloom_sketch(dim, "w", n_bits=4096, k=5, hash_fn="md5")
+    maybe = bloom_contains(sk, vocab, "w", n_bits=4096, k=5, hash_fn="md5")
+    exact = dim.select(F.col("w").alias("key"), F.lit(True).alias("exact"))
+    return (
+        maybe.join(exact, on="key", how="left")
+        .select(
+            F.col("key").alias("word"),
+            "maybe",
+            F.coalesce("exact", F.lit(False)).alias("exact"),
+        )
+        .orderBy("word")
+    )
+
+
+_BLOOM_SQL = r"""
+WITH dim AS (
+  SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+  FROM documents WHERE lang = 'en'),
+vocab AS (
+  SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+  FROM documents),
+bits AS (
+  SELECT b >> 5 AS word_idx, bit_or((1::BIGINT << (b & 31))::BIGINT) AS bits
+  FROM (SELECT (('0x'||substr(md5(CAST(j AS VARCHAR) || ':' || w),1,15))::BIGINT % 4096) AS b
+        FROM dim CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) js) q
+  GROUP BY 1),
+probe AS (
+  SELECT v.w, (('0x'||substr(md5(CAST(js.j AS VARCHAR) || ':' || v.w),1,15))::BIGINT % 4096) AS b
+  FROM vocab v CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) js),
+hits AS (
+  SELECT p.w, min(CASE WHEN ((coalesce(t.bits, 0) >> (p.b & 31)) & 1) = 1 THEN 1 ELSE 0 END) AS maybe
+  FROM probe p LEFT JOIN bits t ON (p.b >> 5) = t.word_idx
+  GROUP BY p.w)
+SELECT h.w AS word, h.maybe = 1 AS maybe, (d.w IS NOT NULL) AS exact
+FROM hits h LEFT JOIN dim d ON h.w = d.w
+ORDER BY word
+"""
+
+
 _INT8_TOPK_SQL = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 qc AS (
@@ -5239,6 +5377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "cms_counts": _q_cms_counts,
         "int8_topk": _q_int8_topk,
+        "stream_hll": _q_stream_hll,
+        "bloom_prefilter": _q_bloom_prefilter,
         # --- recorded only in the r3 window ---
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
@@ -5419,4 +5559,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_SQL,
         "cms_counts": _CMS_SQL,
         "int8_topk": _INT8_TOPK_SQL,
+        "stream_hll": _STREAM_HLL_SQL,
+        "bloom_prefilter": _BLOOM_SQL,
     }

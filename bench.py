@@ -80,6 +80,7 @@ def main() -> None:
         "hll_distinct",
         "cms_counts",
         "int8_topk",
+        "bloom_prefilter",
     ]
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:

@@ -46,6 +46,10 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_lookup",
+    "bloom_sketch",
+    "bloom_merge",
+    "bloom_contains",
+    "bloom_prefilter",
 ]
 
 #: md5 prefix width: 15 hex chars = 60 bits fits a signed BIGINT in
@@ -87,6 +91,23 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_reg_rho(key_col, p: int, hash_fn: str) -> tuple[Column, Column]:
+    """The (register, rho) column pair for one key — shared by the
+    batch register table and the streaming windowed variant."""
+    nbits = _HASH_BITS - p  # rho bits
+    h = _key_hash(key_col, hash_fn)
+    reg = F.call_function("shiftrightunsigned", h, F.lit(nbits))
+    w = h.bitwiseAND(F.lit((1 << nbits) - 1))
+    # bit_length(w) == length(conv(w, 10, 2)) for w > 0; rho is
+    # (nbits - bit_length + 1), and an all-zero remainder maxes out
+    rho = (
+        F.when(w == 0, F.lit(nbits + 1))
+        .otherwise(F.lit(nbits + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("int")
+    )
+    return reg, rho
+
+
 def hll_registers(
     df: DataFrame,
     key_col: str,
@@ -107,20 +128,10 @@ def hll_registers(
     """
     _check_p(p)
     group_cols = list(group_cols or [])
-    nbits = _HASH_BITS - p  # rho bits
-    h = _key_hash(key_col, hash_fn)
-    reg = F.call_function("shiftrightunsigned", h, F.lit(nbits)).alias("reg")
-    w = h.bitwiseAND(F.lit((1 << nbits) - 1))
-    # bit_length(w) == length(conv(w, 10, 2)) for w > 0; rho is
-    # (nbits - bit_length + 1), and an all-zero remainder maxes out
-    rho = (
-        F.when(w == 0, F.lit(nbits + 1))
-        .otherwise(F.lit(nbits + 1) - F.length(F.conv(w, 10, 2)))
-        .cast("int")
-    )
+    reg, rho = hll_reg_rho(key_col, p, hash_fn)
     return (
         df.where(_c(key_col).isNotNull())
-        .select(*group_cols, reg, rho.alias("rho"))
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("m_rho"))
     )
@@ -305,3 +316,182 @@ def cms_lookup(
         "key", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
     )
     return joined.groupBy("key").agg(F.min("c").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_probes(col, k: int, n_bits: int, hash_fn: str) -> list[Column]:
+    """The k bit positions for one key — salted members of one md5/
+    xxhash64 family, like the count-min rows."""
+    return [
+        F.pmod(
+            _key_hash(F.concat_ws(":", F.lit(str(j)), _c(col)), hash_fn),
+            F.lit(n_bits),
+        )
+        for j in range(k)
+    ]
+
+
+def _check_bloom(n_bits: int, k: int) -> None:
+    # 32 bits per BIGINT word: both engines can shift 1 << 31 without
+    # signed-overflow errors (DuckDB refuses 1::BIGINT << 63)
+    if n_bits < 32 or n_bits % 32 != 0:
+        raise ValueError("n_bits must be a positive multiple of 32")
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+
+
+def bloom_sketch(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bloom filter of a key set as a bounded table ``(word_idx,
+    bits)``: ``n_bits`` bit positions packed 32 per BIGINT word, each
+    key setting ``k`` salted-hash bits. Build is explode(k) →
+    ``bit_or`` per word — map-side combinable, at most ``n_bits/64``
+    rows in the shuffle regardless of key count; merge of two blooms
+    (same shape) is the same ``bit_or`` (:func:`bloom_merge`).
+
+    Why at 100 TB: the standard join-prefilter shape — a dimension
+    side too big to broadcast raw often has a bloom that DOES fit
+    (2^20 bits = 32K rows = 256 KB), turning a shuffle join into a
+    broadcast bitmap probe that drops most fact rows at the scan
+    stage. False-positive rate ≈ ``(1 - e^{-k·n/n_bits})^k`` — size
+    n_bits ≈ 10-15 bits/key for ~1% at k=5. NULL keys are skipped;
+    membership has NO false negatives.
+    """
+    _check_bloom(n_bits, k)
+    probes = _bloom_probes(key_col, k, n_bits, hash_fn)
+    rows = F.array(
+        *[
+            F.struct(
+                F.call_function("shiftrightunsigned", b, F.lit(5)).alias(
+                    "word_idx"
+                ),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    b.bitwiseAND(F.lit(31)).cast("int"),
+                ).alias("mask"),
+            )
+            for b in probes
+        ]
+    )
+    return (
+        df.where(_c(key_col).isNotNull())
+        .select(F.explode(rows).alias("wb"))
+        .select("wb.word_idx", "wb.mask")
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(sketches: DataFrame) -> DataFrame:
+    """Union of bloom filters (same n_bits/k/hash): word-wise OR."""
+    return sketches.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Membership probe: ``(key, maybe)`` — ``maybe`` true iff ALL k
+    probe bits are set (false ⇒ definitely absent). The probe is an
+    explode(k) → broadcast-sized left join on word_idx → all-bits-hit
+    aggregate."""
+    _check_bloom(n_bits, k)
+    probes = _bloom_probes(key_col, k, n_bits, hash_fn)
+    rows = F.array(
+        *[
+            F.struct(
+                F.call_function("shiftrightunsigned", b, F.lit(5)).alias(
+                    "word_idx"
+                ),
+                b.bitwiseAND(F.lit(31)).cast("int").alias("bit"),
+            )
+            for b in probes
+        ]
+    )
+    pr = (
+        keys.select(_c(key_col).alias("key"), F.explode(rows).alias("wb"))
+        .select("key", "wb.word_idx", "wb.bit")
+        .join(F.broadcast(sketch), on="word_idx", how="left")
+        .select(
+            "key",
+            (
+                F.call_function(
+                    "shiftrightunsigned",
+                    F.coalesce(F.col("bits"), F.lit(0).cast("long")),
+                    F.col("bit"),
+                ).bitwiseAND(F.lit(1))
+                == 1
+            ).alias("hit"),
+        )
+    )
+    return pr.groupBy("key").agg(F.min("hit").alias("maybe"))
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join ``fact`` to ``dim`` through a bloom of the dim keys:
+    probe bits drop definitely-absent fact rows against a broadcast
+    128 KB bitmap (no shuffle of the fact side), then — with
+    ``exact=True`` — a LEFT SEMI join against the surviving minority
+    removes the bloom's false positives. With ``exact=False`` you keep
+    the ~fp_rate over-selection and skip the second join entirely
+    (fine when a downstream exact join re-checks the key anyway)."""
+    probes = _bloom_probes(fact_key, k, n_bits, hash_fn)
+    sketch = bloom_sketch(dim, dim_key, n_bits=n_bits, k=k, hash_fn=hash_fn)
+    # inline all-k-bits check as one conjunction over the broadcast map
+    # (collect-free: join per probe word would shuffle; instead probe
+    # via k broadcast left joins folded into one array lookup table)
+    words = sketch.select("word_idx", "bits")
+    out = fact
+    conds = []
+    for j, b in enumerate(probes):
+        w = words.withColumnRenamed("word_idx", f"__w{j}").withColumnRenamed(
+            "bits", f"__b{j}"
+        )
+        out = out.join(
+            F.broadcast(w),
+            F.call_function("shiftrightunsigned", b, F.lit(5))
+            == F.col(f"__w{j}"),
+            "left",
+        )
+        conds.append(
+            F.call_function(
+                "shiftrightunsigned",
+                F.coalesce(F.col(f"__b{j}"), F.lit(0).cast("long")),
+                b.bitwiseAND(F.lit(31)).cast("int"),
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    out = out.where(cond).select(*fact.columns)
+    if exact:
+        out = out.join(
+            dim.select(_c(dim_key).alias(fact_key)).distinct(),
+            on=fact_key,
+            how="left_semi",
+        )
+    return out

@@ -39,6 +39,7 @@ __all__ = [
     "stream_decontaminate",
     "windowed_neardup_owners",
     "neardup_novel",
+    "windowed_hll_registers",
 ]
 
 
@@ -547,4 +548,36 @@ def neardup_novel(owners: DataFrame, bands: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n_owned"))
         .where(F.col("__n_owned") == bands)
         .select("window_start", "doc_id")
+    )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming distinct-count sketch: per tumbling window, the
+    HyperLogLog register table ``(window_start, reg, m_rho)`` — the
+    classic bounded-state answer to "distinct users per hour" over an
+    unbounded stream. The ``max`` aggregate keeps at most
+    ``windows x 2^p`` rows of state (vs unbounded
+    ``dropDuplicates`` key state for an exact streaming distinct), is
+    micro-batch-order independent (max is commutative), and the sink
+    table feeds :func:`duckdb_geography_spark.llm.sketch.hll_estimate`
+    unchanged — the same register math as the batch sketch, so a
+    batch replay over the same rows produces the identical table.
+    """
+    from ..llm.sketch import _check_p, hll_reg_rho
+
+    _check_p(p)
+    reg, rho = hll_reg_rho(key_col, p, hash_fn)
+    ev = _ensure_event_time(events).where(F.col(key_col).isNotNull())
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), reg.alias("reg"))
+        .agg(F.max(rho).alias("m_rho"))
+        .select(F.col("w.start").alias("window_start"), "reg", "m_rho")
     )

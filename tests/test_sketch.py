@@ -203,3 +203,147 @@ class TestInt8:
 
         with pytest.raises(ValueError, match="all zeros"):
             int8_cosine_topk(emb, [0.0, 0.0])
+
+
+class TestBloom:
+    @pytest.fixture(scope="class")
+    def vocab(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        w = docs.select(
+            F.explode(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+            ).alias("w")
+        )
+        return w
+
+    def test_no_false_negatives(self, spark, vocab):
+        from duckdb_geography_spark.llm.sketch import (
+            bloom_contains,
+            bloom_sketch,
+        )
+
+        dim = vocab.distinct().limit(20)
+        members = {r.w for r in dim.collect()}
+        sk = bloom_sketch(dim, "w", n_bits=1024, k=5)
+        got = bloom_contains(
+            sk, vocab.distinct(), "w", n_bits=1024, k=5
+        ).collect()
+        for r in got:
+            if r.key in members:
+                assert r.maybe, r
+
+    def test_fp_rate_bounded(self, spark):
+        from duckdb_geography_spark.llm.sketch import (
+            bloom_contains,
+            bloom_sketch,
+        )
+
+        dim = spark.range(100).select(
+            F.concat(F.lit("in"), "id").alias("k")
+        )
+        probe = spark.range(1000).select(
+            F.concat(F.lit("out"), "id").alias("k")
+        )
+        # 2048 bits for 100 keys at k=5: theoretical fp ~ 1.7%
+        sk = bloom_sketch(dim, "k", n_bits=2048, k=5)
+        got = bloom_contains(sk, probe, "k", n_bits=2048, k=5).collect()
+        fp = sum(1 for r in got if r.maybe)
+        assert fp <= 100  # generous 10% ceiling vs ~1.7% expected
+
+    def test_merge_equals_whole(self, spark):
+        from duckdb_geography_spark.llm.sketch import bloom_merge, bloom_sketch
+
+        a = spark.range(50).select(F.concat(F.lit("k"), "id").alias("k"))
+        b = spark.range(50, 100).select(
+            F.concat(F.lit("k"), "id").alias("k")
+        )
+        whole = spark.range(100).select(
+            F.concat(F.lit("k"), "id").alias("k")
+        )
+        merged = bloom_merge(
+            bloom_sketch(a, "k", n_bits=512, k=3).unionByName(
+                bloom_sketch(b, "k", n_bits=512, k=3)
+            )
+        )
+        want = bloom_sketch(whole, "k", n_bits=512, k=3)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_prefilter_exact_matches_semi_join(self, spark, vocab):
+        from duckdb_geography_spark.llm.sketch import bloom_prefilter
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        dim = (
+            docs.where(F.col("lang") == "en")
+            .select(
+                F.explode(
+                    F.filter(
+                        F.split(F.trim("text"), r"\s+"), lambda x: x != ""
+                    )
+                ).alias("w")
+            )
+            .distinct()
+        )
+        truth = vocab.join(dim, on="w", how="left_semi").count()
+        tight = bloom_prefilter(
+            vocab, dim, "w", "w", n_bits=4096, k=5, exact=True
+        ).count()
+        loose = bloom_prefilter(
+            vocab, dim, "w", "w", n_bits=4096, k=5, exact=False
+        ).count()
+        assert tight == truth
+        assert loose >= truth
+
+    def test_prefilter_plan_is_broadcast_only(self, spark, vocab):
+        from duckdb_geography_spark.llm.sketch import bloom_prefilter
+
+        dim = vocab.distinct().limit(10)
+        out = bloom_prefilter(
+            vocab, dim, "w", "w", n_bits=512, k=3, exact=False
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_validation(self, spark, vocab):
+        from duckdb_geography_spark.llm.sketch import bloom_sketch
+
+        with pytest.raises(ValueError, match="multiple of 32"):
+            bloom_sketch(vocab, "w", n_bits=100)
+        with pytest.raises(ValueError, match=r"k must be"):
+            bloom_sketch(vocab, "w", n_bits=512, k=0)
+
+
+class TestStreamingHLL:
+    def test_stream_matches_batch_registers(self, spark):
+        import uuid
+
+        from duckdb_geography_spark.llm.sketch import hll_registers
+        from duckdb_geography_spark.streaming import events as SE
+
+        ev_stream = SE.read_events_stream(spark, SF)
+        regs = SE.windowed_hll_registers(ev_stream, key_col="user_id", p=8)
+        qname = f"t_hll_{uuid.uuid4().hex[:8]}"
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        got = sorted(
+            (r.window_start, r.reg, r.m_rho)
+            for r in spark.table(qname).collect()
+        )
+        ev = SE._ensure_event_time(
+            spark.read.parquet(f"{SF}/events.parquet")
+        ).withColumn("hour", F.date_trunc("hour", "ts"))
+        want = sorted(
+            (r.hour, r.reg, r.m_rho)
+            for r in hll_registers(
+                ev, "user_id", group_cols=["hour"], p=8
+            ).collect()
+        )
+        assert got == want
