@@ -4261,6 +4261,45 @@ ORDER BY doc_id
 """
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: the
+    top-50 documents by priority ln(u)/w where u is the 60-bit md5
+    key hash and w = n_chars (llm/prep.py::weighted_sample). The
+    selection is one map-side priority column + TakeOrderedAndProject
+    — no full sort at any scale. Integer micronat ln keeps the
+    priority bit-identical across engines."""
+    from duckdb_geography_spark.llm.prep import weighted_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long"))
+    return (
+        weighted_sample(docs, w, k=50, key_col="doc_id")
+        .select("doc_id", "lang", "__priority")
+        .orderBy("doc_id")
+    )
+
+
+# ln(2^60) in micronats — the constant weighted_sample subtracts so
+# priorities are <= 0 (u in (0,1]); DuckDB replays the same integers.
+_WEIGHTED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         greatest(CAST(n_chars AS BIGINT), 1) AS w,
+         greatest(CAST(concat('0x',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), 1) AS hv
+  FROM documents),
+p AS (
+  SELECT doc_id, lang,
+         round((round(ln(CAST(hv AS DOUBLE)) * 1000000) - 41588831) / w,
+               9) AS __priority
+  FROM h
+  ORDER BY __priority DESC, doc_id
+  LIMIT 50)
+SELECT doc_id, lang, __priority FROM p ORDER BY doc_id
+"""
+
+
 def _pq_topk_sql():
     """PQ oracle: training + LUT replayed driver-side from the sf0.01
     parquet (the driver's correctness scale), codes recomputed in SQL
@@ -5379,6 +5418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_topk": _q_int8_topk,
         "stream_hll": _q_stream_hll,
         "bloom_prefilter": _q_bloom_prefilter,
+        "weighted_sample": _q_weighted_sample,
         # --- recorded only in the r3 window ---
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
@@ -5561,4 +5601,5 @@ def oracle_sql() -> dict[str, str]:
         "int8_topk": _INT8_TOPK_SQL,
         "stream_hll": _STREAM_HLL_SQL,
         "bloom_prefilter": _BLOOM_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     }

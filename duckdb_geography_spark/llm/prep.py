@@ -18,6 +18,7 @@ __all__ = [
     "decontaminate",
     "hash_sample",
     "stratified_sample",
+    "weighted_sample",
     "weighted_mix",
     "dedup_lines",
     "pack_chunks",
@@ -366,3 +367,66 @@ def pack_chunks(
         F.col(key_col).asc(), F.col(idx_col).asc()
     )
     return out.withColumn("pack_pos", F.row_number().over(pos_w) - 1)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): each row draws a priority
+    ``u^(1/w)`` for a uniform ``u``; the top-``k`` priorities are an
+    exact weighted sample. Corpus use: quota-sample documents in
+    proportion to a quality/importance score without a full shuffle —
+    the selection is one map-side priority column + a
+    TakeOrderedAndProject top-k.
+
+    Determinism / cross-engine exactness: ``u`` is the md5 60-bit key
+    hash scaled to (0,1]; ranking by ``u^(1/w)`` equals ranking by
+    ``ln(u)/w``, and ``ln(u) = ln(h) - 60 ln 2`` routes through
+    integer-argument micronat logs... except ``ln(h)`` over a 60-bit
+    h exceeds the pytest-asserted parity domain, so instead we use
+    the exact integer pair: priority = (ln_micro(h) - C) / w as ONE
+    IEEE double division of exact integers (h <= 2^60 keeps
+    round(ln(h)*1e6) ~ 41.6e6, far inside 2^53). Ties (identical
+    hash AND weight) break on the key. Weights must be POSITIVE
+    integers (e.g. token counts, clipped quality scores scaled to
+    ints) so every intermediate stays exact.
+
+    Returns the sampled rows with their ``__priority`` (drop it if
+    unwanted); higher priority = kept first.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = _c(weight_col).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), _c(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # ln in micronats of the integer hash (h >= 1: conv of md5 prefix
+    # is 0 only with probability 16^-15; map 0 -> 1 to stay in-domain)
+    h_safe = F.greatest(h, F.lit(1).cast("long"))
+    ln_h = F.round(F.log(h_safe.cast("double")) * 1_000_000).cast("long")
+    ln_max = int(round(math.log(float(1 << 60)) * 1_000_000))
+    # ln(u)/w <= 0; larger (closer to 0) wins. Loud contract: a NULL
+    # or non-positive weight fails the job instead of silently skewing
+    # the sample (the raise_error guard pattern temporal.py uses).
+    prio = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: non-positive weight for key "),
+                _c(key_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise((ln_h - F.lit(ln_max)).cast("double") / w)
+    out = df.withColumn("__priority", F.round(prio, 9))
+    return out.orderBy(F.desc("__priority"), _c(key_col)).limit(k)

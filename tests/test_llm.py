@@ -332,6 +332,55 @@ class TestPrep:
         )
         assert prep.stratified_sample(tiny, n_per_stratum=5).count() == 3
 
+    def test_weighted_sample(self, spark):
+        import hashlib
+        import math
+
+        from duckdb_geography_spark.llm import prep
+
+        # weights: ids 0-49 heavy (w=500), 50-299 light (w=1)
+        rows = [(i, 500 if i < 50 else 1) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        out = prep.weighted_sample(df, "w", k=40, key_col="doc_id")
+        got = out.collect()
+        assert len(got) == 40
+        heavy = sum(1 for r in got if r["doc_id"] < 50)
+        # heavy rows are 50/300 of the population but ~99% of the mass:
+        # an unweighted draw would pick ~6.7 of them in 40
+        assert heavy >= 25
+        # exact replay of the priority spec (Efraimidis-Spirakis with
+        # integer-micronat ln): same top-k, same order
+        ln_max = round(math.log(float(1 << 60)) * 1_000_000)
+
+        def prio(doc_id, w, salt=""):
+            h = int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:15], 16)
+            ln_h = round(math.log(max(h, 1)) * 1_000_000)
+            return round((ln_h - ln_max) / w, 9)
+
+        expect = sorted(rows, key=lambda r: (-prio(r[0], r[1]), r[0]))[:40]
+        assert [r["doc_id"] for r in got] == [r[0] for r in expect]
+        for r in got:
+            assert r["__priority"] == prio(r["doc_id"], r["w"])
+        # deterministic rerun; salt decorrelates
+        again = [r["doc_id"] for r in prep.weighted_sample(df, "w", k=40, key_col="doc_id").collect()]
+        assert again == [r["doc_id"] for r in got]
+        salted = [
+            r["doc_id"]
+            for r in prep.weighted_sample(df, "w", k=40, key_col="doc_id", salt="v2").collect()
+        ]
+        assert salted != again
+        # top-k is TakeOrderedAndProject, never a global sort
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "TakeOrderedAndProject" in plan
+        # loud contract on bad weights
+        bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="non-positive weight"):
+            prep.weighted_sample(bad, "w", k=1, key_col="doc_id").collect()
+
     def test_hash_split_buckets_scale(self, spark):
         from duckdb_geography_spark.llm import prep
 
