@@ -4300,6 +4300,39 @@ SELECT doc_id, lang, __priority FROM p ORDER BY doc_id
 """
 
 
+def _q_zorder_layout(spark, sf_dir):
+    """Morton z-value over (user_id, value-cents) for every event —
+    the multi-dimensional clustering key behind z-ordered data
+    skipping (sources.py::zorder_value / write_zordered). Pure
+    JVM-side bit math; integer adds make it bit-exact in any engine."""
+    from duckdb_geography_spark.sources import zorder_value
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long").bitwiseAND(F.lit(65535))
+    uid = F.col("user_id").cast("long").bitwiseAND(F.lit(65535))
+    return (
+        ev.select(
+            "event_id",
+            zorder_value([uid, cents], bits=16).alias("zval"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _zorder_layout_sql():
+    from duckdb_geography_spark.sources import zorder_sql
+
+    z = zorder_sql(
+        [
+            "(CAST(user_id AS BIGINT) & 65535)",
+            "(CAST(round(value * 100) AS BIGINT) & 65535)",
+        ],
+        bits=16,
+    )
+    return f"SELECT event_id, {z} AS zval FROM events ORDER BY event_id"
+
+
 def _pq_topk_sql():
     """PQ oracle: training + LUT replayed driver-side from the sf0.01
     parquet (the driver's correctness scale), codes recomputed in SQL
@@ -5419,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": _q_stream_hll,
         "bloom_prefilter": _q_bloom_prefilter,
         "weighted_sample": _q_weighted_sample,
+        "zorder_layout": _q_zorder_layout,
         # --- recorded only in the r3 window ---
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
@@ -5602,4 +5636,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll": _STREAM_HLL_SQL,
         "bloom_prefilter": _BLOOM_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "zorder_layout": _zorder_layout_sql(),
     }

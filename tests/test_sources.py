@@ -118,3 +118,95 @@ def test_ivf_untrained_layout_still_works(spark, tmp_path):
     assert [(r.vec_id, r.score) for r in pruned.collect()] == [
         (r.vec_id, r.score) for r in raw.collect()
     ]
+
+
+def _py_interleave(vals, bits):
+    acc = 0
+    n = len(vals)
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            acc |= ((v >> b) & 1) << (b * n + i)
+    return acc
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    from duckdb_geography_spark import sources as S
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 100, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", S.zorder_value(["a", "b"], bits=16).alias("z")).collect()
+    for r in got:
+        assert r["z"] == _py_interleave([r["a"], r["b"]], 16), (r["a"], r["b"])
+    # stays JVM-side: no Python eval node in the plan
+    plan = df.select(S.zorder_value(["a", "b"]).alias("z"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # 3-column form
+    df3 = spark.createDataFrame([(3, 5, 7)], "a long, b long, c long")
+    (r3,) = df3.select(S.zorder_value(["a", "b", "c"], bits=8).alias("z")).collect()
+    assert r3["z"] == _py_interleave([3, 5, 7], 8)
+    import pytest
+
+    with pytest.raises(ValueError, match="<= 62"):
+        S.zorder_value(["a", "b", "c"], bits=21)
+    with pytest.raises(ValueError, match=">= 2"):
+        S.zorder_value(["a"])
+
+
+def test_quantize_dim_bins_and_clamps(spark):
+    from duckdb_geography_spark import sources as S
+
+    df = spark.createDataFrame(
+        [(-200.0,), (-180.0,), (0.0,), (179.99,), (400.0,)], "lon double"
+    )
+    got = [r["q"] for r in df.select(S.quantize_dim("lon", -180.0, 180.0, bits=8).alias("q")).collect()]
+    assert got[0] == 0          # clamped low
+    assert got[1] == 0
+    assert got[2] == 128        # midpoint
+    assert got[4] == 255        # clamped high
+    assert all(0 <= q <= 255 for q in got)
+
+
+def test_write_zordered_tightens_rowgroup_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from duckdb_geography_spark import sources as S
+
+    # two independent dims; random-ish order in the input
+    rows = [((i * 7919) % 1024, (i * 104729) % 1024, i) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long, rid long")
+    zpath = str(tmp_path / "zordered")
+    plain = str(tmp_path / "plain")
+    S.write_zordered(df, zpath, ["x", "y"], bits=10, num_files=8)
+    df.repartition(8).write.parquet(plain)
+
+    def file_spans(path, col):
+        import glob
+
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(g).column(
+                    [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                ).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(
+                    [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                ).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return spans
+
+    # z-ordered files are tight on BOTH dims; hash-partitioned files
+    # each span ~the full domain
+    for col in ("x", "y"):
+        z_avg = sum(file_spans(zpath, col)) / 8
+        p_avg = sum(file_spans(plain, col)) / 8
+        assert z_avg < p_avg * 0.7, (col, z_avg, p_avg)
+    # round trip preserves rows
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    assert {r["rid"] for r in back.select("rid").collect()} == set(range(4096))
