@@ -4300,6 +4300,46 @@ SELECT doc_id, lang, __priority FROM p ORDER BY doc_id
 """
 
 
+def _q_weighted_stratified(spark, sf_dir):
+    """Per-language weighted quota draw: an independent
+    Efraimidis-Spirakis sample of 10 docs inside every lang stratum,
+    weighted by n_chars (llm/prep.py::weighted_sample_per_group).
+    ONE shuffle on the stratum key; rank is partition-local."""
+    from duckdb_geography_spark.llm.prep import weighted_sample_per_group
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long"))
+    return (
+        weighted_sample_per_group(
+            docs, w, strata_col="lang", n_per_stratum=10, key_col="doc_id"
+        )
+        .select("doc_id", "lang", "__priority")
+        .orderBy("doc_id")
+    )
+
+
+_WEIGHTED_STRATIFIED_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         greatest(CAST(n_chars AS BIGINT), 1) AS w,
+         greatest(CAST(concat('0x',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), 1) AS hv
+  FROM documents),
+p AS (
+  SELECT doc_id, lang,
+         round((round(ln(CAST(hv AS DOUBLE)) * 1000000) - 41588831) / w,
+               9) AS __priority
+  FROM h),
+r AS (
+  SELECT doc_id, lang, __priority,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY __priority DESC, doc_id) AS rk
+  FROM p)
+SELECT doc_id, lang, __priority FROM r WHERE rk <= 10 ORDER BY doc_id
+"""
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Morton z-value over (user_id, value-cents) for every event —
     the multi-dimensional clustering key behind z-ordered data
@@ -5453,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": _q_bloom_prefilter,
         "weighted_sample": _q_weighted_sample,
         "zorder_layout": _q_zorder_layout,
+        "weighted_stratified": _q_weighted_stratified,
         # --- recorded only in the r3 window ---
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
@@ -5637,4 +5678,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter": _BLOOM_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "zorder_layout": _zorder_layout_sql(),
+        "weighted_stratified": _WEIGHTED_STRATIFIED_SQL,
     }

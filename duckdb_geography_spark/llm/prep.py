@@ -19,6 +19,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "weighted_sample",
+    "weighted_sample_per_group",
     "weighted_mix",
     "dedup_lines",
     "pack_chunks",
@@ -399,10 +400,19 @@ def weighted_sample(
     Returns the sampled rows with their ``__priority`` (drop it if
     unwanted); higher priority = kept first.
     """
-    import math
-
     if k < 1:
         raise ValueError("k must be >= 1")
+    out = df.withColumn("__priority", _es_priority(weight_col, key_col, salt))
+    return out.orderBy(F.desc("__priority"), _c(key_col)).limit(k)
+
+
+def _es_priority(weight_col, key_col, salt: str = "") -> Column:
+    """The Efraimidis-Spirakis priority column shared by
+    :func:`weighted_sample` and :func:`weighted_sample_per_group`:
+    ``(ln_micro(md5_60bit(salt||key)) - ln_micro(2^60)) / w`` as one
+    IEEE division of exact integers, rounded to 9 dp."""
+    import math
+
     w = _c(weight_col).cast("long")
     h = F.conv(
         F.substring(
@@ -428,5 +438,38 @@ def weighted_sample(
             )
         ).cast("double"),
     ).otherwise((ln_h - F.lit(ln_max)).cast("double") / w)
-    out = df.withColumn("__priority", F.round(prio, 9))
-    return out.orderBy(F.desc("__priority"), _c(key_col)).limit(k)
+    return F.round(prio, 9)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col,
+    strata_col,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted quota sampling: an independent Efraimidis-Spirakis
+    draw of ``n_per_stratum`` rows inside EVERY stratum (language,
+    source, topic bucket) — the corpus-mixing primitive when quotas
+    are per-slice but importance weights are per-document. ONE
+    shuffle on the stratum key (the window's hash partitioning);
+    strata smaller than the quota keep everything they have.
+
+    Same exact-integer priority as :func:`weighted_sample`, so the
+    draw is deterministic, salt-decorrelated, and replayable in any
+    SQL engine as ``row_number() OVER (PARTITION BY stratum ORDER BY
+    priority DESC, key) <= n``."""
+    from pyspark.sql import Window
+
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    out = df.withColumn("__priority", _es_priority(weight_col, key_col, salt))
+    w = Window.partitionBy(_c(strata_col)).orderBy(
+        F.desc("__priority"), _c(key_col)
+    )
+    return (
+        out.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(n_per_stratum))
+        .drop("__rk")
+    )

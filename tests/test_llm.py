@@ -381,6 +381,51 @@ class TestPrep:
         with _pytest.raises(Exception, match="non-positive weight"):
             prep.weighted_sample(bad, "w", k=1, key_col="doc_id").collect()
 
+    def test_weighted_sample_per_group(self, spark):
+        import hashlib
+        import math
+
+        from duckdb_geography_spark.llm import prep
+
+        # 3 strata x 100 rows; in 'en' ids 0-9 are heavy
+        rows = []
+        for i in range(300):
+            lang = ["en", "de", "fr"][i % 3]
+            w = 1000 if (lang == "en" and i < 30) else 1
+            rows.append((i, lang, w))
+        df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+        out = prep.weighted_sample_per_group(
+            df, "w", strata_col="lang", n_per_stratum=8, key_col="doc_id"
+        )
+        got = out.collect()
+        by_lang = {}
+        for r in got:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert {k: len(v) for k, v in by_lang.items()} == {"en": 8, "de": 8, "fr": 8}
+        # heavy en rows dominate the en quota
+        assert sum(1 for r in by_lang["en"] if r["doc_id"] < 30) >= 6
+        # exact per-stratum replay of the shared priority spec
+        ln_max = round(math.log(float(1 << 60)) * 1_000_000)
+
+        def prio(doc_id, w):
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+            return round((round(math.log(max(h, 1)) * 1_000_000) - ln_max) / w, 9)
+
+        for lang in ("en", "de", "fr"):
+            pop = [r for r in rows if r[1] == lang]
+            expect = sorted(pop, key=lambda r: (-prio(r[0], r[2]), r[0]))[:8]
+            assert sorted(r["doc_id"] for r in by_lang[lang]) == sorted(
+                r[0] for r in expect
+            ), lang
+        # small stratum keeps everything
+        tiny = spark.createDataFrame(
+            [(1, "en", 5), (2, "en", 5), (3, "xx", 1)], "doc_id long, lang string, w long"
+        )
+        assert (
+            prep.weighted_sample_per_group(tiny, "w", "lang", n_per_stratum=9).count()
+            == 3
+        )
+
     def test_hash_split_buckets_scale(self, spark):
         from duckdb_geography_spark.llm import prep
 
