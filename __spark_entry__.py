@@ -5293,6 +5293,46 @@ def _q_int8_topk(spark, sf_dir):
     )
 
 
+def _q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss projection (llm/similarity.py::jl_project):
+    deterministic Achlioptas ±1 sign matrix (sign = md5 nibble of
+    "seed:r:c"), folded into ONE pure-Column map-side expression — no
+    UDF, no shuffle, fuses into the scan. The oracle recomputes the
+    same md5 signs in DuckDB and folds the dot product over the same
+    left-to-right generate_series order; both sides round to 6
+    decimals so the single float multiply-order difference cannot
+    surface. Rows are (vec_id, component index, value) — exploded so
+    the driver compares scalars, not arrays."""
+    from duckdb_geography_spark.llm.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = jl_project(
+        emb, vec_col="embedding", in_dim=64, out_dim=8, seed=7, out_col="proj"
+    )
+    return (
+        p.select("vec_id", F.posexplode("proj").alias("r", "v"))
+        .select(
+            "vec_id",
+            F.col("r").cast("long").alias("r"),
+            F.round("v", 6).alias("val"),
+        )
+        .orderBy("vec_id", "r")
+    )
+
+
+_JL_PROJECT_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 7)) AS r)
+SELECT v.vec_id, dims.r,
+  round(list_sum(list_transform(generate_series(0, 63), c ->
+          (CASE WHEN ('0x' || substr(md5('7:' || dims.r || ':' || c), 1, 1))::BIGINT < 8
+                THEN 1.0 ELSE -1.0 END) * v.dv[c + 1]))
+        * 0.35355339059327373, 6) AS val
+FROM v CROSS JOIN dims
+ORDER BY vec_id, r
+"""
+
+
 def _q_stream_hll(spark, sf_dir):
     """STREAMING HyperLogLog: windowed register table (bounded
     windows x 256 rows of state vs unbounded exact-distinct key
@@ -5489,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "cms_counts": _q_cms_counts,
         "int8_topk": _q_int8_topk,
+        "jl_project": _q_jl_project,
         "stream_hll": _q_stream_hll,
         "bloom_prefilter": _q_bloom_prefilter,
         "weighted_sample": _q_weighted_sample,
@@ -5674,6 +5715,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_SQL,
         "cms_counts": _CMS_SQL,
         "int8_topk": _INT8_TOPK_SQL,
+        "jl_project": _JL_PROJECT_SQL,
         "stream_hll": _STREAM_HLL_SQL,
         "bloom_prefilter": _BLOOM_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
