@@ -133,13 +133,29 @@ def _cell_geog_bytes(i: int) -> bytes:
     return _cell_polygon(cid).encode()
 
 
-@lru_cache(maxsize=4096)
 def _cell_union_geog_bytes(ids: tuple) -> bytes:
     """Encoded S2_CELL_UNION->GEOGRAPHY dissolved border for a tuple
     of signed cell ids — shared by the explicit cast UDF and the
-    implicit coercion path. The normalized union IS its own perfect
-    covering, so encode() skips the adaptive coverer whenever it
-    fits the embedded-covering slot."""
+    implicit coercion path. Unions above 64 cells are computed but
+    NOT cached: a count-bounded cache keyed by unbounded id tuples
+    holding arbitrarily large dissolved borders is the same
+    unbounded-memory pattern ByteBudgetLRU removed from geoudfs
+    (ADVICE r5); small unions (the broadcast/repeated-key hot path)
+    still memoize."""
+    if len(ids) > 64:
+        return _cell_union_geog_bytes_impl(ids)
+    return _cell_union_geog_bytes_small(ids)
+
+
+@lru_cache(maxsize=4096)
+def _cell_union_geog_bytes_small(ids: tuple) -> bytes:
+    return _cell_union_geog_bytes_impl(ids)
+
+
+def _cell_union_geog_bytes_impl(ids: tuple) -> bytes:
+    """The normalized union IS its own perfect covering, so encode()
+    skips the adaptive coverer whenever it fits the embedded-covering
+    slot."""
     cells = normalize_cell_union(np.array(ids, dtype=np.int64).view(np.uint64))
     if len(cells) == 0:
         return Geography(KIND_POLYGON).encode()

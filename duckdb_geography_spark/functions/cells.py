@@ -241,6 +241,15 @@ def s2_cellfromlonlat(lon, lat) -> Column:
 
     NaN -> sentinel. Reference: src/s2_cell_ops.cpp:463-512;
     golden (-64, 45) -> ``4b59a0cd83b5de49``.
+
+    DIVERGENCE from the reference on *implicit* coercion: the
+    reference types this result S2_CELL_CENTER, whose cost-0 cast
+    into geography functions yields the snapped POINT; this engine
+    carries cells and cell centers in one LongType, so a bare long
+    fed to ``s2_area``/``s2_astext``/``s2_dimension`` coerces with
+    S2_CELL (leaf-polygon) semantics instead. For the reference's
+    point behavior, cast explicitly with
+    ``s2_cell_center_to_geography(cell)``.
     """
     return _cellfromlonlat_udf(_c(lon).cast(DoubleType()), _c(lat).cast(DoubleType()))
 

@@ -82,6 +82,8 @@ _CACHE_BUDGET = int(os.environ.get("SPARK_GRAFT_GEOG_CACHE_MB", "256")) * (1 << 
 # PREPARED payloads additionally materialize the probe index, already
 # part of the encoded bytes — 4x encoded + 1 KiB is a deliberate
 # over-charge so the budget errs toward early eviction.
+_WARNED_FLOAT_COERCION = False
+
 decode_cached = ByteBudgetLRU(
     _CACHE_BUDGET // 2, lambda b: 4 * len(b) + 1024, Geography.decode
 )
@@ -243,6 +245,25 @@ def coerce_geog(s: pd.Series) -> pd.Series:
         # truncation and refused instead of quietly becoming
         # POLYGON EMPTY.
         is_float_src = s.dtype.kind == "f"
+        if is_float_src:
+            # Warn ONCE per worker: float64 here is usually Arrow's
+            # nullable-long path (benign), but a genuine DoubleType
+            # column whose values happen to be valid cell ids (3.0)
+            # would coerce silently — make that observable.
+            global _WARNED_FLOAT_COERCION
+            if not _WARNED_FLOAT_COERCION:
+                _WARNED_FLOAT_COERCION = True
+                import warnings
+
+                warnings.warn(
+                    "implicit S2_CELL->GEOGRAPHY coercion from a float64 "
+                    "batch (nullable-long Arrow path, or a true DOUBLE "
+                    "column). Integral float values that are valid cell "
+                    "ids coerce as cells; cast explicitly with "
+                    "s2_cell_to_geography to silence this.",
+                    UserWarning,
+                    stacklevel=2,
+                )
         out = []
         for v in s:
             if v is None or (isinstance(v, float) and v != v):  # NaN = NULL long

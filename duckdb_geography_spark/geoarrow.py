@@ -100,19 +100,34 @@ def _tag_schema(schema: pa.Schema, geog_col: str) -> pa.Schema:
 
 
 def to_geoarrow_table(
-    df: DataFrame, geog_col: str = "geog", extension: bool = False
+    df: DataFrame,
+    geog_col: str = "geog",
+    extension: bool = False,
+    max_rows: int = 1_000_000,
 ) -> pa.Table:
     """Export: geography -> WKB column tagged geoarrow.wkb.
 
     DRIVER-SIDE interop helper: collects the whole DataFrame, so it is
     bounded by driver memory — use it for dimension tables and query
     results, and :func:`write_geoparquet_dir` for anything large.
+    ``max_rows`` (default 1M) is the guard rail: the export errors
+    with a bounded ``limit(max_rows+1).count()`` probe instead of
+    OOMing the driver on an accidental 100 TB collect; pass
+    ``max_rows=None`` to opt out explicitly.
     ``extension=True`` returns the column as a LIVE
     :class:`GeoArrowWkbType` ExtensionArray (call
     :func:`s2_register_geoarrow_extensions` first so IPC round-trips
     re-materialize the type); the default stays field-metadata tagged,
     which every geoarrow reader — including parquet footers — already
     understands."""
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"to_geoarrow_table collects to the driver and the input "
+                f"has > max_rows={max_rows} rows; use write_geoparquet_dir "
+                "for distributed export, or pass max_rows=None to force"
+            )
     wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
     tbl = pa.Table.from_pandas(wkb_df.toPandas(), preserve_index=False)
     if extension:

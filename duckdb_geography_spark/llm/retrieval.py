@@ -153,8 +153,10 @@ def bm25_scores(
 
     ``term = round(idf_micro * tf * (k1+1) / (tf + k1*(1-b) + k1*b*dl*D/L))``
 
-    where ``D`` = document count and ``L`` = total corpus words (so
-    ``dl*D/L`` is dl/avgdl with exact integer inputs). All floating
+    where ``D`` = count of documents with >=1 word and ``L`` = total
+    corpus words over the same universe (so ``dl*D/L`` is dl/avgdl
+    with exact integer inputs, and NULL/empty text — which never
+    produces a posting row — cannot skew avgdl). All floating
     ops are fixed-association IEEE doubles over exactly-representable
     operands — bit-identical cross-engine — so ``bm25_micro`` is an
     exact integer.
@@ -176,7 +178,12 @@ def bm25_scores(
         F.col("word").isin(terms)
     )
     totals = (
+        # D/L over documents with >=1 word only — the dl table's universe.
+        # Counting all rows would let NULL/empty text skew avgdl (and
+        # F.size() is -1/NULL on NULL arrays depending on ANSI mode),
+        # diverging from the DuckDB oracle's constants.
         df.select(F.size(_words(text_col)).alias("__dl"))
+        .where(F.col("__dl") > 0)
         .agg(F.count(F.lit(1)).alias("__D"), F.sum("__dl").alias("__L"))
         .select(
             F.shiftrightunsigned(F.col("__D"), 63).cast("int").alias("__k"),

@@ -414,6 +414,15 @@ def rewrite_spatial_joins(
             spark, analyzed, join, ancestors, driving, residuals, level, warn
         )
         out = _df_of(spark, rebuilt)
+    # Pass cap reached: never hand back a plan that still carries a
+    # naive (cartesian NL) spatial join without saying so.
+    if _find_naive_join(out._jdf.queryExecution().analyzed()) is not None:
+        raise RewriteUnsupported(
+            "plan still contains a naive spatial join after 10 rewrite "
+            "passes (more than 10 naive joins in one query?) — split the "
+            "query, or build the joins directly with "
+            "duckdb_geography_spark.joins.spatial_join/covering_join"
+        )
     return out
 
 

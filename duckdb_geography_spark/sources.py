@@ -299,6 +299,10 @@ def write_zordered(
     under z-value skew)."""
     out = df.withColumn(z_col, zorder_value(zcols, bits))
     out = out.repartitionByRange(num_files, F.col(z_col)).sortWithinPartitions(z_col)
+    # Drop the internal z column AFTER the range shuffle + sort (row
+    # order within partitions is preserved by the projection) so the
+    # written schema equals the input schema (ADVICE r5).
+    out = out.drop(z_col)
     out.write.mode(mode).parquet(path)
 
 

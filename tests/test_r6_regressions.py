@@ -1,0 +1,119 @@
+"""Round-6 regression tests: the ADVICE r5 fixes (bm25 constants —
+see test_retrieval.py, rewrite pass-cap loudness, bounded cell-union
+cache, zorder schema) and the VERDICT r5 hygiene items (geoarrow
+driver-collect guard)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# rewrite: 10-pass cap must not silently ship a naive join (ADVICE r5)
+# ---------------------------------------------------------------------------
+
+
+class TestRewritePassCap:
+    def test_cap_exhaustion_raises_not_silent(self, spark, monkeypatch):
+        from duckdb_geography_spark import rewrite as RW
+        from duckdb_geography_spark.functions.register import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        spark.createDataFrame(
+            [(1, bytes(0))], "id long, geog binary"
+        ).createOrReplaceTempView("r6_rw_a")
+        naive = spark.sql(
+            """
+            SELECT a.id FROM r6_rw_a a JOIN r6_rw_a b
+            ON s2_intersects(a.geog, b.geog)
+            """
+        )
+        # Simulate a rewrite that never converges: each pass returns the
+        # plan unchanged, so after 10 passes a naive join remains and the
+        # guard must raise instead of returning a cartesian plan.
+        monkeypatch.setattr(
+            RW,
+            "_rewrite_one",
+            lambda spark, analyzed, join, anc, drv, res, lvl, warn: analyzed,
+        )
+        with pytest.raises(RW.RewriteUnsupported, match="10 rewrite"):
+            RW.rewrite_spatial_joins(naive, warn=False)
+
+
+# ---------------------------------------------------------------------------
+# cell-union cache: big unions compute but do not cache (ADVICE r5)
+# ---------------------------------------------------------------------------
+
+
+class TestCellUnionCacheBound:
+    def test_large_union_not_cached_small_union_cached(self):
+        import numpy as np
+
+        from duckdb_geography_spark.functions import casts as C
+        from duckdb_geography_spark.s2 import cellmath as cm
+
+        def leaf(lon, lat):
+            return int(
+                cm.lonlat_to_cellid(np.array([lon]), np.array([lat]))
+                .view(np.int64)[0]
+            )
+
+        C._cell_union_geog_bytes_small.cache_clear()
+        small = tuple(leaf(float(i), 10.0) for i in range(2))
+        big = tuple(
+            leaf(float(i % 179), float(i % 79)) for i in range(65)
+        )
+        a = C._cell_union_geog_bytes(small)
+        b = C._cell_union_geog_bytes(big)
+        assert a and b
+        info = C._cell_union_geog_bytes_small.cache_info()
+        assert info.misses == 1  # only the small union entered the cache
+        # and repeated calls stay correct on both paths
+        assert C._cell_union_geog_bytes(small) == a
+        assert C._cell_union_geog_bytes(big) == b
+        assert C._cell_union_geog_bytes_small.cache_info().hits == 1
+
+
+# ---------------------------------------------------------------------------
+# write_zordered: output schema equals input schema (ADVICE r5)
+# ---------------------------------------------------------------------------
+
+
+class TestZorderSchema:
+    def test_written_schema_has_no_internal_z(self, spark, tmp_path):
+        from duckdb_geography_spark import sources as S
+
+        df = spark.createDataFrame(
+            [(i % 7, i % 11, i) for i in range(100)], "x long, y long, rid long"
+        )
+        path = str(tmp_path / "z6")
+        S.write_zordered(df, path, ["x", "y"], bits=8, num_files=2)
+        back = spark.read.parquet(path)
+        assert sorted(back.columns) == ["rid", "x", "y"]
+        assert back.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# to_geoarrow_table: driver-collect guard (VERDICT r5 item 6)
+# ---------------------------------------------------------------------------
+
+
+class TestGeoArrowGuard:
+    def test_max_rows_cap_raises(self, spark):
+        from duckdb_geography_spark import geoarrow as GA
+        from duckdb_geography_spark.functions.data import s2_data_cities
+
+        cities = s2_data_cities(spark)
+        with pytest.raises(ValueError, match="max_rows"):
+            GA.to_geoarrow_table(cities, geog_col="geog", max_rows=5)
+        # opt-out and a big-enough cap both still export
+        assert GA.to_geoarrow_table(cities, geog_col="geog").num_rows > 5
+        assert (
+            GA.to_geoarrow_table(
+                cities, geog_col="geog", max_rows=None
+            ).num_rows
+            > 5
+        )

@@ -79,6 +79,21 @@ class TestRetrieval:
         b = R.bm25_scores(df, ["hash"]).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_bm25_constants_ignore_empty_and_null_text(self, spark):
+        # D and L (avgdl) must come from the dl universe — documents
+        # with >=1 word — exactly like the DuckDB oracle, where NULL/
+        # empty text never produces a words row. Adding empty docs to
+        # the corpus must not move any score (ADVICE r5 item 1).
+        base = ["hash table hash", "hash filler filler", "table only"]
+        clean = _docs(spark, base)
+        noisy = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(base)] + [(97, ""), (98, "   "), (99, None)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, R.bm25_scores(clean, ["hash", "table"]).collect()))
+        b = sorted(map(tuple, R.bm25_scores(noisy, ["hash", "table"]).collect()))
+        assert a == b
+
 
 # ---------------------------------------------------------------------------
 # duplicate-substring spans
