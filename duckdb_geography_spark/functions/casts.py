@@ -27,6 +27,7 @@ from . import geoudfs as U
 __all__ = [
     "s2_cell_center_to_geography",
     "s2_geography_to_cell_center",
+    "s2_snap_to_cell_center",
     "s2_cell_to_geography",
     "s2_cell_union_to_geography",
     "s2_cell_union_normalize",
@@ -88,6 +89,59 @@ def s2_geography_to_cell_center(geog) -> Column:
     """GEOGRAPHY -> S2_CELL_CENTER (lossy <=2 cm); errors on non-point
     input (src/s2_cell_ops.cpp:20-68)."""
     return _geography_to_cell_center_udf(_c(geog))
+
+
+@F.pandas_udf(BinaryType())
+def _snap_to_cell_center_udf(s: pd.Series) -> pd.Series:
+    from ..geo.geography import KIND_CELL_CENTER
+
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+            continue
+        g = U.decode_cached(bytes(b))
+        if g.is_empty():
+            out.append(Geography(KIND_POINT).encode())
+            continue
+        if g.kind == KIND_CELL_CENTER:
+            cid = np.uint64(g.cell_id)
+            raw = g.raw_point
+        else:
+            p = g.single_point()
+            if p is None or g.all_lines() or g.all_polygons():
+                raise ValueError(
+                    "Can't convert geography that is not empty nor a "
+                    "single point to S2_CELL_CENTER"
+                )
+            cid = cm.lonlat_to_cellid([p[0]], [p[1]])[0]
+            raw = np.array(p, dtype=np.float64)
+        snapped = Geography.cell_center(cid)
+        snapped.raw_point = raw
+        snapped.cast_tag = True
+        out.append(snapped.encode())
+    return pd.Series(out, dtype=object)
+
+
+def s2_snap_to_cell_center(geog) -> Column:
+    """The reference's ``geog::S2_CELL_CENTER`` used as a GEOGRAPHY —
+    the round trip GEOGRAPHY -> S2_CELL_CENTER -> GEOGRAPHY as ONE
+    geography-to-geography op (src/s2_cell_ops.cpp:20-68 then
+    514-551, cast cost 1 then 0).
+
+    Unlike chaining :func:`s2_geography_to_cell_center` (a bare
+    LongType, which cannot carry provenance) into
+    :func:`s2_cell_center_to_geography`, this keeps the value's
+    pre-snap coordinates and marks it cast-produced (flags bit1), so
+    ``s2_distance`` / ``s2_max_distance`` between two such values
+    reproduce the reference's published both-cast goldens exactly
+    (3354018.3501422736, test/sql/geography/binary_index_ops.test:
+    174-178, 201-205 — an asymmetric snap(lhs)-vs-raw(rhs)
+    evaluation, root-caused in tests/test_cellmath.py). Every other
+    consumer sees the snapped center, identical to the long-cast
+    chain. Errors on non-point input with the reference's message;
+    empty -> POINT EMPTY."""
+    return _snap_to_cell_center_udf(_c(geog))
 
 
 def _cell_polygon(cid: np.uint64) -> Geography:

@@ -231,6 +231,10 @@ def _batch_distance(s1: pd.Series, s2: pd.Series, slow_fn=None) -> np.ndarray:
             and b2[0] == KIND_CELL_CENTER
             and b1[2:4] == b"\x01\x00"  # ncov (uint16 LE) == 1
             and b2[2:4] == b"\x01\x00"
+            # both-FLAG_CAST pairs take the decoded path: the reference
+            # publishes an asymmetric snap-vs-raw golden for that exact
+            # shape (geo/ops.py::_cast_pair_chord)
+            and not ((b1[1] & 2) and (b2[1] & 2))
         ):
             ids1[i] = int.from_bytes(b1[4:12], "little")
             ids2[i] = int.from_bytes(b2[4:12], "little")

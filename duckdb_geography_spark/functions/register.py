@@ -158,6 +158,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     r("s2_box_wkb", _box_wkb_udf)
     r("s2_cell_center_to_geography", X._cell_center_to_geography_udf)
     r("s2_geography_to_cell_center", X._geography_to_cell_center_udf)
+    r("s2_snap_to_cell_center", X._snap_to_cell_center_udf)
     r("s2_cell_to_geography", X._cell_to_geography_udf)
     r("s2_cell_union_to_geography", X._cell_union_to_geography_udf)
     r("s2_cell_union_normalize", X._cell_union_normalize_udf)

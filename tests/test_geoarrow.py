@@ -74,11 +74,18 @@ def test_geoparquet_dir_distributed_roundtrip(spark, tmp_path):
     receipts = GA.write_geoparquet_dir(cities, d)
     assert sum(r for _, r in receipts) == 243
     assert 1 <= len(receipts) <= 4
-    # the footer of every part file carries the geoarrow tag
+    # the footer of every part file carries the geoarrow tag. If the
+    # live ExtensionType is registered with pyarrow (another test in
+    # the same process may have called s2_register_geoarrow_extensions),
+    # pyarrow reconstitutes the tag as the extension type itself and
+    # field.metadata comes back None — accept both forms.
     for path, _rows in receipts:
-        f = pq.ParquetFile(path)
-        meta = f.schema_arrow.field("geog").metadata
-        assert meta[b"ARROW:extension:name"] == b"geoarrow.wkb"
+        field = pq.ParquetFile(path).schema_arrow.field("geog")
+        meta = field.metadata or {}
+        if b"ARROW:extension:name" in meta:
+            assert meta[b"ARROW:extension:name"] == b"geoarrow.wkb"
+        else:
+            assert getattr(field.type, "extension_name", None) == "geoarrow.wkb"
     back = GA.read_geoparquet_dir(spark, d)
     assert back.count() == 243
     a = cities.select(G.s2_format("geog", 6).alias("t")).collect()

@@ -97,6 +97,77 @@ class TestZorderSchema:
 
 
 # ---------------------------------------------------------------------------
+# double-snap distance golden (VERDICT r5 item 4)
+# ---------------------------------------------------------------------------
+
+
+class TestSnapCastDistance:
+    """The reference's both-::S2_CELL_CENTER distance goldens
+    (binary_index_ops.test:174-178, 201-205) are an asymmetric
+    snap(lhs)-vs-raw(rhs) evaluation — reproduced only when BOTH args
+    carry the cast tag from s2_snap_to_cell_center."""
+
+    @pytest.fixture(scope="class")
+    def q(self, spark):
+        from duckdb_geography_spark.functions.register import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        return lambda s: spark.sql(s).head()[0]
+
+    def test_four_goldens(self, q):
+        cc = "s2_snap_to_cell_center({})"
+        v = cc.format("s2_data_city('Vancouver')")
+        t = cc.format("s2_data_city('Toronto')")
+        # direct (parse-produced) stays symmetric
+        assert (
+            q("SELECT s2_distance(s2_data_city('Vancouver'), s2_data_city('Toronto'))")
+            == 3354018.3461295413
+        )
+        # both-cast: the reference's asymmetric goldens, min and max
+        assert q(f"SELECT s2_distance({v}, {t})") == 3354018.3501422736
+        assert q(f"SELECT s2_max_distance({v}, {t})") == 3354018.3501422736
+        # one-cast: symmetric again
+        assert (
+            q(f"SELECT s2_max_distance({v}, s2_data_city('Toronto'))")
+            == 3354018.3461295413
+        )
+
+    def test_cast_value_reads_snapped_everywhere_else(self, q):
+        cc = "s2_snap_to_cell_center(s2_data_city('Vancouver'))"
+        assert q(f"SELECT s2_astext({cc})") == q(
+            "SELECT s2_astext(s2_data_city('Vancouver'))"
+        )
+        assert q(f"SELECT s2_x({cc})") == q(
+            "SELECT s2_x(s2_data_city('Vancouver'))"
+        )
+
+    def test_raw_point_roundtrips_codec(self):
+        from duckdb_geography_spark.geo.geography import Geography
+
+        g = Geography.point(-79.4219667, 43.7019257)
+        back = Geography.decode(g.encode())
+        assert back.raw_point is not None
+        assert tuple(back.raw_point) == (-79.4219667, 43.7019257)
+        assert not back.cast_tag
+        # cell-center constructed from a bare id stays 12 bytes (no raw)
+        from duckdb_geography_spark.geo.geography import KIND_CELL_CENTER
+
+        bare = Geography.cell_center(back.cell_id)
+        assert len(bare.encode()) == 12
+
+    def test_non_point_snap_errors(self, q):
+        with pytest.raises(Exception, match="single point"):
+            q("SELECT s2_astext(s2_snap_to_cell_center(s2_data_country('Fiji')))")
+
+    def test_empty_snap_is_empty_point(self, q):
+        e = "s2_snap_to_cell_center(s2_geogfromtext('POINT EMPTY'))"
+        assert q(f"SELECT s2_astext({e})") == "POINT EMPTY"
+        assert q(f"SELECT s2_distance({e}, {e})") == float("inf")
+
+
+# ---------------------------------------------------------------------------
 # to_geoarrow_table: driver-collect guard (VERDICT r5 item 6)
 # ---------------------------------------------------------------------------
 

@@ -8,6 +8,8 @@ Syntax translation rules (DuckDB -> Spark SQL):
 - ``'f/digits'::S2_CELL``         -> ``s2_cell_from_debug_string('f/digits')``
 - ``cell::VARCHAR`` (debug form)  -> ``s2_cell_debug_string(cell)``
 - ``geog::S2_CELL_CENTER``        -> ``s2_geography_to_cell_center(geog)``
+  (when the result is used as a GEOGRAPHY again:
+  ``s2_snap_to_cell_center(geog)``, which keeps cast provenance)
 - ``cell::GEOGRAPHY``             -> ``s2_cell_to_geography(cell)`` /
                                      ``s2_cell_center_to_geography(cell)``
 - ``x.f(y)`` dot chain            -> ``f(x, y)``
@@ -25,10 +27,12 @@ Documented deviations (each marked DEVIATION in its test):
   rest, and our synthetic 4-vertex country boxes have geodesic edge
   bulge the reference's dense real boundaries don't — those goldens
   are recomputed with closed-form math instead of pinned decimals.
-- both-sides ``::S2_CELL_CENTER`` distance: the reference's golden is
-  an asymmetric snap-vs-raw evaluation (root-caused in
-  tests/test_cellmath.py::TestSnappedDistanceGoldens); we keep
-  symmetric semantics, so the golden is the symmetric value.
+(Closed in round 6: the both-sides ``::S2_CELL_CENTER`` distance
+goldens — the reference's asymmetric snap-vs-raw evaluation,
+root-caused in tests/test_cellmath.py::TestSnappedDistanceGoldens —
+are now reproduced exactly via ``s2_snap_to_cell_center``, the
+geography-level form of the cast; its pinned values appear in
+test_distance / test_max_distance below.)
 """
 
 from __future__ import annotations
@@ -725,31 +729,38 @@ class TestBinaryIndexOps:
         # binary_index_ops.test:168-190; DEVIATION on the both-snapped
         # row: the reference's 3354018.3501422736 is an asymmetric
         # snap(lhs)-vs-raw(rhs) evaluation (root-caused in
-        # tests/test_cellmath.py); our symmetric semantics return the
-        # same value as the plain golden
+        # tests/test_cellmath.py), reproduced since round 6 by the
+        # geography-level cast s2_snap_to_cell_center (the reference's
+        # ::S2_CELL_CENTER used as a GEOGRAPHY)
         assert (
             q("SELECT s2_distance(s2_data_city('Vancouver'), s2_data_city('Toronto'))")
             == 3354018.3461295413
         )
-        cc = "s2_cell_center_to_geography(s2_geography_to_cell_center({}))"
+        cc = "s2_snap_to_cell_center({})"
         v = cc.format("s2_data_city('Vancouver')")
         t = cc.format("s2_data_city('Toronto')")
-        assert q(f"SELECT s2_distance({v}, {t})") == 3354018.3461295413
+        assert q(f"SELECT s2_distance({v}, {t})") == 3354018.3501422736
+        # the bare-long cast chain cannot carry pre-snap provenance and
+        # stays symmetric (same value as the plain golden)
+        ccl = "s2_cell_center_to_geography(s2_geography_to_cell_center({}))"
+        vl = ccl.format("s2_data_city('Vancouver')")
+        tl = ccl.format("s2_data_city('Toronto')")
+        assert q(f"SELECT s2_distance({vl}, {tl})") == 3354018.3461295413
         g = GEOG.format
         assert math.isinf(q(f"SELECT s2_distance({g('POINT EMPTY')}, s2_data_city('Toronto'))"))
         assert math.isinf(q(f"SELECT s2_distance(s2_data_city('Toronto'), {g('POINT EMPTY')})"))
 
     def test_max_distance(self, q):
         # binary_index_ops.test:192-214
-        cc = "s2_cell_center_to_geography(s2_geography_to_cell_center({}))"
+        cc = "s2_snap_to_cell_center({})"
         v = cc.format("s2_data_city('Vancouver')")
         t = cc.format("s2_data_city('Toronto')")
         assert (
             q(f"SELECT s2_max_distance({v}, s2_data_city('Toronto'))") == 3354018.3461295413
         )
-        # both-snapped max_distance: symmetric semantics (same DEVIATION
-        # note as test_distance)
-        assert q(f"SELECT s2_max_distance({v}, {t})") == 3354018.3461295413
+        # both-snapped max_distance: the reference's asymmetric golden
+        # (same decomposition as test_distance)
+        assert q(f"SELECT s2_max_distance({v}, {t})") == 3354018.3501422736
         g = GEOG.format
         assert math.isinf(q(f"SELECT s2_max_distance({g('POINT EMPTY')}, s2_data_city('Toronto'))"))
         assert math.isinf(q(f"SELECT s2_max_distance(s2_data_city('Toronto'), {g('POINT EMPTY')})"))
