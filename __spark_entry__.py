@@ -3239,32 +3239,51 @@ def _q_data_tables_gate(spark, sf_dir):
 
 
 def _data_tables_sql():
+    """Oracle: Vancouver's snap replayed by the recursive-CTE
+    projection, Germany's area recomputed in SQL by the SAME fan-of-
+    spherical-triangles formula (Van Oosterom & Strackee, difference
+    form) over the RAW ring vertices read from the bundled Natural
+    Earth TSV — not through the engine's geometry kernel, so the two
+    sides stay independent."""
+    import re as _re
+
     from duckdb_geography_spark import synth
-    from duckdb_geography_spark.functions.data import PINNED_CITIES, PINNED_COUNTRIES
+    from duckdb_geography_spark.functions.data import (
+        PINNED_CITIES,
+        _countries_pdf,
+    )
 
     van = next(r for r in PINNED_CITIES if r[0] == "Vancouver")
     lon, lat = van[2].replace("POINT (", "").rstrip(")").split()
-    ger = next(r for r in PINNED_COUNTRIES if r[0] == "Germany")
-    import re as _re
-
-    nums = [float(x) for x in _re.findall(r"-?\d+\.?\d*", ger[2])]
-    xs = nums[0::2]
-    ys = nums[1::2]
-    gx0, gx1, gy0, gy1 = min(xs), max(xs), min(ys), max(ys)
+    kdf = _countries_pdf()
+    gwkt = kdf[kdf["name"] == "Germany"]["geog_wkt"].iloc[0]
+    pairs = [
+        (float(a), float(b))
+        for a, b in _re.findall(r"(-?\d+\.?\d*) (-?\d+\.?\d*)", gwkt)
+    ]
+    if pairs[0] == pairs[-1]:
+        pairs = pairs[:-1]  # drop the closing duplicate
+    vals = ", ".join(f"({i}, {x!r}, {y!r})" for i, (x, y) in enumerate(pairs))
+    n = len(pairs)
     area = f"""
-v AS (
-  SELECT cos(radians({gy0}))*cos(radians({gx0})) AS x0, cos(radians({gy0}))*sin(radians({gx0})) AS y0, sin(radians({gy0})) AS z0,
-         cos(radians({gy0}))*cos(radians({gx1})) AS x1, cos(radians({gy0}))*sin(radians({gx1})) AS y1, sin(radians({gy0})) AS z1,
-         cos(radians({gy1}))*cos(radians({gx1})) AS x2, cos(radians({gy1}))*sin(radians({gx1})) AS y2, sin(radians({gy1})) AS z2,
-         cos(radians({gy1}))*cos(radians({gx0})) AS x3, cos(radians({gy1}))*sin(radians({gx0})) AS y3, sin(radians({gy1})) AS z3),
-tri AS (
+gverts(i, lon, lat) AS (VALUES {vals}),
+gxyz AS (
+  SELECT i, cos(radians(lat))*cos(radians(lon)) AS x,
+         cos(radians(lat))*sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM gverts),
+gv0 AS (SELECT x, y, z FROM gxyz WHERE i = 0),
+gtri AS (
   SELECT 2*atan2(
-      x0*(y1*z2 - z1*y2) - y0*(x1*z2 - z1*x2) + z0*(x1*y2 - y1*x2),
-      1 + (x0*x1+y0*y1+z0*z1) + (x1*x2+y1*y2+z1*z2) + (x2*x0+y2*y0+z2*z0)) AS e1,
-    2*atan2(
-      x0*(y2*z3 - z2*y3) - y0*(x2*z3 - z2*x3) + z0*(x2*y3 - y2*x3),
-      1 + (x0*x2+y0*y2+z0*z2) + (x2*x3+y2*y3+z2*z3) + (x3*x0+y3*y0+z3*z0)) AS e2
-  FROM v)"""
+      ((b.y - gv0.y)*(c.z - gv0.z) - (b.z - gv0.z)*(c.y - gv0.y)) * gv0.x
+    + ((b.z - gv0.z)*(c.x - gv0.x) - (b.x - gv0.x)*(c.z - gv0.z)) * gv0.y
+    + ((b.x - gv0.x)*(c.y - gv0.y) - (b.y - gv0.y)*(c.x - gv0.x)) * gv0.z,
+      1 + (gv0.x*b.x + gv0.y*b.y + gv0.z*b.z)
+        + (b.x*c.x + b.y*c.y + b.z*c.z)
+        + (c.x*gv0.x + c.y*gv0.y + c.z*gv0.z)) AS e
+  FROM gxyz b JOIN gxyz c ON c.i = b.i + 1 CROSS JOIN gv0
+  WHERE b.i >= 1 AND c.i <= {n - 1}),
+ger AS (SELECT abs(sum(e)) AS sr FROM gtri)"""
     pts = f"SELECT 0 AS k, {lon} AS lon, {lat} AS lat"
     return f"""
 WITH RECURSIVE {synth.cellfromlonlat_cte(pts)},
@@ -3274,11 +3293,11 @@ SELECT 243 AS n_cities, 177 AS n_countries,
   round(degrees(atan2(c.y, c.x)), 6) AS van_x6,
   round(degrees(atan2(c.z, sqrt(c.x*c.x + c.y*c.y))), 6) AS van_y6,
   {van[1]} AS van_pop,
-  round(abs(t.e1 + t.e2) * 6371010.0 * 6371010.0 / 1e6, 3) AS germany_km2,
+  round(least(g.sr, 4*pi() - g.sr) * 6371010.0 * 6371010.0 / 1e6, 3) AS germany_km2,
   5 AS n_deps,
   'duckdb_geography_spark,numpy,pandas,pyarrow,pyspark' AS dep_names,
   's2' AS smoke
-FROM centers c, tri t
+FROM centers c, ger g
 """
 
 

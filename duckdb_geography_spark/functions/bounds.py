@@ -157,6 +157,12 @@ def s2_box_intersects(box1, box2) -> Column:
 
 def _s1_union(lo1, hi1, lo2, hi2):
     """S1Interval::Union in degrees (endpoints in (-180, 180])."""
+    # Full interval short-circuit BEFORE endpoint normalization —
+    # norm() would collapse [-180, 180] to the point interval
+    # [180, 180] and silently drop full-longitude operands (the
+    # Antarctica rect in the countries bounds_box_agg).
+    if (lo1, hi1) == (-180.0, 180.0) or (lo2, hi2) == (-180.0, 180.0):
+        return (-180.0, 180.0)
 
     def norm(p):
         return 180.0 if p == -180.0 else p

@@ -4,11 +4,15 @@ table functions, s2_data_city / s2_data_country scalar lookups,
 src/s2_dependencies.cpp — s2_dependencies).
 
 The reference bundles 243 city points and 177 country polygons
-(test/sql/geography/data.test:23-39). We pin the handful of rows the
-golden queries use (FIXTURES.md) with real coordinates and fill the
-remainder with deterministic synthetic rows so cardinalities and join
-shapes match; the data VALUES are our own, not copied from the
-reference's TSVs.
+(test/sql/geography/data.test:23-39). Since round 6 we bundle the
+SAME public-domain Natural Earth-derived TSVs (../data/cities.tsv,
+../data/countries.tsv — see ../data/README.md for provenance), so
+every dataset-wide reference golden (bounds_box_agg over all rows,
+the data.test TSV cross-check, box exporters over real boundaries)
+replays with the reference's exact decimals. Rounds 1-5 pinned only
+the 7 golden rows and synthesized the rest; PINNED_CITIES remains as
+the documented golden-row subset (now sourced from the TSV like
+everything else).
 """
 
 from __future__ import annotations
@@ -32,71 +36,50 @@ __all__ = [
 N_CITIES = 243
 N_COUNTRIES = 177
 
-#: pinned rows used by golden queries (FIXTURES.md S1)
+#: golden rows the pinned reference queries use (FIXTURES.md S1) —
+#: verified against the bundled TSVs at load (values from the same
+#: public Natural Earth source the reference bundles)
 PINNED_CITIES = [
     ("Vancouver", 603502, "POINT (-123.12359 49.2753624)"),
     ("Toronto", 3934421, "POINT (-79.4219667 43.7019257)"),
-    ("Berlin", 3644826, "POINT (13.4105 52.5244)"),
-    ("Chicago", 2695598, "POINT (-87.7520008 41.8319365)"),
+    ("Berlin", 3094014, "POINT (13.3996028 52.5237645)"),
+    ("Chicago", 2841952, "POINT (-87.7520008 41.8319365)"),
 ]
 
-#: pinned polygons: Germany-ish box, Fiji-ish antimeridian multipolygon,
-#: Canada-ish large polygon (shapes are synthetic, bounds follow FIXTURES.md)
-PINNED_COUNTRIES = [
-    (
-        "Germany",
-        "Europe",
-        "POLYGON ((5.988658 47.302488, 15.016996 47.302488, 15.016996 54.983104, 5.988658 54.983104, 5.988658 47.302488))",
-    ),
-    (
-        # the real boundary from the reference's PUBLIC countries
-        # fixture (Natural Earth data; also tests/test_region_coverer.py)
-        # so the covering / bounds / box-export goldens replay exactly
-        "Fiji",
-        "Oceania",
-        "MULTIPOLYGON (((178.3736 -17.33992, 178.12557 -17.50481, 177.67087 -17.38114, "
-        "177.28504 -17.72465, 177.38146 -18.16432, 177.93266 -18.28799, 178.55271 -18.15059, "
-        "178.71806 -17.62846, 178.3736 -17.33992)), ((-179.917369 -16.501783, "
-        "-179.79332 -16.020882, 180 -16.067133, 179.413509 -16.379054, 179.096609 -16.433984, "
-        "178.596839 -16.63915, 178.725059 -17.012042, 179.364143 -16.801354, 180 -16.555217, "
-        "-179.917369 -16.501783)))",
-    ),
-    (
-        "Canada",
-        "North America",
-        "POLYGON ((-141 60, -123.3 48.2, -95 48.9, -90 47, -84 41.7, -79 42.5, -75 44.5, -66 44, -52 47, -55 53, -61 58, -64 61, -78 62, -82 66, -75 72, -90 77, -110 78, -125 72, -141 69, -141 60))",
-    ),
-]
+def _load_tsv(name: str) -> pd.DataFrame:
+    # importlib.resources handles both the on-disk package dir and the
+    # addPyFile zip (the driver may resolve the package from the zip)
+    import io
+    from importlib.resources import files
 
-_CONTINENTS = ["Africa", "Asia", "Europe", "North America", "Oceania", "South America", "Antarctica"]
+    buf = files("duckdb_geography_spark").joinpath("data", name).read_bytes()
+    return pd.read_csv(io.BytesIO(buf), sep="\t")
+
+
+_CITIES_PDF = None
+_COUNTRIES_PDF = None
 
 
 def _cities_pdf() -> pd.DataFrame:
-    rows = list(PINNED_CITIES)
-    rng = np.random.default_rng(20260813)
-    while len(rows) < N_CITIES:
-        i = len(rows)
-        lon = round(float(rng.uniform(-179.9, 179.9)), 6)
-        lat = round(float(rng.uniform(-65, 70)), 6)
-        rows.append((f"City {i:03d}", int(rng.integers(10_000, 10_000_000)), f"POINT ({lon} {lat})"))
-    return pd.DataFrame(rows, columns=["name", "population", "geog_wkt"])
+    """The bundled Natural Earth city table (driver-side; see
+    ../data/README.md for provenance)."""
+    global _CITIES_PDF
+    if _CITIES_PDF is None:
+        pdf = _load_tsv("cities.tsv").rename(columns={"geog": "geog_wkt"})
+        assert len(pdf) == N_CITIES, f"cities.tsv has {len(pdf)} rows"
+        _CITIES_PDF = pdf
+    return _CITIES_PDF
 
 
 def _countries_pdf() -> pd.DataFrame:
-    rows = list(PINNED_COUNTRIES)
-    rng = np.random.default_rng(20260814)
-    while len(rows) < N_COUNTRIES:
-        i = len(rows)
-        lon0 = round(float(rng.uniform(-175, 160)), 4)
-        lat0 = round(float(rng.uniform(-60, 60)), 4)
-        w = round(float(rng.uniform(2, 15)), 4)
-        h = round(float(rng.uniform(2, 12)), 4)
-        wkt = (
-            f"POLYGON (({lon0} {lat0}, {lon0 + w} {lat0}, {lon0 + w} {lat0 + h}, "
-            f"{lon0} {lat0 + h}, {lon0} {lat0}))"
-        )
-        rows.append((f"Country {i:03d}", _CONTINENTS[i % len(_CONTINENTS)], wkt))
-    return pd.DataFrame(rows, columns=["name", "continent", "geog_wkt"])
+    """The bundled Natural Earth country table (driver-side; see
+    ../data/README.md for provenance)."""
+    global _COUNTRIES_PDF
+    if _COUNTRIES_PDF is None:
+        pdf = _load_tsv("countries.tsv").rename(columns={"geog": "geog_wkt"})
+        assert len(pdf) == N_COUNTRIES, f"countries.tsv has {len(pdf)} rows"
+        _COUNTRIES_PDF = pdf
+    return _COUNTRIES_PDF
 
 
 def s2_data_cities(spark: SparkSession) -> DataFrame:

@@ -793,10 +793,25 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
     geodesic edge bulge like S2's RectBounder."""
     if g.is_empty():
         return EMPTY_RECT
+    if g.kind == KIND_CELL_CENTER and g.raw_point is not None:
+        # The reference's published rect goldens for sample points are
+        # the RAW (pre-snap) coordinates through the standard S2
+        # point->LatLng conversion (bounds.test:74-80: the cities agg
+        # xmin is exactly -123.12359 and ymin carries the xyz-roundtrip
+        # tail -41.29998789999999 — both reproducible only from the
+        # raw parse coordinates, not the leaf-snapped center).
+        x = gd.lonlat_deg_to_xyz(g.raw_point[None, :])[0]
+        lng = math.degrees(math.atan2(x[1], x[0]))
+        lat1 = math.degrees(math.atan2(x[2], math.hypot(x[0], x[1])))
+        return (lng, lat1, lng, lat1)
     parts = parts_of(g)
     verts = _all_vertices(parts)
-    lat = np.degrees(np.arcsin(np.clip(verts[:, 2], -1, 1)))
-    lat_lo, lat_hi = float(np.min(lat)), float(np.max(lat))
+    # latitude tracked in RADIANS with S2LatLng::Latitude's exact form
+    # (atan2(z, sqrt(x^2+y^2))), converted to degrees only at the end —
+    # this reproduces the reference's published decimals vertex-for-
+    # vertex (e.g. Greenland's 83.64513000000002 in bounds.test:81)
+    lat_r = np.arctan2(verts[:, 2], np.sqrt(verts[:, 0] ** 2 + verts[:, 1] ** 2))
+    lat_lo_r, lat_hi_r = float(np.min(lat_r)), float(np.max(lat_r))
     # longitude interval: union of per-EDGE spans (S2 RectBounder's
     # FromPointPair semantics) — adding vertices one at a time extends
     # the interval the shortest way toward each new VERTEX, which can
@@ -808,11 +823,13 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
             span = _LngInterval.from_point(float(p))
             lng_int = span if lng_int is None else lng_int.union(span)
     # edge bulge: a geodesic edge can reach beyond its endpoint latitudes
+    has_edges = False
     for a0, a1 in parts.edges():
         for i in range(len(a0)):
-            lo, hi = _edge_lat_extremes(a0[i], a1[i])
-            lat_lo = min(lat_lo, lo)
-            lat_hi = max(lat_hi, hi)
+            has_edges = True
+            lo, hi = _edge_lat_extremes_rad(a0[i], a1[i])
+            lat_lo_r = min(lat_lo_r, lo)
+            lat_hi_r = max(lat_hi_r, hi)
             span = _LngInterval.from_point_pair(
                 math.degrees(math.atan2(a0[i][1], a0[i][0])),
                 math.degrees(math.atan2(a1[i][1], a1[i][0])),
@@ -820,6 +837,15 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
             lng_int = span if lng_int is None else lng_int.union(span)
     if lng_int is None:  # no points, no edges
         return EMPTY_RECT
+    if has_edges:
+        # S2 RectBounder's final error expansion: latitudes widen by
+        # 2*DBL_EPSILON radians (lat only, clamped to the poles) —
+        # the source of the +-2.5e-14-degree tails in the reference's
+        # polygon-bounds goldens (bounds.test:83-101)
+        eps2 = 2.0 * 2.220446049250313e-16
+        lat_lo_r = max(-0.5 * math.pi, lat_lo_r - eps2)
+        lat_hi_r = min(0.5 * math.pi, lat_hi_r + eps2)
+    lat_lo, lat_hi = math.degrees(lat_lo_r), math.degrees(lat_hi_r)
     # pole containment -> full rect behavior
     north = np.array([0.0, 0.0, 1.0])
     south = np.array([0.0, 0.0, -1.0])
@@ -833,9 +859,13 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
     return (lng_int.lo, lat_lo, lng_int.hi, lat_hi)
 
 
-def _edge_lat_extremes(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
-    la = math.degrees(math.asin(max(-1.0, min(1.0, a[2]))))
-    lb = math.degrees(math.asin(max(-1.0, min(1.0, b[2]))))
+def _edge_lat_extremes_rad(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
+    """Latitude extremes of edge a-b in RADIANS (S2LatLng's atan2 form)."""
+
+    def lat(v):
+        return math.atan2(v[2], math.sqrt(v[0] * v[0] + v[1] * v[1]))
+
+    la, lb = lat(a), lat(b)
     lo, hi = min(la, lb), max(la, lb)
     n = np.cross(a, b)
     nn = float(np.dot(n, n))
@@ -850,7 +880,7 @@ def _edge_lat_extremes(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
     apex = t / tn
     for cand in (apex, -apex):
         if _on_arc(cand, a, b, n):
-            lc = math.degrees(math.asin(max(-1.0, min(1.0, cand[2]))))
+            lc = lat(cand)
             lo, hi = min(lo, lc), max(hi, lc)
     return lo, hi
 

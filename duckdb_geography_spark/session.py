@@ -61,7 +61,10 @@ def attach(spark: SparkSession) -> SparkSession:
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(_PKG_DIR):
             for fn in files:
-                if fn.endswith(".py"):
+                # .tsv: the bundled sample-data tables (data/*.tsv) —
+                # driver-side loads may resolve the package from this
+                # zip (addPyFile prepends it to driver sys.path too)
+                if fn.endswith((".py", ".tsv")):
                     full = os.path.join(root, fn)
                     rel = os.path.join(_PKG_NAME, os.path.relpath(full, _PKG_DIR))
                     z.write(full, rel)

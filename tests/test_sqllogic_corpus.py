@@ -20,13 +20,11 @@ Documented deviations (each marked DEVIATION in its test):
   engine-specific — asserted by pattern, not value.
 - ``s2_dependencies()``: our dependencies are the Python stack, not
   abseil/s2geometry — cardinality + determinism asserted.
-- sample-data-wide goldens (bounds_box_agg over all 243/177 rows,
-  box exporters over country polygons): our sample tables pin the
-  reference's cardinalities and a handful of real rows (Vancouver,
-  Toronto, Berlin, Chicago, Germany, Fiji, Canada) but synthesize the
-  rest, and our synthetic 4-vertex country boxes have geodesic edge
-  bulge the reference's dense real boundaries don't — those goldens
-  are recomputed with closed-form math instead of pinned decimals.
+(Closed in round 6: the sample tables now bundle the reference's
+public Natural Earth TSVs verbatim, so every dataset-wide golden —
+bounds_box_agg over all 243/177 rows, the Germany/Fiji box
+exporters, France box_intersects, the data.test TSV cross-join —
+pins the reference's exact decimals below.)
 (Closed in round 6: the both-sides ``::S2_CELL_CENTER`` distance
 goldens — the reference's asymmetric snap-vs-raw evaluation,
 root-caused in tests/test_cellmath.py::TestSnappedDistanceGoldens —
@@ -530,46 +528,41 @@ class TestBounds:
             assert tuple(a) == tuple(s)
 
     def test_bounds_box_agg_cities(self, spark):
-        # bounds.test:72-80; DEVIATION: our cities are 4 pinned + 239
-        # synthetic rows, so the golden is recomputed: the agg equals
-        # the scalar boxes' union (all city points are exact-lon
-        # points, so the rect union is order-independent here only in
-        # membership terms — assert every city is inside the agg box)
+        # bounds.test:74-77 — the reference's exact decimals (real
+        # Natural Earth data since round 6; the lng interval wraps the
+        # antimeridian, and ymin carries the xyz-roundtrip tail)
         arr = spark.sql(
             "SELECT s2_bounds_box_agg(geog) AS b FROM s2_data_cities"
         ).collect()[0][0]
-        xmin, ymin, xmax, ymax = arr
-        rows = spark.sql(
-            "SELECT s2_x(geog) AS x, s2_y(geog) AS y FROM s2_data_cities"
-        ).collect()
-        eps = 1e-9
-        for r in rows:
-            assert ymin - eps <= r.y <= ymax + eps
-            if xmin <= xmax:
-                assert xmin - eps <= r.x <= xmax + eps
-            else:
-                assert r.x >= xmin - eps or r.x <= xmax + eps
+        assert list(arr) == [-123.12359, -41.29998789999999, -171.738642, 64.1500236]
+
+    def test_bounds_box_agg_countries(self, spark):
+        # bounds.test:79-82 — Antarctica makes the lng interval full;
+        # ymax is Greenland's north vertex + RectBounder's 2-eps-radian
+        # latitude expansion
+        arr = spark.sql(
+            "SELECT s2_bounds_box_agg(geog) AS b FROM s2_data_countries"
+        ).collect()[0][0]
+        assert list(arr) == [-180.0, -90.0, 180.0, 83.64513000000002]
 
     def test_box_exporters_germany(self, spark, q):
-        # bounds.test:83-91; DEVIATION: our synthetic Germany is a
-        # 4-vertex box, so its geodesic top edge bulges poleward —
-        # recompute ymax with the closed-form apex latitude instead of
-        # the reference's dense-boundary decimals
+        # bounds.test:83-91 — real dense boundary, reference decimals
         b = q("SELECT s2_bounds_box(s2_data_country('Germany'))")
-        gx0, gy0, gx1, gy1 = 5.988658, 47.302488, 15.016996, 54.983104
-        apex = math.degrees(
-            math.atan(math.tan(math.radians(gy1)) / math.cos(math.radians((gx1 - gx0) / 2)))
+        assert (b.xmin, b.ymin, b.xmax, b.ymax) == (
+            5.988658,
+            47.30248799999997,
+            15.016996000000002,
+            54.983104000000026,
         )
-        assert b.xmin == pytest.approx(gx0, abs=1e-9)
-        assert b.ymin == pytest.approx(gy0, abs=1e-9)
-        assert b.xmax == pytest.approx(gx1, abs=1e-9)
-        assert b.ymax == pytest.approx(apex, abs=1e-9)
         # the WKB export round-trips through the geography codec
         wkt = q(
             "SELECT s2_format(s2_geogfromwkb(s2_box_wkb("
             "s2_bounds_box(s2_data_country('Germany')))), 4)"
         )
-        assert wkt.startswith("POLYGON ((5.9887 47.3025, 15.017 47.3025, 15.017")
+        assert wkt == (
+            "POLYGON ((5.9887 47.3025, 15.017 47.3025, 15.017 54.9831, "
+            "5.9887 54.9831, 5.9887 47.3025))"
+        )
 
     def test_box_exporters_fiji(self, q):
         # bounds.test:93-96 — the antimeridian MULTIPOLYGON split
@@ -581,11 +574,14 @@ class TestBounds:
         assert "((-180 -18.288, -179.7933 -18.288" in wkt
 
     def test_box_struct(self, q):
-        # bounds.test:98-101; same synthetic-Germany deviation as above
+        # bounds.test:98-101 — the reference's exact decimals
         b = q("SELECT s2_box_struct(s2_bounds_box(s2_data_country('Germany')))")
-        assert b.xmin == pytest.approx(5.988658, abs=1e-9)
-        assert b.ymin == pytest.approx(47.302488, abs=1e-9)
-        assert b.xmax == pytest.approx(15.016996, abs=1e-9)
+        assert (b.xmin, b.ymin, b.xmax, b.ymax) == (
+            5.988658,
+            47.30248799999997,
+            15.016996000000002,
+            54.983104000000026,
+        )
 
     def test_box_constructor(self, q):
         # bounds.test:103-107
@@ -593,12 +589,11 @@ class TestBounds:
         assert (b.xmin, b.ymin, b.xmax, b.ymax) == (5.989, 47.302, 15.017, 54.983)
 
     def test_box_intersects(self, q):
-        # bounds.test:109-117; DEVIATION: no France in our sample set —
-        # a France-shaped literal box replaces s2_data_country('France')
+        # bounds.test:109-117 — real France since round 6
         assert (
             q(
                 "SELECT s2_box_intersects(s2_bounds_box(s2_data_country('Germany')), "
-                "s2_box(-4.8, 42.3, 8.2, 51.1))"
+                "s2_bounds_box(s2_data_country('France')))"
             )
             is True
         )
@@ -792,9 +787,9 @@ class TestData:
         assert q("SELECT s2_format(s2_data_city('Vancouver'), 6)") == "POINT (-123.12359 49.275362)"
 
     def test_cities_tsv_matches_table(self, spark, tmp_path):
-        # data.test:18-30 — our TSV is materialized from the package
-        # data (the reference ships data/cities.tsv; the parity claim
-        # is the same: TSV ingestion reproduces the sample table)
+        # data.test:18-30 — since round 6 the package bundles the SAME
+        # Natural Earth TSV the reference ships; materialize it to disk
+        # and check TSV ingestion reproduces the sample table row-for-row
         from duckdb_geography_spark.functions.data import _cities_pdf
         from duckdb_geography_spark.sources import read_tsv_geography
 
