@@ -1799,6 +1799,77 @@ ORDER BY c_custkey, s_suppkey
 """
 
 
+def _q_snap_cast_distance(spark, sf_dir):
+    """The round-6 S2_CELL_CENTER-cast surface: distances from
+    snap-cast customer points to a snap-cast Vancouver, which take the
+    reference's asymmetric snap(lhs)-vs-raw(rhs) evaluation
+    (functions/casts.py::s2_snap_to_cell_center, geo/ops.py::
+    _cast_pair_chord — golden 3354018.3501422736 pinned in
+    tests/test_r6_regressions.py). d_cast_mm uses the asymmetric
+    chord (lhs leaf center vs RAW Vancouver decimals); d_plain_mm is
+    the symmetric both-snapped chord — the oracle recomputes BOTH
+    from the inverse-Hilbert CTE and raw coordinates, so a regression
+    to idempotent-snap semantics hash-mismatches. Pure map-side: no
+    join, parse + cast + chord per row."""
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions.casts import s2_snap_to_cell_center
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+    from duckdb_geography_spark.functions.predicates import s2_distance
+
+    _prep(spark)
+    van_wkt = "POINT (-123.12359 49.2753624)"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            s2_geogfromtext(
+                F.concat(
+                    F.lit("POINT ("),
+                    synth.cust_lon().cast("string"),
+                    F.lit(" "),
+                    synth.cust_lat().cast("string"),
+                    F.lit(")"),
+                )
+            ).alias("cg"),
+            s2_geogfromtext(F.lit(van_wkt)).alias("vg"),
+        )
+    )
+    cast_c = s2_snap_to_cell_center(F.col("cg"))
+    cast_v = s2_snap_to_cell_center(F.col("vg"))
+    return cust.select(
+        "c_custkey",
+        F.round(s2_distance(cast_c, cast_v), 3).alias("d_cast_mm"),
+        F.round(s2_distance("cg", "vg"), 3).alias("d_plain_mm"),
+    ).orderBy("c_custkey")
+
+
+def _snap_cast_distance_sql():
+    from duckdb_geography_spark import synth
+
+    van_lon, van_lat = -123.12359, 49.2753624
+    cpts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, {synth.CUST_LAT_SQL} AS lat "
+        "FROM customer WHERE c_custkey % 10 = 0"
+    )
+    vpt = f"SELECT 0 AS k, {van_lon!r} AS lon, {van_lat!r} AS lat"
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_c")},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_c", "_c").lstrip()},
+{synth.cellfromlonlat_cte(vpt, "_v").lstrip()},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_v", "_v").lstrip()},
+vraw AS (
+  SELECT cos(radians({van_lat!r}))*cos(radians({van_lon!r})) AS x,
+         cos(radians({van_lat!r}))*sin(radians({van_lon!r})) AS y,
+         sin(radians({van_lat!r})) AS z)
+SELECT c.k AS c_custkey,
+  round(2.0 * asin(least(1.0, 0.5 * sqrt((c.x-r.x)*(c.x-r.x) + (c.y-r.y)*(c.y-r.y) + (c.z-r.z)*(c.z-r.z)))) * 6371010.0, 3) AS d_cast_mm,
+  round(2.0 * asin(least(1.0, 0.5 * sqrt((c.x-v.x)*(c.x-v.x) + (c.y-v.y)*(c.y-v.y) + (c.z-v.z)*(c.z-v.z)))) * 6371010.0, 3) AS d_plain_mm
+FROM centers_c c CROSS JOIN centers_v v CROSS JOIN vraw r
+ORDER BY c_custkey
+"""
+
+
 def _q_box_ops(spark, sf_dir):
     """S2_BOX family: construct/intersects/union per nation against a
     diagonally shifted box (overlapping, non-wrapping, so the SQL
@@ -5537,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6 window (50): new + r4-stale + r6-touched ---
         "jl_project": _q_jl_project,
+        "snap_cast_distance": _q_snap_cast_distance,
         "tpch_pricing_summary": _q_pricing_summary,
         "tpch_top_orders": _q_top_orders,
         "cell_bitops": _q_cell_bitops,
@@ -5585,8 +5657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "snapped_distance_pairs": _q_snapped_distance,
         "data_tables_gate": _q_data_tables_gate,
-        "geoarrow_roundtrip": _q_geoarrow_roundtrip,
         # --- past the 50-entry window: recorded green in r5 ---
+        "geoarrow_roundtrip": _q_geoarrow_roundtrip,
         "corpus_curation": _q_corpus_curation,
         "stream_neardup": _q_stream_neardup,
         "cell_coercion_gate": _q_cell_coercion_gate,
@@ -5730,6 +5802,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _CMS_SQL,
         "int8_topk": _INT8_TOPK_SQL,
         "jl_project": _JL_PROJECT_SQL,
+        "snap_cast_distance": _snap_cast_distance_sql(),
         "stream_hll": _STREAM_HLL_SQL,
         "bloom_prefilter": _BLOOM_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,

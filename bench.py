@@ -81,6 +81,7 @@ def main() -> None:
         "cms_counts",
         "int8_topk",
         "bloom_prefilter",
+        "zorder_layout",
     ]
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:
