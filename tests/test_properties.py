@@ -228,3 +228,53 @@ class TestCodecRoundtrips:
         dec1 = Geography.decode(enc1)
         enc2 = dec1.encode()
         assert enc1 == enc2
+
+
+class TestRawPointRetention:
+    """Round 6: the snapped point encoding carries the pre-snap
+    coordinates; the codec must round-trip them exactly, stay
+    decode-compatible with the legacy 12-byte form, and never let the
+    raw payload leak into the geometry surface (WKT stays snapped)."""
+
+    @given(st.tuples(lons, lats))
+    @settings(max_examples=150, deadline=None)
+    def test_raw_roundtrip_exact(self, pt):
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+
+        g = from_wkt(f"POINT ({pt[0]!r} {pt[1]!r})")
+        dec = Geography.decode(g.encode())
+        assert dec.raw_point is not None
+        assert (dec.raw_point[0], dec.raw_point[1]) == (pt[0], pt[1])
+        assert dec.cast_tag is False
+        # WKT output is the SNAPPED center, not the raw payload: the
+        # latitude moves by at most the ~1 cm leaf snap (longitude
+        # degrees inflate by 1/cos(lat) near the poles, so only lat is
+        # a stable proximity check)
+        snapped = dec.single_point()
+        assert abs(snapped[1] - pt[1]) < 1e-6
+
+    @given(st.tuples(lons, lats))
+    @settings(max_examples=50, deadline=None)
+    def test_legacy_12_byte_blob_still_decodes(self, pt):
+        import numpy as np
+
+        from duckdb_geography_spark.geo.geography import Geography
+        from duckdb_geography_spark.s2 import cellmath as cm
+
+        cid = cm.lonlat_to_cellid(np.array([pt[0]]), np.array([pt[1]]))[0]
+        legacy = Geography.cell_center(cid).encode()  # no raw -> 12 bytes
+        assert len(legacy) == 12
+        dec = Geography.decode(legacy)
+        assert dec.raw_point is None and dec.cast_tag is False
+        assert np.uint64(dec.cell_id) == cid
+
+    @given(st.tuples(lons, lats))
+    @settings(max_examples=50, deadline=None)
+    def test_cast_tag_survives_codec(self, pt):
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+
+        g = Geography.decode(from_wkt(f"POINT ({pt[0]!r} {pt[1]!r})").encode())
+        g.cast_tag = True
+        dec = Geography.decode(g.encode())
+        assert dec.cast_tag is True
+        assert dec.raw_point is not None
