@@ -123,3 +123,11 @@ def test_topk_is_takeordered_not_global_sort(plans):
     # top-k queries must plan a TakeOrderedAndProject, not a full sort
     for name in ("embedding_topk", "lsh_topk", "ivf_topk", "tpch_top_orders"):
         assert "TakeOrderedAndProject" in plans[name], name
+
+
+def test_snap_cast_distance_is_join_free(plans):
+    """The round-6 snap-cast gate is pure map-side per row (parse +
+    cast + chord) — any join appearing means the recipe regressed to
+    pairing through a shuffle."""
+    p = plans["snap_cast_distance"]
+    assert "Join" not in p
