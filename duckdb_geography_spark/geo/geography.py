@@ -319,6 +319,10 @@ class Geography:
     @staticmethod
     def decode(buf: bytes) -> "Geography":
         kind, flags, ncov = struct.unpack_from("<BBH", buf, 0)
+        if not (KIND_POINT <= kind <= KIND_PREPARED):
+            # validate BEFORE the empty-flag short circuit: a garbage
+            # buffer with bit0 of byte 1 set must not decode silently
+            raise GeographyError(f"unknown geography kind {kind}")
         off = 4 + 8 * ncov
         if kind == KIND_CELL_CENTER:
             if flags & FLAG_EMPTY or ncov == 0:

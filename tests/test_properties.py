@@ -278,3 +278,30 @@ class TestRawPointRetention:
         dec = Geography.decode(g.encode())
         assert dec.cast_tag is True
         assert dec.raw_point is not None
+
+
+class TestDecoderRobustness:
+    """Corrupt blobs must raise, never decode silently (round 6: a
+    garbage buffer with the empty bit set used to slip past kind
+    validation)."""
+
+    def test_garbage_kind_raises_even_with_empty_flag(self):
+        from duckdb_geography_spark.geo.geography import (
+            Geography,
+            GeographyError,
+        )
+
+        import pytest
+
+        with pytest.raises(GeographyError, match="unknown geography kind"):
+            Geography.decode(b"\xff" * 40)
+        with pytest.raises(GeographyError, match="unknown geography kind"):
+            Geography.decode(b"\x63\x01\x00\x00" + b"\x00" * 24)
+
+    def test_truncated_raw_payload_is_legacy_compatible(self):
+        from duckdb_geography_spark.geo.geography import Geography, from_wkt
+
+        full = from_wkt("POINT (10 20)").encode()
+        dec = Geography.decode(full[:20])  # header + cell id + half raw
+        assert dec.raw_point is None  # partial tail ignored, not misread
+        assert dec.cell_id == Geography.decode(full).cell_id
