@@ -5597,14 +5597,17 @@ FROM s ORDER BY score_q8 DESC, vec_id LIMIT 10
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records the first 50
-    # registered queries. Round-6 window: (a) jl_project — the one gate
-    # added this round (VERDICT r5 item 2); (b) the 46 gates whose latest
-    # driver record is the r4 window (VERDICT r5 item 3) so every gate's
-    # evidence is <=2 rounds old; (c) three r5-recorded gates this round's
-    # changes touch (snapped distance double-snap fix, real Natural-Earth
-    # data tables, geoarrow max_rows guard). The 47 gates recorded green
-    # in r5 ride past the window; scripts/check_oracle.py still verifies
-    # the full suite locally regardless of window.
+    # registered queries. Round-6 window: (a) the two gates added this
+    # round — jl_project (VERDICT r5 item 2) and snap_cast_distance
+    # (the asymmetric cell-center-cast distance); (b) the 46 gates
+    # whose latest driver record is the r4 window (VERDICT r5 item 3)
+    # so every gate's evidence is <=2 rounds old; (c) two r5-recorded
+    # gates this round's semantics touch (snapped_distance_pairs —
+    # codec change; data_tables_gate — real Natural Earth data). That
+    # fills all 50 slots; geoarrow_roundtrip (r5-recorded; the r6
+    # max_rows guard is pytest-covered) rides just past the window —
+    # its green run is in ORACLE_r6_evidence.txt with the full 98-gate
+    # local sweep.
     return {
         # --- r6 window (50): new + r4-stale + r6-touched ---
         "jl_project": _q_jl_project,

@@ -63,6 +63,19 @@ def s2_cell_center_to_geography(cell) -> Column:
     return _cell_center_to_geography_udf(_c(cell))
 
 
+def _require_single_point(g):
+    """The reference's GEOGRAPHY->S2_CELL_CENTER input contract
+    (src/s2_cell_ops.cpp:20-68): non-empty, exactly one point — shared
+    by the long cast and the geography-level snap cast so the two
+    surfaces cannot drift. Returns the point's lon/lat."""
+    p = g.single_point()
+    if p is None or g.all_lines() or g.all_polygons():
+        raise ValueError(
+            "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER"
+        )
+    return p
+
+
 @F.pandas_udf(LongType())
 def _geography_to_cell_center_udf(s: pd.Series) -> pd.Series:
     out = []
@@ -74,11 +87,7 @@ def _geography_to_cell_center_udf(s: pd.Series) -> pd.Series:
         if g.is_empty():
             out.append(-1)  # sentinel bit pattern
             continue
-        p = g.single_point()
-        if p is None or g.all_lines() or g.all_polygons():
-            raise ValueError(
-                "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER"
-            )
+        p = _require_single_point(g)
         cid = cm.lonlat_to_cellid([p[0]], [p[1]])[0]
         out.append(int(cm.to_signed(np.array([cid]))[0]))
     # object dtype: int64 cannot carry the Nones NULL inputs produce
@@ -108,12 +117,7 @@ def _snap_to_cell_center_udf(s: pd.Series) -> pd.Series:
             cid = np.uint64(g.cell_id)
             raw = g.raw_point
         else:
-            p = g.single_point()
-            if p is None or g.all_lines() or g.all_polygons():
-                raise ValueError(
-                    "Can't convert geography that is not empty nor a "
-                    "single point to S2_CELL_CENTER"
-                )
+            p = _require_single_point(g)
             cid = cm.lonlat_to_cellid([p[0]], [p[1]])[0]
             raw = np.array(p, dtype=np.float64)
         snapped = Geography.cell_center(cid)
@@ -137,7 +141,10 @@ def s2_snap_to_cell_center(geog) -> Column:
     reproduce the reference's published both-cast goldens exactly
     (3354018.3501422736, test/sql/geography/binary_index_ops.test:
     174-178, 201-205 — an asymmetric snap(lhs)-vs-raw(rhs)
-    evaluation, root-caused in tests/test_cellmath.py). Every other
+    evaluation, root-caused in tests/test_cellmath.py). NOTE this
+    makes the both-cast distance deliberately NON-COMMUTATIVE —
+    swapping the operands gives the reference's swap value
+    (3354018.3417240526), exactly as its goldens imply. Every other
     consumer sees the snapped center, identical to the long-cast
     chain. Errors on non-point input with the reference's message;
     empty -> POINT EMPTY."""
@@ -187,23 +194,19 @@ def _cell_geog_bytes(i: int) -> bytes:
     return _cell_polygon(cid).encode()
 
 
-def _cell_union_geog_bytes(ids: tuple) -> bytes:
-    """Encoded S2_CELL_UNION->GEOGRAPHY dissolved border for a tuple
-    of signed cell ids — shared by the explicit cast UDF and the
-    implicit coercion path. Unions above 64 cells are computed but
-    NOT cached: a count-bounded cache keyed by unbounded id tuples
-    holding arbitrarily large dissolved borders is the same
-    unbounded-memory pattern ByteBudgetLRU removed from geoudfs
-    (ADVICE r5); small unions (the broadcast/repeated-key hot path)
-    still memoize."""
-    if len(ids) > 64:
-        return _cell_union_geog_bytes_impl(ids)
-    return _cell_union_geog_bytes_small(ids)
-
-
-@lru_cache(maxsize=4096)
-def _cell_union_geog_bytes_small(ids: tuple) -> bytes:
-    return _cell_union_geog_bytes_impl(ids)
+#: byte-budget LRU for union->border results: keyed by the id tuple,
+#: charged by the ENCODED RESULT size (the key says nothing about how
+#: big the dissolved border is), so a broadcast join probing one huge
+#: union millions of times stays memoized while total worker memory
+#: stays bounded — the same discipline ByteBudgetLRU brought to the
+#: decode caches (ADVICE r5), without the r6 interim count cliff at
+#: 64 cells that left large unions entirely uncached.
+_cell_union_geog_bytes = U.ByteBudgetLRU(
+    32 * (1 << 20),
+    lambda v: len(v) + 512,
+    lambda ids: _cell_union_geog_bytes_impl(ids),
+    charge_value=True,
+)
 
 
 def _cell_union_geog_bytes_impl(ids: tuple) -> bytes:

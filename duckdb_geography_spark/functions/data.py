@@ -62,11 +62,22 @@ _COUNTRIES_PDF = None
 
 def _cities_pdf() -> pd.DataFrame:
     """The bundled Natural Earth city table (driver-side; see
-    ../data/README.md for provenance)."""
+    ../data/README.md for provenance). Validated at first load:
+    cardinality AND the PINNED_CITIES golden rows must match the TSV
+    byte-for-byte (explicit raise, not assert — must survive -O)."""
     global _CITIES_PDF
     if _CITIES_PDF is None:
         pdf = _load_tsv("cities.tsv").rename(columns={"geog": "geog_wkt"})
-        assert len(pdf) == N_CITIES, f"cities.tsv has {len(pdf)} rows"
+        if len(pdf) != N_CITIES:
+            raise ValueError(f"bundled cities.tsv has {len(pdf)} rows, expected {N_CITIES}")
+        by_name = pdf.set_index("name")
+        for name, pop, wkt in PINNED_CITIES:
+            row = by_name.loc[name]
+            if int(row["population"]) != pop or row["geog_wkt"] != wkt:
+                raise ValueError(
+                    f"bundled cities.tsv row for {name!r} does not match the "
+                    f"pinned golden ({row['population']}, {row['geog_wkt']!r})"
+                )
         _CITIES_PDF = pdf
     return _CITIES_PDF
 
@@ -77,7 +88,8 @@ def _countries_pdf() -> pd.DataFrame:
     global _COUNTRIES_PDF
     if _COUNTRIES_PDF is None:
         pdf = _load_tsv("countries.tsv").rename(columns={"geog": "geog_wkt"})
-        assert len(pdf) == N_COUNTRIES, f"countries.tsv has {len(pdf)} rows"
+        if len(pdf) != N_COUNTRIES:
+            raise ValueError(f"bundled countries.tsv has {len(pdf)} rows, expected {N_COUNTRIES}")
         _COUNTRIES_PDF = pdf
     return _COUNTRIES_PDF
 

@@ -37,10 +37,21 @@ class ByteBudgetLRU:
     per worker process, split across the decode and parts caches).
     """
 
-    def __init__(self, budget_bytes: int, cost_fn: Callable[[bytes], int], load: Callable[[bytes], object]):
+    def __init__(
+        self,
+        budget_bytes: int,
+        cost_fn: Callable[[bytes], int],
+        load: Callable[[bytes], object],
+        charge_value: bool = False,
+    ):
         self.budget = int(budget_bytes)
         self.cost_fn = cost_fn
         self.load = load
+        # charge_value=True: cost_fn is applied to the LOADED VALUE
+        # instead of the key — for caches whose key (e.g. a cell-id
+        # tuple) says nothing about the value's size (the dissolved
+        # border polygon it decodes to).
+        self.charge_value = charge_value
         self._d: OrderedDict = OrderedDict()
         self._cost: dict = {}
         self.total = 0
@@ -56,7 +67,7 @@ class ByteBudgetLRU:
             return val
         self.misses += 1
         val = self.load(buf)
-        cost = self.cost_fn(buf)
+        cost = self.cost_fn(val if self.charge_value else buf)
         if cost <= self.budget:  # oversized values are computed, not cached
             d[buf] = val
             self._cost[buf] = cost

@@ -793,13 +793,18 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
     geodesic edge bulge like S2's RectBounder."""
     if g.is_empty():
         return EMPTY_RECT
-    if g.kind == KIND_CELL_CENTER and g.raw_point is not None:
+    if g.kind == KIND_CELL_CENTER and g.raw_point is not None and not g.cast_tag:
         # The reference's published rect goldens for sample points are
         # the RAW (pre-snap) coordinates through the standard S2
         # point->LatLng conversion (bounds.test:74-80: the cities agg
         # xmin is exactly -123.12359 and ymin carries the xyz-roundtrip
         # tail -41.29998789999999 — both reproducible only from the
         # raw parse coordinates, not the leaf-snapped center).
+        # CAST-TAGGED values are excluded: the reference's
+        # ::S2_CELL_CENTER stores only the cell id, so its bounds are
+        # the snapped center — and s2_snap_to_cell_center documents
+        # that every consumer except the both-cast distance sees the
+        # snapped center.
         x = gd.lonlat_deg_to_xyz(g.raw_point[None, :])[0]
         lng = math.degrees(math.atan2(x[1], x[0]))
         lat1 = math.degrees(math.atan2(x[2], math.hypot(x[0], x[1])))

@@ -120,16 +120,21 @@ def to_geoarrow_table(
     re-materialize the type); the default stays field-metadata tagged,
     which every geoarrow reader — including parquet footers — already
     understands."""
+    wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
     if max_rows is not None:
-        n = df.limit(max_rows + 1).count()
-        if n > max_rows:
+        # single pass: collect at most max_rows+1 rows (driver memory
+        # still bounded) instead of a separate count job that would
+        # execute the upstream plan twice
+        pdf = wkb_df.limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
             raise ValueError(
                 f"to_geoarrow_table collects to the driver and the input "
                 f"has > max_rows={max_rows} rows; use write_geoparquet_dir "
                 "for distributed export, or pass max_rows=None to force"
             )
-    wkb_df = df.withColumn(geog_col, s2_aswkb(geog_col))
-    tbl = pa.Table.from_pandas(wkb_df.toPandas(), preserve_index=False)
+    else:
+        pdf = wkb_df.toPandas()
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
     if extension:
         idx = tbl.schema.get_field_index(geog_col)
         storage = tbl.column(idx).combine_chunks().cast(pa.binary())
@@ -255,11 +260,15 @@ def from_geoarrow_table(
     return df.withColumn(geog_col, s2_geogfromwkb(F.col(geog_col)))
 
 
-def write_geoparquet(df: DataFrame, path: str, geog_col: str = "geog") -> None:
+def write_geoparquet(
+    df: DataFrame, path: str, geog_col: str = "geog", max_rows: int = 1_000_000
+) -> None:
     """Collect ``df`` on the driver and write ONE geoparquet file with
     geoarrow.wkb column metadata — the single-file convenience twin of
-    :func:`write_geoparquet_dir` (which writes distributed)."""
-    pq.write_table(to_geoarrow_table(df, geog_col), path)
+    :func:`write_geoparquet_dir` (which writes distributed).
+    ``max_rows`` passes through to :func:`to_geoarrow_table`'s
+    driver-memory guard; ``max_rows=None`` opts out."""
+    pq.write_table(to_geoarrow_table(df, geog_col, max_rows=max_rows), path)
 
 
 def read_geoparquet(spark: SparkSession, path: str, geog_col: str = "geog") -> DataFrame:

@@ -49,7 +49,7 @@ class TestRewritePassCap:
 
 
 class TestCellUnionCacheBound:
-    def test_large_union_not_cached_small_union_cached(self):
+    def test_union_cache_is_byte_budgeted_and_memoizing(self):
         import numpy as np
 
         from duckdb_geography_spark.functions import casts as C
@@ -61,7 +61,7 @@ class TestCellUnionCacheBound:
                 .view(np.int64)[0]
             )
 
-        C._cell_union_geog_bytes_small.cache_clear()
+        C._cell_union_geog_bytes.cache_clear()
         small = tuple(leaf(float(i), 10.0) for i in range(2))
         big = tuple(
             leaf(float(i % 179), float(i % 79)) for i in range(65)
@@ -69,12 +69,25 @@ class TestCellUnionCacheBound:
         a = C._cell_union_geog_bytes(small)
         b = C._cell_union_geog_bytes(big)
         assert a and b
-        info = C._cell_union_geog_bytes_small.cache_info()
-        assert info.misses == 1  # only the small union entered the cache
-        # and repeated calls stay correct on both paths
+        # BOTH sizes memoize (no count cliff), bounded by a byte budget
         assert C._cell_union_geog_bytes(small) == a
         assert C._cell_union_geog_bytes(big) == b
-        assert C._cell_union_geog_bytes_small.cache_info().hits == 1
+        assert C._cell_union_geog_bytes.hits == 2
+        assert C._cell_union_geog_bytes.misses == 2
+        assert C._cell_union_geog_bytes.total <= C._cell_union_geog_bytes.budget
+
+    def test_byte_budget_evicts_by_value_size(self):
+        from duckdb_geography_spark.functions.geoudfs import ByteBudgetLRU
+
+        cache = ByteBudgetLRU(
+            100, lambda v: len(v), lambda k: b"x" * (40 * k), charge_value=True
+        )
+        cache(1)  # 40 bytes
+        cache(2)  # 80 -> evicts key 1 (total would be 120 > 100)
+        assert len(cache) == 1
+        cache(3)  # oversized? 120 > budget: computed, not cached
+        assert len(cache) <= 2
+        assert cache(1) == b"x" * 40  # still correct after eviction
 
 
 # ---------------------------------------------------------------------------
@@ -165,6 +178,34 @@ class TestSnapCastDistance:
         e = "s2_snap_to_cell_center(s2_geogfromtext('POINT EMPTY'))"
         assert q(f"SELECT s2_astext({e})") == "POINT EMPTY"
         assert q(f"SELECT s2_distance({e}, {e})") == float("inf")
+
+    def test_cast_value_bounds_are_snapped_like_long_chain(self, q):
+        # The raw-bounds path is for PARSE-produced values only: the
+        # reference's ::S2_CELL_CENTER stores just the cell id, so a
+        # cast value's rect is the snapped center — identical to the
+        # bare-long chain (code-review r6 finding).
+        snap = "s2_bounds_box(s2_snap_to_cell_center(s2_data_city('Vancouver')))"
+        chain = (
+            "s2_bounds_box(s2_cell_center_to_geography("
+            "s2_geography_to_cell_center(s2_data_city('Vancouver'))))"
+        )
+        a, b = q(f"SELECT {snap}"), q(f"SELECT {chain}")
+        assert tuple(a) == tuple(b)
+        # and it is NOT the raw-coordinate rect the plain city reports
+        raw = q("SELECT s2_bounds_box(s2_data_city('Vancouver'))")
+        assert raw.xmin == -123.12359 and a.xmin != raw.xmin
+
+    def test_write_geoparquet_max_rows_passthrough(self, spark, tmp_path):
+        import pytest
+
+        from duckdb_geography_spark import geoarrow as GA
+        from duckdb_geography_spark.functions.data import s2_data_cities
+
+        cities = s2_data_cities(spark)
+        with pytest.raises(ValueError, match="max_rows"):
+            GA.write_geoparquet(cities, str(tmp_path / "a.parquet"), max_rows=5)
+        GA.write_geoparquet(cities, str(tmp_path / "b.parquet"), max_rows=None)
+        assert GA.read_geoparquet(spark, str(tmp_path / "b.parquet")).count() == 243
 
 
 # ---------------------------------------------------------------------------
