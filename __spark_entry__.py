@@ -4409,6 +4409,56 @@ def _q_weighted_stratified(spark, sf_dir):
     )
 
 
+def _q_token_budget(spark, sf_dir):
+    """Per-stratum fill-to-TOKEN-budget sampling
+    (llm/prep.py::sample_to_token_budget): Efraimidis-Spirakis-ranked
+    documents kept while the running token total is under the budget
+    — the "N tokens of web, M of code" corpus-mixing primitive. One
+    shuffle on the stratum key; the crossing document is included
+    (overshoot bounded by one doc). The oracle replays the exact
+    integer priority and the ROWS UNBOUNDED PRECEDING AND 1 PRECEDING
+    running sum."""
+    from duckdb_geography_spark.llm.prep import sample_to_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+        )
+    )
+    d = docs.select("doc_id", "source", wc.alias("wc")).where(F.col("wc") > 0)
+    out = sample_to_token_budget(
+        d, "wc", 600, strata_col="source", key_col="doc_id", salt="tb"
+    )
+    return out.select(
+        "doc_id", "source", "wc", "tokens_before", "__priority"
+    ).orderBy("doc_id")
+
+
+_TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS wc
+  FROM documents),
+d2 AS (SELECT * FROM d WHERE wc > 0),
+p AS (
+  SELECT doc_id, source, wc,
+    round((round(ln(CAST(greatest(CAST(concat('0x',
+        substr(md5(concat('tb', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+        1) AS DOUBLE)) * 1000000) - 41588831) / 1, 9) AS __priority
+  FROM d2),
+c AS (
+  SELECT doc_id, source, wc, __priority,
+    coalesce(SUM(wc) OVER (
+      PARTITION BY source ORDER BY __priority DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(wc AS INT) AS wc,
+       CAST(tokens_before AS BIGINT) AS tokens_before, __priority
+FROM c WHERE tokens_before < 600 ORDER BY doc_id
+"""
+
+
 _WEIGHTED_STRATIFIED_SQL = """
 WITH h AS (
   SELECT doc_id, lang,
@@ -5678,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "zorder_layout": _q_zorder_layout,
         "weighted_stratified": _q_weighted_stratified,
+        "token_budget_sample": _q_token_budget,
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
         "haversine_pairs": _q_haversine_pairs,
@@ -5811,4 +5862,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "weighted_stratified": _WEIGHTED_STRATIFIED_SQL,
+        "token_budget_sample": _TOKEN_BUDGET_SQL,
     }

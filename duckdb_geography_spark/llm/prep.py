@@ -20,6 +20,7 @@ __all__ = [
     "stratified_sample",
     "weighted_sample",
     "weighted_sample_per_group",
+    "sample_to_token_budget",
     "weighted_mix",
     "dedup_lines",
     "pack_chunks",
@@ -214,6 +215,70 @@ def stratified_sample(
         .where(F.col("__rk") <= int(n_per_stratum))
         .drop("__rk")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    token_col,
+    budget_tokens: int,
+    strata_col,
+    weight_col=None,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fill each stratum (domain, language, source) with a random
+    document sample up to a TOKEN budget — the corpus-mixing
+    primitive when the recipe says "20B tokens of web, 5B of code"
+    rather than a document count.
+
+    Per stratum, rows are ranked by the same exact-integer
+    Efraimidis-Spirakis priority as :func:`weighted_sample`
+    (``weight_col=None`` draws uniformly; a positive-integer weight
+    biases selection, e.g. a quality score), and a row is kept while
+    the tokens accumulated BEFORE it are still under the budget — so
+    the budget is always reached (the crossing document is included,
+    overshooting by at most one document) unless the stratum runs
+    out. Deterministic, salt-decorrelated, replayable in any SQL
+    engine as ``SUM(tokens) OVER (PARTITION BY stratum ORDER BY
+    priority DESC, key ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING) < budget``.
+
+    Scale shape: ONE shuffle on the stratum key; each stratum sorts
+    within its hash partition (strata are bounded in practice —
+    domains/languages — which is what keeps the running sum
+    scale-safe; an unbounded single stratum would serialize into one
+    task, so split giant strata first). Token counts must be
+    POSITIVE — a NULL/non-positive count fails loudly rather than
+    silently stretching the budget.
+
+    Returns the sampled rows plus ``__priority`` and
+    ``tokens_before`` (the running total excluding the row).
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    t = _c(token_col).cast("long")
+    tok = F.when(
+        t.isNull() | (t <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit("sample_to_token_budget: non-positive token count for key "),
+                _c(key_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(t)
+    wcol = weight_col if weight_col is not None else F.lit(1)
+    out = df.withColumn("__priority", _es_priority(wcol, key_col, salt))
+    w = (
+        Window.partitionBy(_c(strata_col))
+        .orderBy(F.desc("__priority"), _c(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "tokens_before", F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long"))
+    )
+    return out.where(F.col("tokens_before") < int(budget_tokens))
 
 
 def weighted_mix(

@@ -1169,6 +1169,66 @@ def test_char_entropy_forms_agree_and_match_python(spark):
     assert agg_form[5] > agg_form[4] > 1.5    # blob > prose > filler
 
 
+def test_sample_to_token_budget(spark):
+    """Per-stratum fill-to-token-budget: the budget is reached (or the
+    stratum exhausted), overshoot is bounded by one document, the draw
+    replays the exact integer priority, and non-positive token counts
+    fail loudly."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from duckdb_geography_spark.llm import prep
+
+    rows = [(i, ["web", "code"][i % 2], 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tok long")
+    out = prep.sample_to_token_budget(
+        df, "tok", 300, strata_col="src", key_col="doc_id", salt="s1"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r)
+    for src, kept in by.items():
+        total = sum(r["tok"] for r in kept)
+        # budget reached, overshoot bounded by the crossing doc
+        assert total >= 300
+        assert total - max(r["tok"] for r in kept) < 300
+        # tokens_before is the running total excluding the row
+        ordered = sorted(kept, key=lambda r: r["tokens_before"])
+        run = 0
+        for r in ordered:
+            assert r["tokens_before"] == run
+            run += r["tok"]
+    # exact replay of the selection
+    ln_max = round(math.log(float(1 << 60)) * 1_000_000)
+
+    def prio(doc_id):
+        h = int(hashlib.md5(f"s1{doc_id}".encode()).hexdigest()[:15], 16)
+        return round((round(math.log(max(h, 1)) * 1_000_000) - ln_max) / 1, 9)
+
+    for src in ("web", "code"):
+        pop = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (-prio(r[0]), r[0])
+        )
+        run, expect = 0, []
+        for did, _, tok in pop:
+            if run >= 300:
+                break
+            expect.append(did)
+            run += tok
+        assert sorted(r["doc_id"] for r in by[src]) == sorted(expect), src
+    # stratum smaller than the budget keeps everything
+    tiny = spark.createDataFrame([(1, "x", 5), (2, "x", 5)], "doc_id long, src string, tok long")
+    assert prep.sample_to_token_budget(tiny, "tok", 10_000, strata_col="src").count() == 2
+    # loud contract on bad token counts
+    bad = spark.createDataFrame([(1, "x", 0)], "doc_id long, src string, tok long")
+    with _pytest.raises(Exception, match="non-positive token count"):
+        prep.sample_to_token_budget(bad, "tok", 10, strata_col="src").collect()
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        prep.sample_to_token_budget(df, "tok", 0, strata_col="src")
+
+
 def test_weighted_mix_rates_and_determinism(spark):
     from duckdb_geography_spark.llm.prep import weighted_mix
 
