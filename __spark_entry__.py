@@ -4435,6 +4435,51 @@ def _q_token_budget(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_token_budget_global(spark, sf_dir):
+    """GLOBAL fill-to-token-budget sampling WITHOUT a global sort
+    (llm/prep.py::sample_to_token_budget_global): a bounded
+    priority-bucket histogram finds the crossing bucket, buckets
+    before it keep whole, and only the boundary sliver runs the exact
+    running-sum window — selection provably identical to the full
+    sort, which is exactly how the DuckDB oracle replays it."""
+    from duckdb_geography_spark.llm.prep import sample_to_token_budget_global
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+        )
+    )
+    d = docs.select("doc_id", wc.alias("wc")).where(F.col("wc") > 0)
+    out = sample_to_token_budget_global(
+        d, "wc", 6_000, key_col="doc_id", salt="tg"
+    )
+    return out.select("doc_id", "wc", "__priority").orderBy("doc_id")
+
+
+_TOKEN_BUDGET_GLOBAL_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS wc
+  FROM documents),
+d2 AS (SELECT * FROM d WHERE wc > 0),
+p AS (
+  SELECT doc_id, wc,
+    round((round(ln(CAST(greatest(CAST(concat('0x',
+        substr(md5(concat('tg', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+        1) AS DOUBLE)) * 1000000) - 41588831) / 1, 9) AS __priority
+  FROM d2),
+c AS (
+  SELECT doc_id, wc, __priority,
+    coalesce(SUM(wc) OVER (
+      ORDER BY __priority DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(wc AS INT) AS wc, __priority
+FROM c WHERE tokens_before < 6000 ORDER BY doc_id
+"""
+
+
 _TOKEN_BUDGET_SQL = """
 WITH d AS (
   SELECT doc_id, source,
@@ -5729,6 +5774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "weighted_stratified": _q_weighted_stratified,
         "token_budget_sample": _q_token_budget,
+        "token_budget_global": _q_token_budget_global,
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
         "haversine_pairs": _q_haversine_pairs,
@@ -5863,4 +5909,5 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_layout_sql(),
         "weighted_stratified": _WEIGHTED_STRATIFIED_SQL,
         "token_budget_sample": _TOKEN_BUDGET_SQL,
+        "token_budget_global": _TOKEN_BUDGET_GLOBAL_SQL,
     }

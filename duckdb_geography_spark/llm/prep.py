@@ -21,6 +21,7 @@ __all__ = [
     "weighted_sample",
     "weighted_sample_per_group",
     "sample_to_token_budget",
+    "sample_to_token_budget_global",
     "weighted_mix",
     "dedup_lines",
     "pack_chunks",
@@ -279,6 +280,106 @@ def sample_to_token_budget(
         "tokens_before", F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long"))
     )
     return out.where(F.col("tokens_before") < int(budget_tokens))
+
+
+def sample_to_token_budget_global(
+    df: DataFrame,
+    token_col,
+    budget_tokens: int,
+    weight_col=None,
+    key_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """GLOBAL fill-to-token-budget sampling WITHOUT a global sort —
+    the scale shape of :func:`sample_to_token_budget` when the budget
+    spans the whole corpus rather than per-stratum quotas.
+
+    A naive implementation sorts every row by priority (one task at
+    the end of a range shuffle — dead at 100 TB). Instead:
+
+    1. histogram pass: rows map to ``n_buckets`` priority buckets
+       (monotone in priority), and a map-side-combinable sum gives
+       per-bucket token totals — the driver sees at most
+       ``n_buckets`` tiny rows;
+    2. the driver walks buckets in priority order to find the
+       CROSSING bucket ``c*`` (the first whose cumulative total
+       reaches the budget) and the exact token count consumed before
+       it;
+    3. final plan: buckets before ``c*`` are kept whole (a map-side
+       filter), buckets after are dropped, and ONLY the boundary
+       bucket's rows — a ``~corpus/n_buckets`` sliver — run the
+       exact Efraimidis-Spirakis running-sum window.
+
+    The selection is IDENTICAL to the full-sort semantics (buckets
+    are monotone in priority and equal priorities share a bucket, so
+    the bucket walk and the within-bucket window compose to the
+    global order) — the DuckDB oracle replays it with a plain global
+    running sum. Two bounded shuffles + one sliver-sized window; the
+    histogram action runs eagerly at call time.
+
+    Returns the sampled rows (``__priority`` retained,
+    ``tokens_before`` only exact within the boundary bucket — pass
+    through :func:`sample_to_token_budget` with a constant stratum if
+    exact global running totals matter more than scale).
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    if n_buckets < 16:
+        raise ValueError("n_buckets must be >= 16")
+    t = _c(token_col).cast("long")
+    tok = F.when(
+        t.isNull() | (t <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit("sample_to_token_budget_global: non-positive token count for key "),
+                _c(key_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(t)
+    wcol = weight_col if weight_col is not None else F.lit(1)
+    # priority is in [-43, 0] for integer weights >= 1 (ln(2^60) nats
+    # over the smallest weight); bucket 0 = highest priority
+    scale = float(n_buckets) / 43.0
+    pr = df.withColumn("__priority", _es_priority(wcol, key_col, salt))
+    pr = pr.withColumn(
+        "__b",
+        F.least(
+            F.lit(int(n_buckets) - 1),
+            F.floor(-F.col("__priority") * F.lit(scale)).cast("long"),
+        ),
+    ).withColumn("__tok", tok)
+    hist = {
+        r["__b"]: r["s"]
+        for r in pr.groupBy("__b").agg(F.sum("__tok").alias("s")).collect()
+    }
+    cum = 0
+    crossing = None
+    for b in sorted(hist):
+        if cum + hist[b] >= budget_tokens:
+            crossing = b
+            break
+        cum += hist[b]
+    if crossing is None:
+        return pr.drop("__b", "__tok")  # corpus smaller than the budget
+    whole = pr.where(F.col("__b") < int(crossing))
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.desc("__priority"), _c(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        pr.where(F.col("__b") == int(crossing))
+        .withColumn(
+            "__before",
+            F.lit(int(cum)) + F.coalesce(F.sum("__tok").over(w), F.lit(0).cast("long")),
+        )
+        .where(F.col("__before") < int(budget_tokens))
+        .drop("__before")
+    )
+    return whole.unionByName(boundary).drop("__b", "__tok")
 
 
 def weighted_mix(

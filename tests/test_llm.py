@@ -1229,6 +1229,42 @@ def test_sample_to_token_budget(spark):
         prep.sample_to_token_budget(df, "tok", 0, strata_col="src")
 
 
+def test_sample_to_token_budget_global(spark):
+    """The histogram-cutoff global sampler selects EXACTLY the rows a
+    full priority sort would, at several budgets including bucket-edge
+    cases; tiny corpora keep everything."""
+    import hashlib
+    import math
+
+    from duckdb_geography_spark.llm import prep
+
+    rows = [(i, 10 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    ln_max = round(math.log(float(1 << 60)) * 1_000_000)
+
+    def prio(d):
+        h = int(hashlib.md5(f"g{d}".encode()).hexdigest()[:15], 16)
+        return round((round(math.log(max(h, 1)) * 1_000_000) - ln_max) / 1, 9)
+
+    pop = sorted(rows, key=lambda r: (-prio(r[0]), r[0]))
+    for budget in (37, 500, 2111):
+        got = prep.sample_to_token_budget_global(
+            df, "tok", budget, key_col="doc_id", salt="g"
+        ).collect()
+        run, expect = 0, []
+        for d, tk in pop:
+            if run >= budget:
+                break
+            expect.append(d)
+            run += tk
+        assert sorted(r["doc_id"] for r in got) == sorted(expect), budget
+    # corpus under budget -> keep all
+    assert (
+        prep.sample_to_token_budget_global(df, "tok", 10**9, salt="g").count()
+        == 400
+    )
+
+
 def test_weighted_mix_rates_and_determinism(spark):
     from duckdb_geography_spark.llm.prep import weighted_mix
 
