@@ -5700,9 +5700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates this round's semantics touch (snapped_distance_pairs —
     # codec change; data_tables_gate — real Natural Earth data). That
     # fills all 50 slots; geoarrow_roundtrip (r5-recorded; the r6
-    # max_rows guard is pytest-covered) rides just past the window —
-    # its green run is in ORACLE_r6_evidence.txt with the full 98-gate
-    # local sweep.
+    # max_rows guard is pytest-covered) and the two token-budget
+    # samplers added late in r6 (token_budget_sample/_global — FIRST
+    # in the r7 window, never yet driver-recorded) ride just past the
+    # window; their green runs are in ORACLE_r6_evidence.txt with the
+    # full local sweep.
     return {
         # --- r6 window (50): new + r4-stale + r6-touched ---
         "jl_project": _q_jl_project,
