@@ -171,10 +171,20 @@ def bm25_scores(
     if not terms:
         raise ValueError("query_terms must be non-empty")
     ck, c0, c1 = _bm25_constants(k1, b)
-    tf = term_frequencies(df, text_col=text_col, key_col=key_col).where(
+    # Scan-level prefilter: substring containment is a strict SUPERSET
+    # of whitespace-token membership, so tokenize-explode only runs on
+    # documents that can possibly post — for selective query terms
+    # this removes the bulk of the explode+shuffle (the corpus
+    # constants below still aggregate over ALL documents, where only
+    # the cheap map-side size(words) is computed).
+    contains_any = F.col(text_col).contains(terms[0])
+    for t in terms[1:]:
+        contains_any = contains_any | F.col(text_col).contains(t)
+    cand = df.where(F.col(text_col).isNotNull() & contains_any)
+    tf = term_frequencies(cand, text_col=text_col, key_col=key_col).where(
         F.col("word").isin(terms)
     )
-    dfs = document_frequencies(df, text_col=text_col, key_col=key_col).where(
+    dfs = document_frequencies(cand, text_col=text_col, key_col=key_col).where(
         F.col("word").isin(terms)
     )
     totals = (
