@@ -5518,6 +5518,65 @@ ORDER BY vec_id, r
 """
 
 
+def _q_jl_topk(spark, sf_dir):
+    """JL-shortlist ANN (llm/similarity.py::jl_topk): projected-dot
+    top-(shortlist*k) via the md5 sign matrix, exact-cosine rerank of
+    just the shortlist. Both stages TakeOrderedAndProject; the oracle
+    replays projection, shortlist, and rerank in SQL with the same
+    deterministic signs and 6-dp rounding."""
+    from duckdb_geography_spark.llm.similarity import jl_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return jl_topk(
+        emb.where(F.col("vec_id") != 0),
+        [float(x) for x in q],
+        k=10,
+        out_dim=16,
+        seed=7,
+        shortlist=4,
+    )
+
+
+def _jl_topk_sql():
+    import numpy as _np
+
+    import pandas as _pd
+
+    from duckdb_geography_spark.llm.similarity import jl_signs
+
+    pdf = _pd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = _np.asarray(
+        [float(x) for x in pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]],
+        dtype=_np.float64,
+    )
+    S = jl_signs(64, 16, 7)
+    qp = S @ q
+    # projected dot per row: sum over out-dims of proj[r] * qp[r],
+    # where proj[r] folds the sign row left-to-right like _dots_expr
+    sign_rows = []
+    for r in range(16):
+        arr = ", ".join(repr(float(x)) for x in S[r])
+        sign_rows.append(
+            f"list_sum(list_transform(generate_series(1, 64), i -> dv[i] * (ARRAY[{arr}])[i])) * {float(qp[r])!r}"
+        )
+    pdot = " + ".join(f"({t})" for t in sign_rows)
+    qlit = ", ".join(repr(float(x)) for x in q)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings WHERE vec_id <> 0),
+ps AS (SELECT vec_id, dv, round({pdot}, 6) AS pscore FROM v),
+short AS (SELECT vec_id, dv FROM ps ORDER BY pscore DESC, vec_id LIMIT 40),
+scored AS (
+  SELECT vec_id,
+    round(list_sum(list_transform(generate_series(1, 64), i -> dv[i] * (ARRAY[{qlit}])[i]))
+      / (sqrt(list_sum(list_transform(dv, x -> x * x))) * sqrt({float(_np.dot(q, q))!r})), 6) AS score
+  FROM short)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_stream_hll(spark, sf_dir):
     """STREAMING HyperLogLog: windowed register table (bounded
     windows x 256 rows of state vs unbounded exact-distinct key
@@ -5777,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_stratified": _q_weighted_stratified,
         "token_budget_sample": _q_token_budget,
         "token_budget_global": _q_token_budget_global,
+        "jl_topk": _q_jl_topk,
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
         "haversine_pairs": _q_haversine_pairs,
@@ -5912,4 +5972,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_stratified": _WEIGHTED_STRATIFIED_SQL,
         "token_budget_sample": _TOKEN_BUDGET_SQL,
         "token_budget_global": _TOKEN_BUDGET_GLOBAL_SQL,
+        "jl_topk": _jl_topk_sql(),
     }

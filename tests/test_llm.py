@@ -1169,6 +1169,45 @@ def test_char_entropy_forms_agree_and_match_python(spark):
     assert agg_form[5] > agg_form[4] > 1.5    # blob > prose > filler
 
 
+def test_jl_projection_and_topk(spark):
+    """jl_signs is a deterministic md5 ±1 matrix; jl_project equals the
+    numpy product exactly; jl_topk recovers a PLANTED near-duplicate
+    (the JL contract: neighbors with a real score gap survive the
+    projection shortlist)."""
+    import numpy as np
+
+    from duckdb_geography_spark.llm.similarity import (
+        cosine_topk,
+        jl_project,
+        jl_signs,
+        jl_topk,
+    )
+
+    S = jl_signs(8, 4, seed=3)
+    assert S.shape == (4, 8) and set(np.unique(S)) == {-1.0, 1.0}
+    assert np.array_equal(S, jl_signs(8, 4, seed=3))  # deterministic
+    assert not np.array_equal(S, jl_signs(8, 4, seed=4))
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    q = vecs[7] + rng.normal(scale=0.01, size=8)  # planted neighbor: id 7
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    p = jl_project(df, in_dim=8, out_dim=4, seed=3).orderBy("vec_id").collect()
+    want = (vecs @ S.T) / np.sqrt(4.0)
+    got = np.array([r["proj"] for r in p])
+    assert np.allclose(got, want, atol=1e-12)
+
+    top = jl_topk(df, [float(x) for x in q], k=3, out_dim=4, seed=3, shortlist=4)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids[0] == 7  # the planted near-dup survives the shortlist
+    # and the rerank scores are the EXACT cosine scores
+    exact = {r["vec_id"]: r["score"] for r in cosine_topk(df, [float(x) for x in q], k=60).collect()}
+    for r in top.collect():
+        assert r["score"] == exact[r["vec_id"]]
+
+
 def test_sample_to_token_budget(spark):
     """Per-stratum fill-to-token-budget: the budget is reached (or the
     stratum exhausted), overshoot is bounded by one document, the draw
