@@ -67,6 +67,10 @@ _PURE_JVM = [
     "tfidf_vectors",
     "dup_spans",
     "dsir_weights",
+    "jl_project",
+    "jl_topk",
+    "token_budget_sample",
+    "token_budget_global",
 ]
 
 #: queries promised to run their vector math as Arrow-batched numpy
@@ -121,7 +125,7 @@ def test_broadcast_joins_where_dims_are_small(plans):
 
 def test_topk_is_takeordered_not_global_sort(plans):
     # top-k queries must plan a TakeOrderedAndProject, not a full sort
-    for name in ("embedding_topk", "lsh_topk", "ivf_topk", "tpch_top_orders"):
+    for name in ("embedding_topk", "lsh_topk", "ivf_topk", "tpch_top_orders", "jl_topk"):
         assert "TakeOrderedAndProject" in plans[name], name
 
 
