@@ -82,6 +82,9 @@ def main() -> None:
         "int8_topk",
         "bloom_prefilter",
         "zorder_layout",
+        "token_budget_sample",
+        "token_budget_global",
+        "jl_topk",
     ]
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:
