@@ -581,3 +581,82 @@ def windowed_hll_registers(
         .agg(F.max(rho).alias("m_rho"))
         .select(F.col("w.start").alias("window_start"), "reg", "m_rho")
     )
+
+
+_TOKEN_BUDGET_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("wc", LongType()),
+        StructField("tokens_before", LongType()),
+    ]
+)
+
+_TOKEN_BUDGET_STATE = StructType([StructField("consumed", LongType())])
+
+
+def stream_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "source",
+    token_col: str = "wc",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming ADMISSION CONTROL to a per-stratum token budget: as
+    documents arrive, each stratum (source, language) admits them
+    until its cumulative token count reaches ``budget_tokens``, then
+    drops everything after — the collection-side twin of the batch
+    :func:`~..llm.prep.sample_to_token_budget` ("stop pulling from
+    this crawl once we have N tokens of it").
+
+    State per stratum is ONE long (tokens consumed so far) held
+    forever by design — bounded by the stratum count, not the stream.
+    Admission is ARRIVAL-ordered; within a micro-batch rows admit in
+    ``key_col`` order so a replay of the same files in the same batch
+    order reproduces the admitted set exactly (the gate's batch
+    running-sum oracle relies on this). The crossing document is
+    admitted (same overshoot-by-one contract as the batch op).
+    Rows with NULL/non-positive token counts fail the stream loudly.
+    """
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    budget = int(budget_tokens)
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs)).sort_values(key_col)
+        toks = rows[token_col].to_numpy()
+        if len(toks) and (pd.isna(toks).any() or (toks <= 0).any()):
+            raise ValueError(
+                f"stream_token_budget: non-positive token count in stratum {key[0]!r}"
+            )
+        consumed = int(state.get[0]) if state.exists else 0
+        keep_ids, keep_wc, keep_before = [], [], []
+        for did, wc in zip(rows[key_col].to_numpy(), toks):
+            if consumed >= budget:
+                break
+            keep_ids.append(int(did))
+            keep_wc.append(int(wc))
+            keep_before.append(consumed)
+            consumed += int(wc)
+        state.update((consumed,))
+        if keep_ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": keep_ids,
+                    "source": [key[0]] * len(keep_ids),
+                    "wc": keep_wc,
+                    "tokens_before": keep_before,
+                }
+            )
+
+    return docs.groupBy(strata_col).applyInPandasWithState(
+        fn,
+        outputStructType=_TOKEN_BUDGET_OUT,
+        stateStructType=_TOKEN_BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
