@@ -146,16 +146,28 @@ def main() -> None:
     # large-sf scaling runs where wall-clock matters more than jitter.
     passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
     timings = {}
+    spreads = {}
     total = 0.0
     for name in bench_queries:
-        best, rows = float("inf"), 0
+        best, worst, rows = float("inf"), 0.0, 0
         for _ in range(passes):
             t0 = time.perf_counter()
             rows = qs[name](spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            worst = max(worst, dt)
         timings[name] = round(best, 3)
+        # max/min ratio across passes: the variance guard (VERDICT r6
+        # item 7). A whole-suite reading that moves >1.5x vs the prior
+        # round with per-query spreads near 1.0 is a loaded box, not a
+        # regression — the spread is recorded so the round record can
+        # tell the two apart.
+        spreads[name] = round(worst / best, 2) if best > 0 else 1.0
         total += best
-        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s ({rows} rows, spread x{spreads[name]:.2f})",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -165,6 +177,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -82,7 +82,7 @@ class GeographyError(ValueError):
 class Geography:
     """Decoded geography value. Coordinates are (n,2) lon/lat degrees."""
 
-    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size", "_cov", "_parts", "raw_point", "cast_tag")
+    __slots__ = ("kind", "points", "lines", "polygons", "geoms", "cell_id", "prepared_size", "_cov", "_parts", "_raw_point", "_raw_tail", "cast_tag")
 
     def __init__(self, kind, points=None, lines=None, polygons=None, geoms=None,
                  cell_id=None, prepared_size=None):
@@ -98,8 +98,25 @@ class Geography:
         # CELL_CENTER provenance: the pre-snap lon/lat (retained through
         # the codec; consulted ONLY by the both-FLAG_CAST distance path)
         # and the S2_CELL_CENTER-cast marker (flags bit1).
-        self.raw_point: Optional[np.ndarray] = None
+        self._raw_point: Optional[np.ndarray] = None
+        self._raw_tail: Optional[bytes] = None  # undecoded 16-byte codec tail
         self.cast_tag: bool = False
+
+    @property
+    def raw_point(self) -> Optional[np.ndarray]:
+        # Lazy: decode stores the raw 16-byte tail and only this
+        # accessor materializes the ndarray. Only the both-FLAG_CAST
+        # distance path (geo/ops.py) and the point-rect bounds path
+        # ever read it, so the common decode (predicates, coverings,
+        # joins) never pays the ~1us np.array construction.
+        if self._raw_point is None and self._raw_tail is not None:
+            self._raw_point = np.frombuffer(self._raw_tail, dtype=np.float64).copy()
+        return self._raw_point
+
+    @raw_point.setter
+    def raw_point(self, value) -> None:
+        self._raw_point = value
+        self._raw_tail = None
 
     # -- constructors -----------------------------------------------------
     @staticmethod
@@ -265,8 +282,10 @@ class Geography:
                 return struct.pack("<BBH", KIND_POINT, FLAG_EMPTY, 0)
             flags = FLAG_CAST if self.cast_tag else 0
             head = struct.pack("<BBH", KIND_CELL_CENTER, flags, 1) + struct.pack("<Q", int(self.cell_id))
-            if self.raw_point is not None:
-                head += struct.pack("<dd", float(self.raw_point[0]), float(self.raw_point[1]))
+            if self._raw_tail is not None:
+                head += self._raw_tail  # re-encode the undecoded tail verbatim
+            elif self._raw_point is not None:
+                head += struct.pack("<dd", float(self._raw_point[0]), float(self._raw_point[1]))
             return head
         empty = self.is_empty()
         flags = FLAG_EMPTY if empty else 0
@@ -329,8 +348,8 @@ class Geography:
                 return Geography(KIND_POINT)
             (cid,) = struct.unpack_from("<Q", buf, 4)
             g = Geography.cell_center(cid)
-            if len(buf) >= 28:  # trailing pre-snap lon/lat
-                g.raw_point = np.array(struct.unpack_from("<dd", buf, 12))
+            if len(buf) >= 28:  # trailing pre-snap lon/lat (parsed lazily)
+                g._raw_tail = bytes(buf[12:28])
             g.cast_tag = bool(flags & FLAG_CAST)
             return g
         if flags & FLAG_EMPTY:

@@ -793,7 +793,7 @@ def bounds_rect(g: Geography) -> Tuple[float, float, float, float]:
     geodesic edge bulge like S2's RectBounder."""
     if g.is_empty():
         return EMPTY_RECT
-    if g.kind == KIND_CELL_CENTER and g.raw_point is not None and not g.cast_tag:
+    if g.kind == KIND_CELL_CENTER and not g.cast_tag and g.raw_point is not None:
         # The reference's published rect goldens for sample points are
         # the RAW (pre-snap) coordinates through the standard S2
         # point->LatLng conversion (bounds.test:74-80: the cities agg
