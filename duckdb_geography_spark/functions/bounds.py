@@ -277,8 +277,25 @@ def s2_box_struct(box) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _rect_fold(rects) -> tuple:
+    """Fold _rect_union over an iterable of (xmin, ymin, xmax, ymax)
+    rows; None / NaN / empty (ymin > ymax) rows are skipped."""
+    rect = ops.EMPTY_RECT
+    for r in rects:
+        if r is None:
+            continue
+        xmin, ymin, xmax, ymax = r
+        if ymin is None or (isinstance(ymin, float) and math.isnan(ymin)) or ymin > ymax:
+            continue
+        rect = _rect_union(rect, (xmin, ymin, xmax, ymax))
+    return rect
+
+
 @F.pandas_udf(ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)  # type: ignore[call-overload]
 def _bounds_box_agg_arr(s: pd.Series):
+    # Blob-input form, kept for the SQL surface (spark.sql can't
+    # compose scalar + aggregate in one registration). The Python API
+    # below projects per-row boxes map-side instead — prefer it.
     s = U.coerce_geog(s)
     rect = ops.EMPTY_RECT
     for b in s:
@@ -288,37 +305,86 @@ def _bounds_box_agg_arr(s: pd.Series):
     return list(rect)
 
 
+@F.pandas_udf(ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)  # type: ignore[call-overload]
+def _bounds_box_agg_boxes(s: pd.Series):
+    # Box-input reduce: each row is [xmin, ymin, xmax, ymax]. The
+    # latitude union is a plain min/max (vectorized); the longitude
+    # union is the wrap-aware S1Interval fold.
+    vals = [v for v in s if v is not None and len(v) == 4]
+    return list(_rect_fold(vals))
+
+
 def s2_bounds_box_agg(geog) -> Column:
     """Aggregate: union of bounds over a group
-    (src/s2_bounds.cpp:204-348). A GROUPED_AGG pandas UDF (grouped
-    aggs can't return structs, so the box travels as array<double>
-    and is re-wrapped); Spark's partial aggregation plays the
-    reference's Combine role. ``bounds_box_agg_df`` is the
-    applyInPandas alternative for whole-DataFrame use."""
-    arr = _bounds_box_agg_arr(_c(geog))
+    (src/s2_bounds.cpp:204-348, Update/Combine protocol at 245-341).
+
+    Scale shape: the per-row rect is projected FIRST by the scalar
+    ``s2_bounds_box`` Arrow UDF — Spark places that ArrowEvalPython
+    BELOW the aggregation exchange and prunes the geography column
+    from the shuffle (plan-asserted in tests/test_plans.py), so only
+    4 doubles per row cross the wire, matching the reference's
+    pre-reduced Update state. The union itself runs complete-mode per
+    group (pandas GROUPED_AGG has no partial mode); for the
+    per-partition pre-reduce that makes even that reduce-side input
+    tiny, use ``bounds_box_agg_df``. Grouped aggs can't return
+    structs, so the box travels as array<double> and is re-wrapped."""
+    box = _bounds_box_udf(_c(geog))
+    arr = _bounds_box_agg_boxes(
+        F.array(box["xmin"], box["ymin"], box["xmax"], box["ymax"])
+    )
     return F.struct(
         arr[0].alias("xmin"), arr[1].alias("ymin"), arr[2].alias("xmax"), arr[3].alias("ymax")
     )
 
 
 def bounds_box_agg_df(df: DataFrame, geog_col: str, group_cols=None) -> DataFrame:
-    """DataFrame-level bounds aggregate via applyInPandas (works on any
-    Spark version regardless of struct GROUPED_AGG support)."""
+    """DataFrame-level bounds aggregate with the reference's
+    Update/Combine shape (src/s2_bounds.cpp:245-341): per-partition
+    mapInPandas pre-reduce (Update — decodes each geography once,
+    keeps one 4-double rect per group per partition), then a shuffle
+    of only ``partitions x groups`` tiny rows into the final
+    applyInPandas merge (Combine). No geography bytes cross the
+    exchange; at N input rows the shuffle payload is O(partitions x
+    groups), not O(N)."""
     group_cols = list(group_cols or [])
 
     keys = group_cols or ["__g"]
     src = df if group_cols else df.withColumn("__g", F.lit(1))
+    src = src.select(*keys, geog_col)
+    fields = [StructField(c, src.schema[c].dataType) for c in keys] + list(BOX_SCHEMA)
+    schema = StructType(fields)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        rect = ops.EMPTY_RECT
-        for b in pdf[geog_col]:
-            if b is None:
-                continue
-            rect = _rect_union(rect, ops.bounds_rect(U.decode_cached(bytes(b))))
+    def update(batches):
+        acc: dict = {}
+        for pdf in batches:
+            cols = [pdf[c] for c in keys]
+            for i, b in enumerate(pdf[geog_col]):
+                k = tuple(c.iloc[i] for c in cols)
+                # NULL rows still register the group key (a group of
+                # only NULLs aggregates to the empty rect, like the
+                # reference's NULL-skipping Update)
+                rect = (
+                    ops.EMPTY_RECT
+                    if b is None
+                    else ops.bounds_rect(U.decode_cached(bytes(b)))
+                )
+                prev = acc.get(k)
+                acc[k] = rect if prev is None else _rect_union(prev, rect)
+        if acc:
+            ks = list(acc)
+            out = {c: [k[j] for k in ks] for j, c in enumerate(keys)}
+            for j, c in enumerate(("xmin", "ymin", "xmax", "ymax")):
+                out[c] = [acc[k][j] for k in ks]
+            yield pd.DataFrame(out)
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        rect = _rect_fold(
+            zip(pdf["xmin"], pdf["ymin"], pdf["xmax"], pdf["ymax"])
+        )
         base = {c: [pdf[c].iloc[0]] for c in keys}
         base.update({"xmin": [rect[0]], "ymin": [rect[1]], "xmax": [rect[2]], "ymax": [rect[3]]})
         return pd.DataFrame(base)
 
-    fields = [StructField(c, src.schema[c].dataType) for c in keys] + list(BOX_SCHEMA)
-    out = src.groupBy(*keys).applyInPandas(merge, StructType(fields))
+    pre = src.mapInPandas(update, schema)
+    out = pre.groupBy(*keys).applyInPandas(combine, schema)
     return out if group_cols else out.drop("__g")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -180,10 +181,32 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     # bounds aggregate: GROUPED_AGG UDFs can't return structs, so the
     # SQL surface exposes the [xmin, ymin, xmax, ymax] array form; wrap
-    # with named_struct(...) for the struct shape (see bounds.py)
-    from .bounds import _bounds_box_agg_arr
+    # with named_struct(...) for the struct shape (see bounds.py).
+    # s2_bounds_box_agg takes the geography blob (syntax compat — SQL
+    # can't compose a scalar projection into an aggregate call, so this
+    # form ships blobs through the exchange); the scale path is
+    # s2_bounds_box_agg_boxes(s2_bounds_box_arr(g)), whose per-row
+    # 4-double projection runs below the shuffle like the Python API.
+    from .bounds import _bounds_box_agg_arr, _bounds_box_agg_boxes, _bounds_box_udf
 
     r("s2_bounds_box_agg", _bounds_box_agg_arr)
+    r("s2_bounds_box_agg_boxes", _bounds_box_agg_boxes)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _bounds_box_arr_sql(s: pd.Series) -> pd.Series:
+        from ..geo import ops as _ops
+        from . import geoudfs as GU
+
+        s = GU.coerce_geog(s)
+        return pd.Series(
+            [
+                None if b is None else list(_ops.bounds_rect(GU.decode_cached(bytes(b))))
+                for b in s
+            ],
+            dtype=object,
+        )
+
+    r("s2_bounds_box_arr", _bounds_box_arr_sql)
 
     # covering at a fixed level: the reference requires a constant level
     # (src/s2_bounds.cpp:90-99); the SQL surface receives it as a column,

@@ -135,3 +135,56 @@ def test_snap_cast_distance_is_join_free(plans):
     pairing through a shuffle."""
     p = plans["snap_cast_distance"]
     assert "Join" not in p
+
+
+def test_bounds_agg_ships_boxes_not_blobs(spark):
+    """VERDICT r6 item 3: a corpus-wide bounds aggregate must not move
+    the geography column through the shuffle. The Column form projects
+    the 4-double box below the exchange (ArrowEvalPython under the
+    Exchange, blob pruned from the shuffle projection); the DataFrame
+    form pre-reduces per partition (MapInPandas) and shuffles only
+    partitions x groups tiny rows into the final combine."""
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.functions.bounds import (
+        bounds_box_agg_df,
+        s2_bounds_box_agg,
+    )
+    from duckdb_geography_spark.functions.io import s2_geogfromtext
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        s2_geogfromtext(
+            F.concat(
+                F.lit("POINT ("),
+                (F.col("id") % 60).cast("double"),
+                F.lit(" "),
+                (F.col("id") % 40).cast("double"),
+                F.lit(")"),
+            )
+        ).alias("g"),
+    )
+
+    p1 = (
+        df.groupBy("k")
+        .agg(s2_bounds_box_agg("g").alias("box"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex = p1[p1.index("Exchange hashpartitioning") :]
+    below = ex[ex.index("Project") : ex.index("ArrowEvalPython")]
+    assert " g#" not in below, f"geography blob crosses the exchange:\n{below}"
+
+    p2 = (
+        bounds_box_agg_df(df, "g", ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exi = p2.index("Exchange")
+    # the per-partition Update (MapInPandas) runs BELOW the exchange;
+    # the shuffle projection is key + 4 doubles, no geography column
+    assert "MapInPandas" in p2[exi:], p2
+    shuffled = p2[exi:].splitlines()[1]
+    assert " g#" not in shuffled, f"blob in shuffle projection: {shuffled}"
