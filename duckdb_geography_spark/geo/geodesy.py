@@ -160,6 +160,11 @@ def segments_cross(a0, a1, b0, b1) -> np.ndarray:
     # them to lie on both arcs (rules out antipodal false positives)
     touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
     cross = proper & _same_hemisphere(a0, a1, b0, b1)
+    if not np.any(touch):
+        # exact-zero determinants are vanishingly rare on real data;
+        # skipping the four endpoint-on-arc broadcasts here roughly
+        # halves the all-pairs crossing test
+        return cross
     return cross | (touch & _touch_on_arc(a0, a1, b0, b1))
 
 
@@ -225,10 +230,7 @@ def ring_contains_point(ring_xyz: np.ndarray, x: np.ndarray, closed: bool = True
 
 def min_distance_point_to_ring_edges(x: np.ndarray, ring_xyz: np.ndarray) -> float:
     nxt = np.roll(ring_xyz, -1, axis=0)
-    best = np.inf
-    for i in range(len(ring_xyz)):
-        best = min(best, float(point_segment_distance(x[None, :], ring_xyz[i], nxt[i])[0]))
-    return best
+    return float(np.min(point_segment_distance(x[None, :], ring_xyz, nxt)))
 
 
 def min_distance_point_to_polyline(x: np.ndarray, line_xyz: np.ndarray) -> float:
@@ -236,10 +238,7 @@ def min_distance_point_to_polyline(x: np.ndarray, line_xyz: np.ndarray) -> float
         return np.inf
     if len(line_xyz) == 1:
         return float(angle(x[None, :], line_xyz[:1])[0])
-    best = np.inf
-    for i in range(len(line_xyz) - 1):
-        best = min(best, float(point_segment_distance(x[None, :], line_xyz[i], line_xyz[i + 1])[0]))
-    return best
+    return float(np.min(point_segment_distance(x[None, :], line_xyz[:-1], line_xyz[1:])))
 
 
 def segment_segment_min_distance(a0, a1, b0, b1) -> float:
@@ -253,3 +252,69 @@ def segment_segment_min_distance(a0, a1, b0, b1) -> float:
         point_segment_distance(b1[None, :], a0, a1)[0],
     ]
     return float(min(cands))
+
+
+# Pair-block size for the O(m*n) broadcast kernels below: 1<<20 pairs
+# x 8 bytes x ~6 live temporaries ~= 50 MB peak per block — large
+# enough to amortize numpy dispatch, small enough for executor heaps.
+_PAIR_BLOCK = 1 << 20
+
+
+def points_segments_min_angle(pts, e0, e1, block: int = _PAIR_BLOCK) -> float:
+    """Min angle from any point in ``pts`` (m,3) to any geodesic
+    segment ``e0[j]-e1[j]`` (n,3) — the edge-classification inner loop
+    of distance(), block-broadcast instead of per-pair Python calls."""
+    m, n = len(pts), len(e0)
+    if m == 0 or n == 0:
+        return np.inf
+    best = np.inf
+    rows = max(1, block // n)
+    E0, E1 = e0[None, :, :], e1[None, :, :]
+    for i in range(0, m, rows):
+        d = point_segment_distance(pts[i : i + rows, None, :], E0, E1)
+        best = min(best, float(np.min(d)))
+    return best
+
+
+def segments_cross_any(a0, a1, b0, b1, block: int = _PAIR_BLOCK) -> bool:
+    """True when ANY pair of segments from the two sets crosses —
+    the all-pairs stage of the intersection test, block-broadcast."""
+    m, n = len(a0), len(b0)
+    if m == 0 or n == 0:
+        return False
+    rows = max(1, block // n)
+    B0, B1 = b0[None, :, :], b1[None, :, :]
+    for i in range(0, m, rows):
+        A0 = a0[i : i + rows, None, :]
+        A1 = a1[i : i + rows, None, :]
+        if np.any(segments_cross(A0, A1, B0, B1)):
+            return True
+    return False
+
+
+def segments_segments_min_angle(a0, a1, b0, b1, block: int = _PAIR_BLOCK) -> float:
+    """Min angle between two geodesic segment sets, block-broadcast.
+
+    PRECONDITION: no pair may properly cross (the caller must have
+    ruled that out — e.g. distance() only reaches the edge stage after
+    _parts_intersect() returned False, which tests exactly the all-pairs
+    segments_cross). For non-crossing arcs the minimum is attained at
+    an endpoint of one segment against the other segment, so the four
+    endpoint-vs-segment broadcasts cover every pair."""
+    m, n = len(a0), len(b0)
+    if m == 0 or n == 0:
+        return np.inf
+    best = np.inf
+    rows = max(1, block // n)
+    B0, B1 = b0[None, :, :], b1[None, :, :]
+    for i in range(0, m, rows):
+        A0 = a0[i : i + rows, None, :]
+        A1 = a1[i : i + rows, None, :]
+        d = np.minimum(
+            point_segment_distance(A0, B0, B1),
+            point_segment_distance(A1, B0, B1),
+        )
+        d = np.minimum(d, point_segment_distance(B0, A0, A1))
+        d = np.minimum(d, point_segment_distance(B1, A0, A1))
+        best = min(best, float(np.min(d)))
+    return best
