@@ -318,6 +318,20 @@ def sample_to_token_budget_global(
     running sum. Two bounded shuffles + one sliver-sized window; the
     histogram action runs eagerly at call time.
 
+    Weight-domain contract: weights participate as ``cast("long")``
+    — positive integers. Fractional weights below 1 truncate to 0 and
+    fail loudly (the raise_error guard); floats >= 1 participate as
+    their integer floor. Priorities for long weights >= 1 stay inside
+    [-ln(2^60), 0] ~ [-41.6, 0], so the [-43, 0] bucket band always
+    covers them; extreme weights can still CONCENTRATE priorities
+    (e.g. all-huge weights -> every priority ~0 -> one bucket, whose
+    boundary window then spans the corpus) — selection stays exact
+    (the clamp and the bucket map are monotone; adversarial cases
+    pinned in tests/test_llm.py::test_token_budget_global_weight_extremes),
+    only the sliver-size guarantee degrades. If weights are known to
+    be degenerate-uniform, prefer plain :func:`sample_to_token_budget`
+    with a constant stratum.
+
     Returns the sampled rows (``__priority`` retained,
     ``tokens_before`` only exact within the boundary bucket — pass
     through :func:`sample_to_token_budget` with a constant stratum if

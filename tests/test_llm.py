@@ -1358,3 +1358,77 @@ class TestCuratePipeline:
         plan = curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_global_weight_extremes(spark):
+    """VERDICT r6 item 5 (adversarial bucket-edge properties): the
+    histogram-cutoff global sampler must select EXACTLY what a full
+    priority sort selects even when weights push every priority into
+    one bucket (huge weights -> all priorities ~0 -> bucket 0: the
+    boundary window then IS the whole corpus — slow by design, never
+    wrong) or spread them across the extremes; and the weight-domain
+    contract (positive integers after cast-to-long) fails loudly for
+    weights that truncate to zero."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from duckdb_geography_spark.llm import prep
+
+    ln_max = round(math.log(float(1 << 60)) * 1_000_000)
+
+    def prio(d, w, salt):
+        h = int(hashlib.md5(f"{salt}{d}".encode()).hexdigest()[:15], 16)
+        return round((round(math.log(max(h, 1)) * 1_000_000) - ln_max) / int(w), 9)
+
+    def replay(rows, budget, salt):
+        pop = sorted(rows, key=lambda r: (-prio(r[0], r[2], salt), r[0]))
+        run, expect = 0, []
+        for d, tk, _w in pop:
+            if run >= budget:
+                break
+            expect.append(d)
+            run += tk
+        return sorted(expect)
+
+    profiles = {
+        # pathological single-bucket: every priority ~ -1e-9, all rows
+        # land in bucket 0 and the boundary window spans the corpus
+        "all_huge": [(i, 10 + (i % 5), 1 << 50) for i in range(120)],
+        # two extremes: huge weights pile into bucket 0, weight-1 rows
+        # spread over the band
+        "mixed_extremes": [
+            (i, 10 + (i % 5), (1 << 50) if i % 3 == 0 else 1) for i in range(120)
+        ],
+        # magnitudes across the whole long domain
+        "spread": [(i, 10 + (i % 5), 10 ** (i % 10) or 1) for i in range(120)],
+    }
+    for name, rows in profiles.items():
+        df = spark.createDataFrame(rows, "doc_id long, tok long, w long")
+        for budget in (25, 300):
+            got = prep.sample_to_token_budget_global(
+                df, "tok", budget, weight_col="w", key_col="doc_id", salt="x"
+            ).collect()
+            assert sorted(r["doc_id"] for r in got) == replay(rows, budget, "x"), (
+                name,
+                budget,
+            )
+
+    # weight-domain contract: fractional weights < 1 truncate to 0 via
+    # cast("long") and must fail loudly, not silently skew the draw
+    frac = spark.createDataFrame([(1, 10, 0.5)], "doc_id long, tok long, w double")
+    with _pytest.raises(Exception, match="non-positive weight"):
+        prep.sample_to_token_budget_global(
+            frac, "tok", 5, weight_col="w", key_col="doc_id"
+        ).collect()
+    # floats >= 1 participate as their integer floor (documented)
+    f2 = spark.createDataFrame(
+        [(i, 10, 2.7) for i in range(40)], "doc_id long, tok long, w double"
+    )
+    got = prep.sample_to_token_budget_global(
+        f2, "tok", 100, weight_col="w", key_col="doc_id", salt="y"
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == replay(
+        [(i, 10, 2) for i in range(40)], 100, "y"
+    )
