@@ -1799,6 +1799,90 @@ ORDER BY c_custkey, s_suppkey
 """
 
 
+def _q_knn_join(spark, sf_dir):
+    """EXACT k-nearest-neighbors spatial join (joins.py::knn_join,
+    round 7): for each sampled customer point, the 3 closest sampled
+    supplier points by s2_distance. Beyond-reference operator — the
+    reference can only express kNN as a cross join + window; this
+    runs the iterative radius-doubling recipe (covering equi-join +
+    dwithin refine per round, bounded row_number window on the left
+    key, unresolved keys retry at 2r). tie_decimals=3 quantizes the
+    ranking distance to millimeters so the DuckDB oracle (a literal
+    cross join + row_number over the same snapped-center chord math)
+    ranks identically despite 1-ulp libm differences."""
+    from duckdb_geography_spark import joins as J
+    from duckdb_geography_spark import synth
+    from duckdb_geography_spark.functions import cells as C
+    from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
+
+    _prep(spark)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            s2_cell_center_to_geography(
+                C.s2_cellfromlonlat(synth.cust_lon(), synth.cust_lat())
+            ).alias("geog"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 2 == 0)
+        .select(
+            "s_suppkey",
+            s2_cell_center_to_geography(
+                C.s2_cellfromlonlat(synth.supp_lon(), synth.supp_lat())
+            ).alias("geog"),
+        )
+    )
+    out = J.knn_join(
+        cust,
+        supp,
+        k=3,
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        initial_meters=2_000_000.0,
+        tie_decimals=3,
+    )
+    return out.select(
+        "c_custkey",
+        "s_suppkey",
+        "knn_rank",
+        F.round("knn_distance", 1).alias("dist_m1"),
+    ).orderBy("c_custkey", "knn_rank")
+
+
+def _knn_join_sql():
+    from duckdb_geography_spark import synth
+
+    cpts = (
+        f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, {synth.CUST_LAT_SQL} AS lat "
+        "FROM customer WHERE c_custkey % 10 = 0"
+    )
+    spts = (
+        f"SELECT s_suppkey AS k, {synth.SUPP_LON_SQL} AS lon, {synth.SUPP_LAT_SQL} AS lat "
+        "FROM supplier WHERE s_suppkey % 2 = 0"
+    )
+    return f"""
+WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_c")},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_c", "_c").lstrip()},
+{synth.cellfromlonlat_cte(spts, "_s").lstrip()},
+{synth.cellcenter_xyz_cte("SELECT k, cell FROM cellids_s", "_s").lstrip()},
+dists AS (
+  SELECT c.k AS c_custkey, s.k AS s_suppkey,
+    2.0 * asin(least(1.0, 0.5 * sqrt((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) + (c.z-s.z)*(c.z-s.z)))) * 6371010.0 AS dist
+  FROM centers_c c CROSS JOIN centers_s s),
+ranked AS (
+  SELECT c_custkey, s_suppkey, dist,
+    row_number() OVER (PARTITION BY c_custkey ORDER BY round(dist, 3), s_suppkey) AS knn_rank
+  FROM dists)
+SELECT c_custkey, s_suppkey, knn_rank, round(dist, 1) AS dist_m1
+FROM ranked WHERE knn_rank <= 3
+ORDER BY c_custkey, knn_rank
+"""
+
+
 def _q_snap_cast_distance(spark, sf_dir):
     """The round-6 S2_CELL_CENTER-cast surface: distances from
     snap-cast customer points to a snap-cast Vancouver, which take the
@@ -5817,6 +5901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debug_string_gate": _q_debug_string_gate,
         # --- past the 50-entry window: recorded green in r6 ---
         "overlay_intersection": _q_overlay_intersection,
+        "knn_join": _q_knn_join,
         "jl_project": _q_jl_project,
         "snap_cast_distance": _q_snap_cast_distance,
         "tpch_pricing_summary": _q_pricing_summary,
@@ -5972,4 +6057,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _TOKEN_BUDGET_SQL,
         "token_budget_global": _TOKEN_BUDGET_GLOBAL_SQL,
         "jl_topk": _jl_topk_sql(),
+        "knn_join": _knn_join_sql(),
     }

@@ -43,6 +43,7 @@ __all__ = [
     "covering_range_join",
     "cell_containment_join",
     "distance_join",
+    "knn_join",
     "broadcast_spatial_join",
     "spatial_join",
     "level_for_radius_meters",
@@ -360,6 +361,121 @@ def distance_join(
     pairs = pairs.where(P.s2_dwithin(F.col(left_geog), F.col(rgeog_out), float(meters)))
     drop = [c for c, synth in ((lk, lk_synth), (rk, rk_synth)) if synth]
     return pairs.drop(*drop)
+
+
+#: half the Earth's circumference in meters — no geodesic distance
+#: exceeds it, so a radius past this makes every pair a candidate
+_HALF_CIRCUMFERENCE_M = math.pi * gd.EARTH_RADIUS_METERS
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_geog: str = "geog",
+    right_geog: str = "geog",
+    left_key: Optional[str] = None,
+    right_key: Optional[str] = None,
+    initial_meters: float = 100_000.0,
+    level: Optional[int] = None,
+    tie_decimals: Optional[int] = None,
+) -> DataFrame:
+    """EXACT k-nearest-neighbors spatial join: for every left row, the
+    ``k`` closest right geographies by :func:`s2_distance` (ties broken
+    by the right key). Beyond-reference operator — the reference can
+    only write this as a cross join + window. Output: the joined
+    columns plus ``knn_distance`` (meters) and ``knn_rank`` (1..k).
+
+    Recipe — iterative radius doubling, no cross join anywhere:
+    round ``i`` runs :func:`distance_join` at radius
+    ``initial_meters * 2**i`` for the still-unresolved left keys. A
+    left key with >= k candidates inside the radius is FINAL: the
+    distance join is exact, so every right row closer than the k-th
+    candidate is already in its candidate set, and a bounded
+    ``row_number`` window (shuffle on the left key) keeps the top k.
+    Keys with fewer candidates retry at twice the radius, carrying
+    only the unresolved slice. The loop is driver-bounded: once the
+    radius exceeds half the Earth's circumference every right row is
+    a candidate, so the final round accepts whatever exists (fewer
+    than k only when the right table itself has fewer than k rows).
+
+    Scale shape: each round is one covering equi-join + dwithin
+    refine + one per-key window; typical data resolves ~all keys in
+    round 1 (pick ``initial_meters`` near the expected k-th-neighbor
+    distance), and later rounds touch a vanishing remainder.
+    ``tie_decimals`` optionally quantizes the ranking distance (e.g.
+    3 = millimeters) so an independent engine replaying the join
+    (the DuckDB oracle) ranks identically despite 1-ulp libm
+    differences. Left/right column names must not collide except the
+    geography columns (distance_join's rename contract).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("knn_join: k must be >= 1")
+    if initial_meters <= 0:
+        raise ValueError("knn_join: initial_meters must be positive")
+
+    lk_df, lk, lk_synth = _with_key(left, left_key, "__lkey")
+    rgeog_out = right_geog if right_geog != left_geog else right_geog + "_r"
+    rk = right_key  # distance_join renames right-side collisions with _r
+    if rk is not None and rk in lk_df.columns:
+        rk = rk + "_r"
+
+    remaining = lk_df
+    chunks = []
+    radius = float(initial_meters)
+    while True:
+        last_round = radius >= _HALF_CIRCUMFERENCE_M
+        cand = distance_join(
+            remaining,
+            right,
+            min(radius, _HALF_CIRCUMFERENCE_M),
+            level=level,
+            left_geog=left_geog,
+            right_geog=right_geog,
+            left_key=lk,
+            right_key=right_key,
+        )
+        if rk is None:
+            rk = "__rkey"  # distance_join synthesizes it... (kept below)
+        dist = P.s2_distance(F.col(left_geog), F.col(rgeog_out))
+        cand = cand.withColumn("knn_distance", dist)
+        order_dist = (
+            F.round(F.col("knn_distance"), int(tie_decimals))
+            if tie_decimals is not None
+            else F.col("knn_distance")
+        )
+        w = Window.partitionBy(lk).orderBy(order_dist.asc(), F.col(rk).asc())
+        wc = Window.partitionBy(lk)
+        ranked = cand.withColumn("knn_rank", F.row_number().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(wc)
+        )
+        accept = F.col("knn_rank") <= int(k)
+        if not last_round:
+            accept = accept & (F.col("__cnt") >= int(k))
+        done = ranked.where(accept).drop("__cnt")
+        # materialize this round's winners once: the anti-join below and
+        # the final union both reuse them, and the driver needs the
+        # resolved-key set to decide termination
+        done = done.localCheckpoint(eager=True)
+        chunks.append(done)
+        if last_round:
+            break
+        resolved = done.select(lk).distinct()
+        remaining = remaining.join(resolved, lk, "left_anti")
+        if remaining.isEmpty():
+            break
+        radius *= 2.0
+
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    if lk_synth:
+        out = out.drop(lk)
+    if right_key is None:
+        out = out.drop("__rkey", "__rkey_r")
+    return out
 
 
 def broadcast_spatial_join(

@@ -469,3 +469,80 @@ class TestCoveringJoinFuzz:
             ).collect()
         }
         assert got_c == truth_con
+
+
+class TestKnnJoin:
+    """knn_join (round 7): exact kNN vs the brute-force cross join +
+    window, including the radius-doubling retry path and the
+    fewer-than-k-right-rows fallback."""
+
+    def _truth(self, left, right, k):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("a").orderBy(F.col("d").asc(), F.col("b").asc())
+        return {
+            (r.a, r.b, r.rk)
+            for r in left.crossJoin(right)
+            .withColumn("d", G.s2_distance("geog", "geog2"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .collect()
+        }
+
+    def test_exact_vs_bruteforce(self, spark, sample):
+        cities, _, _ = sample
+        left = cities.select(F.col("name").alias("a"), "geog").limit(40)
+        right = cities.select(
+            F.col("name").alias("b"), F.col("geog").alias("geog2")
+        ).limit(40)
+        truth = self._truth(left, right, 3)
+        got = J.knn_join(
+            left,
+            right.withColumnRenamed("geog2", "geog"),
+            k=3,
+            left_key="a",
+            right_key="b",
+            # small initial radius forces several doubling rounds
+            initial_meters=200_000,
+        )
+        assert {(r.a, r.b, r.knn_rank) for r in got.collect()} == truth
+        # distances are the real s2_distance values
+        row = got.where(F.col("knn_rank") == 1).first()
+        assert row.knn_distance >= 0.0
+
+    def test_right_smaller_than_k(self, spark, sample):
+        cities, _, _ = sample
+        left = cities.select(F.col("name").alias("a"), "geog").limit(5)
+        right = cities.select(F.col("name").alias("b"), "geog").limit(2)
+        got = J.knn_join(
+            left, right, k=4, left_key="a", right_key="b", initial_meters=1_000
+        )
+        # every left key gets both right rows, ranks 1..2
+        assert got.count() == 10
+        assert got.agg(F.max("knn_rank")).first()[0] == 2
+
+    def test_k_one_is_nearest_neighbor(self, spark, sample):
+        cities, _, _ = sample
+        left = cities.select(F.col("name").alias("a"), "geog").limit(20)
+        right = cities.select(
+            F.col("name").alias("b"), F.col("geog").alias("geog2")
+        ).limit(40)
+        truth = self._truth(left, right, 1)
+        got = J.knn_join(
+            left,
+            right.withColumnRenamed("geog2", "geog"),
+            k=1,
+            left_key="a",
+            right_key="b",
+            initial_meters=500_000,
+        )
+        assert {(r.a, r.b, r.knn_rank) for r in got.collect()} == truth
+
+    def test_bad_args(self, spark, sample):
+        import pytest as _pytest
+
+        cities, _, _ = sample
+        with _pytest.raises(ValueError, match="k must be"):
+            J.knn_join(cities, cities, k=0)
+        with _pytest.raises(ValueError, match="initial_meters"):
+            J.knn_join(cities, cities, k=1, initial_meters=0)
