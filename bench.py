@@ -86,6 +86,7 @@ def main() -> None:
         "token_budget_global",
         "jl_topk",
         "knn_join",
+        "kmeans_clusters",
     ]
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:

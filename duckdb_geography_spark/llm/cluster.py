@@ -1,0 +1,222 @@
+"""Distributed spherical k-means over an embedding corpus.
+
+The corpus-clustering primitive behind SemDeDup-style curation and
+IVF index builds: :mod:`similarity`'s ``train_ivf_centroids`` runs
+Lloyd's on a bounded DRIVER-side sample (fine for a quantizer); this
+module runs the iterations over the FULL distributed corpus — the
+shape needed when cluster assignments themselves are the product
+(per-cluster dedup, cluster-balanced sampling, topic bucketing).
+
+Scale shape (per iteration, ``iters`` is small and fixed):
+
+- ASSIGN: centroids are a (k, dim) float64 literal broadcast inside
+  an Arrow-batched pandas UDF closure — argmax of ``X @ C.T`` per
+  batch, map-side only, no shuffle.
+- UPDATE: each vector's QUANTIZED unit form (``floor(x/||v|| * Q +
+  0.5)`` per component, int64) is posexploded to (cluster, dim_pos,
+  q) and summed by ``groupBy(cluster, pos)`` — a map-side-combinable
+  integer aggregate, so the shuffle carries at most ``k x dim x
+  partitions`` rows and the sums are EXACT integers, identical at any
+  parallelism and replayable bit-for-bit by a single-node oracle
+  (the order-free-integer-sum trick llm/dsir.py uses for log-space
+  weights). The driver holds k x dim longs per iteration.
+
+Determinism contract: seeded kmeans++ init on the same bounded
+hash-ordered sample as the IVF trainer, fixed iteration count,
+first-wins argmax ties, empty clusters keep their previous centroid.
+:func:`kmeans_replay_pandas` reruns the identical arithmetic on a
+pandas frame — the DuckDB oracle embeds its final centroids as
+literals and replays only the final assignment.
+
+The reference has no clustering surface (beyond-reference operator).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_replay_pandas",
+]
+
+#: quantization scale for the integer update sums (micro-units of a
+#: unit vector component): coarse enough that int64 never overflows
+#: (dim * Q < 2^63 / rows for any realistic corpus), fine enough that
+#: the centroid drift vs exact means is ~1e-6 per component
+_Q = 1_000_000
+
+
+def _seq_norm(row: np.ndarray) -> float:
+    """Sequential sum of squares — the same IEEE operation order as
+    Spark's ``F.aggregate`` fold, so the quantized unit vectors match
+    the distributed ones bit-for-bit (numpy's pairwise ``sum`` can
+    differ in the last ulp)."""
+    s = 0.0
+    for v in row:
+        s += v * v
+    return math.sqrt(s)
+
+
+def _quantize_rows(X: np.ndarray, quant: int = _Q) -> np.ndarray:
+    out = np.empty(X.shape, dtype=np.int64)
+    for i in range(len(X)):
+        n = _seq_norm(X[i])
+        if n == 0.0:
+            out[i] = 0
+        else:
+            out[i] = np.floor(X[i] / n * quant + 0.5).astype(np.int64)
+    return out
+
+
+def _assign_udf(cents: np.ndarray):
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def _udf(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=np.int32)
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        # argmax is invariant to the (positive) norm scale, so the raw
+        # vector dot suffices — first max wins, like the SQL oracle's
+        # list_indexof(cd, list_max(cd))
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    return _udf
+
+
+def _quant_col(vec_col: str, quant: int = _Q) -> Column:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ss = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    norm = F.sqrt(ss)
+    return F.when(norm == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / norm * F.lit(float(quant)) + 0.5).cast("long"))
+    )
+
+
+def _update_centroids(
+    cents: np.ndarray, sums: dict, dim: int
+) -> np.ndarray:
+    """Shared by the distributed fit and the pandas replay: new unit
+    centroids from exact integer component sums; clusters with no
+    members (or a zero sum) keep their previous centroid."""
+    new = cents.copy()
+    for j, vec in sums.items():
+        arr = np.asarray(vec, dtype=np.float64)
+        n = np.linalg.norm(arr)
+        if n > 0.0:
+            new[j] = arr / n
+    return new
+
+
+def _init_centroids(
+    sample: np.ndarray, k: int, seed: int
+) -> np.ndarray:
+    from .similarity import train_ivf_centroids
+
+    # 0 Lloyd's iterations on the sample = the seeded greedy kmeans++
+    # picks only; the real iterations run distributed
+    return train_ivf_centroids(sample, n_centroids=k, seed=seed, iters=0)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    sample_size: int = 256,
+    seed: int = 11,
+) -> np.ndarray:
+    """Run ``iters`` distributed Lloyd's iterations and return the
+    (k, dim) unit centroids. See the module docstring for the per-
+    iteration plan shape. ``df`` is cached with the quantized column
+    for the duration of the loop."""
+    from .similarity import ivf_training_sample
+
+    if k < 1:
+        raise ValueError("kmeans_fit: k must be >= 1")
+    if iters < 0:
+        raise ValueError("kmeans_fit: iters must be >= 0")
+    sample = ivf_training_sample(
+        df, vec_col=vec_col, key_col=key_col, sample_size=sample_size
+    )
+    cents = _init_centroids(sample, k, seed)
+    dim = cents.shape[1]
+    base = df.select(
+        F.col(vec_col).alias("__v"), _quant_col(vec_col).alias("__qv")
+    ).persist()
+    try:
+        for _ in range(int(iters)):
+            assigned = base.withColumn("__c", _assign_udf(cents)("__v"))
+            rows = (
+                assigned.select("__c", F.posexplode("__qv").alias("__p", "__q"))
+                .groupBy("__c", "__p")
+                .agg(F.sum("__q").alias("__s"))
+                .collect()
+            )
+            sums: dict = {}
+            for r in rows:
+                sums.setdefault(int(r["__c"]), [0] * dim)[int(r["__p"])] = int(r["__s"])
+            cents = _update_centroids(cents, sums, dim)
+    finally:
+        base.unpersist()
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Map-side assignment of every row to its nearest centroid
+    (argmax cosine — the centroids are unit vectors, and argmax over
+    the raw dot is norm-invariant). No shuffle."""
+    return df.withColumn(out_col, _assign_udf(np.asarray(centroids, dtype=np.float64))(vec_col))
+
+
+def kmeans_replay_pandas(
+    pdf: pd.DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    sample_size: int = 256,
+    seed: int = 11,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-node replay of :func:`kmeans_fit` + :func:`kmeans_assign`
+    on a pandas frame — the same init, the same sequential-fold
+    normalization, the same integer quantized sums (exact, so the
+    order difference vs the distributed aggregate cannot matter), the
+    same first-wins argmax. Used by the oracle generator to embed
+    centroid literals. Returns (centroids, assignments) with
+    assignments aligned to ``pdf`` row order."""
+    from .similarity import training_sample_pandas
+
+    sample = training_sample_pandas(
+        pdf, vec_col=vec_col, key_col=key_col, sample_size=sample_size
+    )
+    cents = _init_centroids(sample, k, seed)
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    QX = _quantize_rows(X)
+    dim = cents.shape[1]
+    assign = np.zeros(len(X), dtype=np.int64)
+    for _ in range(int(iters)):
+        assign = np.argmax(X @ cents.T, axis=1)
+        sums = {}
+        for j in range(k):
+            members = QX[assign == j]
+            if len(members):
+                sums[j] = members.sum(axis=0)
+        cents = _update_centroids(cents, sums, dim)
+    assign = np.argmax(X @ cents.T, axis=1)
+    return cents, assign

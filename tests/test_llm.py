@@ -1432,3 +1432,45 @@ def test_token_budget_global_weight_extremes(spark):
     assert sorted(r["doc_id"] for r in got) == replay(
         [(i, 10, 2) for i in range(40)], 100, "y"
     )
+
+
+def test_kmeans_distributed_matches_replay(spark):
+    """Distributed k-means (llm/cluster.py, round 7): the quantized
+    integer update sums make the distributed fit bit-identical to the
+    single-node pandas replay, and the assignment is a map-side
+    broadcast argmax (no shuffle in the assign plan)."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_geography_spark.llm import cluster as CL
+
+    pdf = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).sort_values("vec_id").reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+
+    cents = CL.kmeans_fit(df, k=4, iters=2, sample_size=32)
+    rc, ra = CL.kmeans_replay_pandas(pdf, k=4, iters=2, sample_size=32)
+    assert float(np.abs(cents - rc).max()) == 0.0
+
+    out = (
+        CL.kmeans_assign(df, cents)
+        .select("vec_id", "cluster_id")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert (out["cluster_id"].to_numpy() == ra).all()
+    # every cluster id in range, all rows assigned
+    assert out["cluster_id"].between(0, 3).all()
+    # assignment plan is map-side: no Exchange
+    plan = (
+        CL.kmeans_assign(df, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="k must be"):
+        CL.kmeans_fit(df, k=0)
