@@ -45,6 +45,7 @@ REGISTRY = [
     ("Repetition Signals", f"{PKG}.llm.repetition", ()),
     ("URL / Web", f"{PKG}.llm.web", ()),
     ("Product Quantization", f"{PKG}.llm.pq", ()),
+    ("Corpus Clustering", f"{PKG}.llm.cluster", ()),
     (
         "Multimodal",
         f"{PKG}.llm.multimodal",
