@@ -1897,7 +1897,8 @@ def _q_knn_join(spark, sf_dir):
         k=3,
         left_key="c_custkey",
         right_key="s_suppkey",
-        initial_meters=2_000_000.0,
+        # density-derived initial radius (2R*sqrt(k/n) * 1.5): the
+        # round-1 candidate sets stay ~k at EVERY scale factor
         tie_decimals=3,
     )
     return out.select(

@@ -376,7 +376,7 @@ def knn_join(
     right_geog: str = "geog",
     left_key: Optional[str] = None,
     right_key: Optional[str] = None,
-    initial_meters: float = 100_000.0,
+    initial_meters: Optional[float] = None,
     level: Optional[int] = None,
     tie_decimals: Optional[int] = None,
 ) -> DataFrame:
@@ -401,8 +401,15 @@ def knn_join(
 
     Scale shape: each round is one covering equi-join + dwithin
     refine + one per-key window; typical data resolves ~all keys in
-    round 1 (pick ``initial_meters`` near the expected k-th-neighbor
-    distance), and later rounds touch a vanishing remainder.
+    round 1, and later rounds touch a vanishing remainder. The round-1
+    radius controls the candidate blow-up: too wide and every left row
+    pairs with far more than k candidates. ``initial_meters=None``
+    (default) derives it from the right table's density — the
+    expected k-th-neighbor distance under uniform spread is
+    ``2R*sqrt(k/n)`` (the spherical cap holding k of n points), padded
+    1.5x so most keys clear k in round 1; the ``right.count()`` this
+    needs is one cheap metadata-level action. Pass an explicit radius
+    when the density is known to be very non-uniform.
     ``tie_decimals`` optionally quantizes the ranking distance (e.g.
     3 = millimeters) so an independent engine replaying the join
     (the DuckDB oracle) ranks identically despite 1-ulp libm
@@ -413,6 +420,12 @@ def knn_join(
 
     if k < 1:
         raise ValueError("knn_join: k must be >= 1")
+    if initial_meters is None:
+        n_right = right.count()
+        initial_meters = 1.5 * 2.0 * gd.EARTH_RADIUS_METERS * math.sqrt(
+            float(k) / max(n_right, 1)
+        )
+        initial_meters = min(max(initial_meters, 1.0), _HALF_CIRCUMFERENCE_M)
     if initial_meters <= 0:
         raise ValueError("knn_join: initial_meters must be positive")
 
