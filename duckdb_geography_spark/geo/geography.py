@@ -781,6 +781,7 @@ def _decode_prepared_index(inner: "Geography", buf: bytes, off: int) -> None:
     parts.polygons = polygons
     parts._orients = orients
     parts._caps = caps
+    parts._edge_arrs = False  # lazily built by edge_arrays()
     inner._parts = parts
 
 

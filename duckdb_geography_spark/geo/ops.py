@@ -186,7 +186,10 @@ class _Parts:
         """All line/ring edges as one (e0, e1) pair of (n,3) arrays —
         the flat form the blocked broadcast kernels consume. Cached;
         None when the parts set has no edges."""
-        if self._edge_arrs is False:
+        # getattr: _Parts is also restored slot-by-slot from the
+        # serialized prepared payload (geography.py) — be robust to a
+        # construction path that predates this cache slot
+        if getattr(self, "_edge_arrs", False) is False:
             es = self.edges()
             self._edge_arrs = (
                 None

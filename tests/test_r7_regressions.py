@@ -121,3 +121,21 @@ class TestLazyCodecTail:
         assert np.allclose(
             np.frombuffer(enc[12:28], dtype=np.float64), [3.0, 4.0]
         )
+
+
+def test_restored_prepared_parts_have_edge_arrays():
+    """The serialized-prepared restore path builds _Parts slot-by-slot
+    (geography.py) and must include the r7 edge-array cache; intersects
+    on a restored index exercises it (caught by the r7 oracle sweep)."""
+    from duckdb_geography_spark.geo.geography import KIND_PREPARED
+
+    g = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    prep = Geography(KIND_PREPARED, geoms=[g])
+    blob = prep.encode()
+    restored = Geography.decode(blob)
+    inner = restored.geoms[0]
+    assert inner._parts is not None  # index restored, not recomputed
+    other = from_wkt("POLYGON ((10 10, 14 10, 14 14, 10 14, 10 10))")
+    # exercises _parts_intersect -> edge_arrays on the restored parts
+    assert not ops.intersects(inner, other)
+    assert ops.distance(inner, other) > 0
