@@ -435,6 +435,9 @@ def knn_join(
     if rk is not None and rk in lk_df.columns:
         rk = rk + "_r"
 
+    # cache the keyed left side: every round's distance join AND the
+    # anti-join re-read it, and the geography column is UDF-built
+    lk_df = lk_df.persist()
     remaining = lk_df
     chunks = []
     radius = float(initial_meters)
@@ -481,6 +484,7 @@ def knn_join(
             break
         radius *= 2.0
 
+    lk_df.unpersist()  # chunks are checkpointed; the cache is round-local
     out = chunks[0]
     for c in chunks[1:]:
         out = out.unionByName(c)
