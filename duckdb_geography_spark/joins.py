@@ -420,6 +420,14 @@ def knn_join(
 
     if k < 1:
         raise ValueError("knn_join: k must be >= 1")
+    if left_key is None:
+        # the resolved-key anti-join compares left keys ACROSS separate
+        # Spark actions (round N's checkpoint vs round N+1's join) —
+        # monotonically_increasing_id's single-action stability contract
+        # (_with_key) is not enough here, so a real source key is
+        # mandatory. right_key stays optional: the synthesized right id
+        # only dedups/tie-breaks within one round's single action.
+        raise ValueError("knn_join: left_key is required (a stable source key)")
     if initial_meters is None:
         n_right = right.count()
         initial_meters = 1.5 * 2.0 * gd.EARTH_RADIUS_METERS * math.sqrt(

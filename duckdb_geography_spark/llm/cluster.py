@@ -84,11 +84,17 @@ def _assign_udf(cents: np.ndarray):
     def _udf(s: pd.Series) -> pd.Series:
         if not len(s):
             return pd.Series([], dtype=np.int32)
-        X = np.stack(s.to_numpy()).astype(np.float64)
-        # argmax is invariant to the (positive) norm scale, so the raw
-        # vector dot suffices — first max wins, like the SQL oracle's
-        # list_indexof(cd, list_max(cd))
-        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+        mask = s.notna().to_numpy()
+        out = np.full(len(s), -1, dtype=np.float64)
+        if mask.any():
+            X = np.stack(s[mask].to_numpy()).astype(np.float64)
+            # argmax is invariant to the (positive) norm scale, so the
+            # raw vector dot suffices — first max wins, like the SQL
+            # oracle's list_indexof(cd, list_max(cd))
+            out[mask] = np.argmax(X @ C.T, axis=1)
+        res = pd.Series(out).astype("Int32")
+        res[~mask] = None  # NULL vector -> NULL cluster, never a fake id
+        return res
 
     return _udf
 

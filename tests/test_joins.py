@@ -544,5 +544,7 @@ class TestKnnJoin:
         cities, _, _ = sample
         with _pytest.raises(ValueError, match="k must be"):
             J.knn_join(cities, cities, k=0)
+        with _pytest.raises(ValueError, match="left_key is required"):
+            J.knn_join(cities, cities, k=1)
         with _pytest.raises(ValueError, match="initial_meters"):
-            J.knn_join(cities, cities, k=1, initial_meters=0)
+            J.knn_join(cities, cities, k=1, left_key="name", initial_meters=0)

@@ -127,3 +127,22 @@ def test_sql_cell_ops_are_pure_jvm(spark):
         .toString()
     )
     assert "EvalPython" not in p, p
+
+
+def test_sql_bounds_agg_boxes_scale_path(spark):
+    """Round 7: the SQL surface exposes the shuffle-light bounds
+    aggregate as s2_bounds_box_agg_boxes(s2_bounds_box_arr(g)) — same
+    result as the blob-input s2_bounds_box_agg, but the per-row box
+    projection runs below the exchange."""
+    spark.sql(
+        "SELECT s2_geogfromtext(CONCAT('POINT (', CAST(id AS STRING), ' ', "
+        "CAST(id % 30 AS STRING), ')')) AS g, id % 2 AS k FROM range(40)"
+    ).createOrReplaceTempView("pts7")
+    a = spark.sql(
+        "SELECT k, s2_bounds_box_agg(g) AS b FROM pts7 GROUP BY k ORDER BY k"
+    ).collect()
+    b = spark.sql(
+        "SELECT k, s2_bounds_box_agg_boxes(s2_bounds_box_arr(g)) AS b "
+        "FROM pts7 GROUP BY k ORDER BY k"
+    ).collect()
+    assert [r.b for r in a] == [r.b for r in b]
