@@ -46,6 +46,7 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_replay_pandas",
+    "cluster_balanced_sample",
 ]
 
 #: quantization scale for the integer update sums (micro-units of a
@@ -226,3 +227,37 @@ def kmeans_replay_pandas(
         cents = _update_centroids(cents, sums, dim)
     assign = np.argmax(X @ cents.T, axis=1)
     return cents, assign
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: np.ndarray,
+    per_cluster: int,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: assign every row to its
+    nearest centroid and keep a deterministic hash-ordered sample of
+    at most ``per_cluster`` rows per cluster — the diversity-preserving
+    downsampling step after :func:`kmeans_fit` (cap the dominant
+    topics, keep the tail). Pure composition of :func:`kmeans_assign`
+    (map-side) and one row_number window on the cluster key (ONE
+    shuffle, same shape as the gated topk_per_group /
+    stratified_sample primitives). The md5 ordering is the same
+    content-independent deterministic draw hash_sample uses; ``salt``
+    yields an independent sample."""
+    from pyspark.sql import Window
+
+    if per_cluster < 1:
+        raise ValueError("cluster_balanced_sample: per_cluster must be >= 1")
+    out = kmeans_assign(df, centroids, vec_col=vec_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(per_cluster))
+        .drop("__rn")
+    )

@@ -1474,3 +1474,34 @@ def test_kmeans_distributed_matches_replay(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         CL.kmeans_fit(df, k=0)
+
+
+def test_cluster_balanced_sample(spark):
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_geography_spark.llm import cluster as CL
+
+    pdf = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    df = spark.createDataFrame(pdf)
+    cents, ra = CL.kmeans_replay_pandas(pdf, k=4, iters=2, sample_size=32)
+    out = CL.cluster_balanced_sample(df, cents, per_cluster=5).toPandas()
+    # cap respected per cluster; deterministic across calls
+    sizes = out.groupby("cluster_id").size()
+    assert (sizes <= 5).all()
+    out2 = CL.cluster_balanced_sample(df, cents, per_cluster=5).toPandas()
+    assert sorted(out["vec_id"]) == sorted(out2["vec_id"])
+    # a different salt draws a different (but same-sized) sample
+    out3 = CL.cluster_balanced_sample(df, cents, per_cluster=5, salt="x").toPandas()
+    assert len(out3) == len(out)
+    # every kept row really belongs to the cluster it was capped under
+    got = dict(zip(out["vec_id"], out["cluster_id"]))
+    truth = dict(zip(pdf["vec_id"], ra))
+    assert all(truth[k] == v for k, v in got.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="per_cluster"):
+        CL.cluster_balanced_sample(df, cents, per_cluster=0)
