@@ -446,6 +446,7 @@ def knn_join(
     # cache the keyed left side: every round's distance join AND the
     # anti-join re-read it, and the geography column is UDF-built
     lk_df = lk_df.persist()
+    n_unresolved = lk_df.count()  # also warms the cache
     remaining = lk_df
     chunks = []
     radius = float(initial_meters)
@@ -487,9 +488,14 @@ def knn_join(
         if last_round:
             break
         resolved = done.select(lk).distinct()
-        remaining = remaining.join(resolved, lk, "left_anti")
-        if remaining.isEmpty():
+        # termination check over the CHECKPOINTED winners (a tiny
+        # distinct-count) instead of isEmpty on the anti-join, which
+        # would recompute the whole UDF-built remaining lineage
+        n_resolved = resolved.count()
+        if n_resolved >= n_unresolved:
             break
+        n_unresolved -= n_resolved
+        remaining = remaining.join(resolved, lk, "left_anti")
         radius *= 2.0
 
     lk_df.unpersist()  # chunks are checkpointed; the cache is round-local
