@@ -304,15 +304,40 @@ def cell_containment_join(
 def _buffered_covering_udf(level: int, radians: float):
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(s: pd.Series) -> pd.Series:
-        out = []
-        for b in s:
+        from .functions import geoudfs as GU
+        from .s2.coverer import cap_coverings_fixed_level
+
+        out = [None] * len(s)
+        # point caps take the row-batched flood fill (cell-for-cell
+        # identical to the per-row descent — equality battery in
+        # tests/test_r7_regressions.py — but one vectorized pass for
+        # the whole Arrow batch instead of ~6 ms of tiny-array numpy
+        # dispatch per row); everything else falls back per row
+        pt_idx, pt_lonlat = [], []
+        for i, b in enumerate(s):
             if b is None:
-                out.append(None)
                 continue
-            cells = covering_of_encoded(
-                bytes(b), fixed_level=level, buffer_radians=radians
+            g = GU.decode_cached(bytes(b))
+            pts = g.all_points()
+            if (
+                not g.is_empty()
+                and len(pts) == 1
+                and not g.all_lines()
+                and not g.all_polygons()
+            ):
+                pt_idx.append(i)
+                pt_lonlat.append(pts[0])
+            else:
+                cells = covering_of_encoded(
+                    bytes(b), fixed_level=level, buffer_radians=radians
+                )
+                out[i] = [int(v) for v in cells.view(np.int64)]
+        if pt_idx:
+            covs = cap_coverings_fixed_level(
+                np.asarray(pt_lonlat, dtype=np.float64), level, radians
             )
-            out.append([int(v) for v in cells.view(np.int64)])
+            for i, cells in zip(pt_idx, covs):
+                out[i] = [int(v) for v in cells.view(np.int64)]
         return pd.Series(out, dtype=object)
 
     return _udf

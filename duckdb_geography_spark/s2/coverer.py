@@ -15,6 +15,7 @@ batched BFS descent.
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 from typing import List, Optional
 
@@ -58,6 +59,23 @@ def normalize_cell_union(cells) -> np.ndarray:
                 break
             out = out[:-4] + [parents[0]]
     return np.array(out, dtype=np.uint64)
+
+
+def cells_corners(cells: np.ndarray) -> np.ndarray:
+    """(n,4,3) unit-vector corners for n cells, one batched pass."""
+    n = len(cells)
+    face, i_lo, j_lo, size = cm.cell_ij_bounds(cells)
+    u_lo = cm.st_to_uv(cm.ij_to_st_min(i_lo))
+    u_hi = cm.st_to_uv(cm.ij_to_st_min(i_lo + size))
+    v_lo = cm.st_to_uv(cm.ij_to_st_min(j_lo))
+    v_hi = cm.st_to_uv(cm.ij_to_st_min(j_lo + size))
+    us = np.stack([u_lo, u_hi, u_hi, u_lo], axis=1)  # CCW
+    vs = np.stack([v_lo, v_lo, v_hi, v_hi], axis=1)
+    f4 = np.repeat(face.astype(np.int64), 4)
+    x, y, z = cm.face_uv_to_xyz(f4, us.ravel(), vs.ravel())
+    xyz = np.stack([x, y, z], axis=1)
+    xyz /= np.linalg.norm(xyz, axis=1)[:, None]
+    return xyz.reshape(n, 4, 3)
 
 
 class _GeogRegion:
@@ -113,19 +131,7 @@ class _GeogRegion:
 
     def _cells_corners(self, cells: np.ndarray) -> np.ndarray:
         """(n,4,3) unit-vector corners for n cells, one batched pass."""
-        n = len(cells)
-        face, i_lo, j_lo, size = cm.cell_ij_bounds(cells)
-        u_lo = cm.st_to_uv(cm.ij_to_st_min(i_lo))
-        u_hi = cm.st_to_uv(cm.ij_to_st_min(i_lo + size))
-        v_lo = cm.st_to_uv(cm.ij_to_st_min(j_lo))
-        v_hi = cm.st_to_uv(cm.ij_to_st_min(j_lo + size))
-        us = np.stack([u_lo, u_hi, u_hi, u_lo], axis=1)  # CCW
-        vs = np.stack([v_lo, v_lo, v_hi, v_hi], axis=1)
-        f4 = np.repeat(face.astype(np.int64), 4)
-        x, y, z = cm.face_uv_to_xyz(f4, us.ravel(), vs.ravel())
-        xyz = np.stack([x, y, z], axis=1)
-        xyz /= np.linalg.norm(xyz, axis=1)[:, None]
-        return xyz.reshape(n, 4, 3)
+        return cells_corners(cells)
 
     @staticmethod
     def _points_in_ring(P: np.ndarray, ring: np.ndarray, orient) -> np.ndarray:
@@ -297,6 +303,106 @@ def _covering_cached(buf, max_cells, fixed_level, buffer_radians):
     from ..geo.geography import Geography
 
     return covering_of_geography(Geography.decode(buf), max_cells, fixed_level, buffer_radians)
+
+
+def cap_coverings_fixed_level(
+    vertex_lonlat: np.ndarray,
+    level: int,
+    buffer_radians: float,
+    cap: int = 16384,
+) -> list:
+    """Buffered fixed-level coverings for n POINT caps, batched across
+    rows — the right-side kernel of joins.distance_join when the
+    geographies are points/cell centers (the common case).
+
+    The generic per-row face-descent (_fixed_level_covering) spends
+    ~6 ms/row in tiny-array numpy dispatch; this flood-fills all rows
+    at once from each point's containing level-L cell through edge
+    neighbors, testing the SAME acceptance predicate
+    (_GeogRegion.may_intersect_batch for a buffered point: the point's
+    leaf inside the cell, or center-to-point distance <= buffer +
+    circumradius) over one big vectorized batch per ring. Set-equality
+    with the descent is asserted over a randomized battery in
+    tests/test_r7_regressions.py — the flood fill is complete because
+    the accepted set of a cap is edge-connected (full-dimensional
+    connected region on a same-level tiling).
+
+    Returns a list of n uint64 arrays (sorted per row)."""
+    n = len(vertex_lonlat)
+    if n == 0:
+        return []
+    vcell = cm.lonlat_to_cellid(vertex_lonlat[:, 0], vertex_lonlat[:, 1])
+    vxyz = gd.lonlat_deg_to_xyz(vertex_lonlat)
+
+    def _accept(cand_cells: np.ndarray, cand_rows: np.ndarray) -> np.ndarray:
+        # the exact may_intersect_batch arithmetic for a buffered point:
+        # the point's leaf inside the cell, or center-to-point distance
+        # <= buffer + circumradius
+        lo = cm.range_min(cand_cells)
+        hi = cm.range_max(cand_cells)
+        vc = vcell[cand_rows]
+        acc = (lo <= vc) & (vc <= hi)
+        rest = np.flatnonzero(~acc)
+        if len(rest):
+            cells_r = cand_cells[rest]
+            cx, cy, cz = cm.cellid_to_center_xyz(cells_r)
+            centers = np.stack([cx, cy, cz], axis=1)
+            circum = np.max(
+                gd.angle(centers[:, None, :], cells_corners(cells_r)), axis=1
+            )
+            dmin = gd.angle(centers, vxyz[cand_rows[rest]])
+            acc[rest[dmin <= buffer_radians + circum]] = True
+        return acc
+
+    seed = cm.parent(vcell, np.full(n, level, dtype=np.int64))
+    accepted: list = [[int(seed[i])] for i in range(n)]  # seed contains the point
+    seen = {(i, int(seed[i])) for i in range(n)}
+    frontier_rows = np.arange(n, dtype=np.int64)
+    frontier_cells = seed.copy()
+    while len(frontier_rows):
+        nb = cm.edge_neighbors(frontier_cells)  # (4, f)
+        cand_cells = nb.ravel()
+        cand_rows = np.tile(frontier_rows, 4)
+        fresh = np.fromiter(
+            ((int(r), int(c)) not in seen for r, c in zip(cand_rows, cand_cells)),
+            dtype=bool,
+            count=len(cand_rows),
+        )
+        if not np.any(fresh):
+            break
+        cand_rows = cand_rows[fresh]
+        cand_cells = cand_cells[fresh]
+        seen.update(zip(cand_rows.tolist(), cand_cells.tolist()))
+        acc = _accept(cand_cells, cand_rows)
+        frontier_rows = cand_rows[acc]
+        frontier_cells = cand_cells[acc]
+        for r, c in zip(frontier_rows.tolist(), frontier_cells.tolist()):
+            accepted[r].append(c)
+            if len(accepted[r]) > cap:
+                suggested = max(
+                    0, level - int(math.ceil(math.log(len(accepted[r]) / cap, 4)))
+                )
+                raise CoveringOverflowError(level, suggested, cap)
+
+    # the generic descent also prunes cells whose ANCESTOR fails the
+    # (conservative) predicate at a coarser level — replay that chain
+    # so the batched output is cell-for-cell identical to
+    # _fixed_level_covering, not just a safe superset
+    all_rows = np.concatenate(
+        [np.full(len(a), i, dtype=np.int64) for i, a in enumerate(accepted)]
+    )
+    all_cells = np.concatenate([np.array(a, dtype=np.uint64) for a in accepted])
+    keep = np.ones(len(all_cells), dtype=bool)
+    for lev in range(0, level):
+        idx = np.flatnonzero(keep)
+        if not len(idx):
+            break
+        anc = cm.parent(all_cells[idx], np.full(len(idx), lev, dtype=np.int64))
+        keep[idx[~_accept(anc, all_rows[idx])]] = False
+    out: list = [[] for _ in range(n)]
+    for r, c in zip(all_rows[keep].tolist(), all_cells[keep].tolist()):
+        out[r].append(c)
+    return [np.sort(np.array(a, dtype=np.uint64)) for a in out]
 
 
 def covering_of_geography(

@@ -139,3 +139,34 @@ def test_restored_prepared_parts_have_edge_arrays():
     # exercises _parts_intersect -> edge_arrays on the restored parts
     assert not ops.intersects(inner, other)
     assert ops.distance(inner, other) > 0
+
+
+def test_cap_covering_batch_equals_descent():
+    """The row-batched point-cap covering (s2/coverer.py::
+    cap_coverings_fixed_level, the distance_join right-side kernel)
+    must be cell-for-cell identical to the generic per-row face
+    descent across levels, radii, and positions including cube
+    corners, face edges, and poles."""
+    from duckdb_geography_spark.s2 import coverer as cov
+
+    rng = np.random.default_rng(42)
+    pts = list(zip(rng.random(25) * 360 - 180, rng.random(25) * 170 - 85)) + [
+        (0, 0),
+        (180, 0),
+        (0, 90),
+        (0, -90),
+        (45, 35.264389682754654),  # cube corner
+        (-135, -35.264389682754654),
+        (179.999, 0.001),  # face edge
+        (0.001, 89.999),
+        (44.999, 35.2),
+    ]
+    for level in (1, 3, 6, 10):
+        avg_edge = 0.85 / 2**level
+        for mult in (0.05, 1.0, 2.5):
+            rad = avg_edge * mult
+            fast = cov.cap_coverings_fixed_level(np.array(pts), level, rad)
+            for i, (lon, lat) in enumerate(pts):
+                region = cov._GeogRegion(Geography.point(lon, lat), rad)
+                want = {int(c) for c in cov._fixed_level_covering(region, level)}
+                assert {int(c) for c in fast[i]} == want, (level, mult, (lon, lat))
