@@ -548,3 +548,24 @@ class TestKnnJoin:
             J.knn_join(cities, cities, k=1)
         with _pytest.raises(ValueError, match="initial_meters"):
             J.knn_join(cities, cities, k=1, left_key="name", initial_meters=0)
+
+    def test_polygon_left_side(self, spark, sample):
+        """kNN works for polygon left sides (countries kNN cities):
+        distance_join buffers the point right side (the batched cap
+        covering) and the exact refine uses the r7 vectorized
+        polygon-point kernels."""
+        cities, countries, _ = sample
+        left = countries.select(F.col("name").alias("a"), "geog").limit(12)
+        right = cities.select(
+            F.col("name").alias("b"), F.col("geog").alias("geog2")
+        ).limit(60)
+        truth = self._truth(left, right, 2)
+        got = J.knn_join(
+            left,
+            right.withColumnRenamed("geog2", "geog"),
+            k=2,
+            left_key="a",
+            right_key="b",
+            initial_meters=400_000,
+        )
+        assert {(r.a, r.b, r.knn_rank) for r in got.collect()} == truth
