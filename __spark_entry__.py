@@ -1799,6 +1799,48 @@ ORDER BY c_custkey, s_suppkey
 """
 
 
+def _q_embedding_knn_join(spark, sf_dir):
+    """Multi-query exact top-k over the embedding corpus
+    (llm/similarity.py::embedding_knn_join, round 7) — the retrieval /
+    hard-negative-mining join. Queries (vec_id < 10) are broadcast as
+    one matrix; each corpus partition emits only its LOCAL top-k per
+    query (mapInPandas bounded at queries x k rows), and one window
+    merges the partition winners. The corpus never shuffles. The
+    DuckDB oracle is the literal cross join + row_number."""
+    from duckdb_geography_spark.llm import similarity as S
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.embedding_knn_join(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+    return out.select(
+        F.col("query_key").alias("query_id"), "vec_id", "score", "rank"
+    ).orderBy("query_id", "rank")
+
+
+_EMBEDDING_KNN_JOIN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 10),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    round(list_cosine_similarity(c.v, q.qv), 6) AS score
+  FROM q CROSS JOIN c),
+r AS (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     """Distributed spherical k-means over the full embeddings corpus
     (llm/cluster.py, round 7) — SemDeDup-style corpus clustering as a
@@ -5959,6 +6001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_intersection": _q_overlay_intersection,
         "knn_join": _q_knn_join,
         "kmeans_clusters": _q_kmeans_clusters,
+        "embedding_knn_join": _q_embedding_knn_join,
         "jl_project": _q_jl_project,
         "snap_cast_distance": _q_snap_cast_distance,
         "tpch_pricing_summary": _q_pricing_summary,
@@ -6116,4 +6159,5 @@ def oracle_sql() -> dict[str, str]:
         "jl_topk": _jl_topk_sql(),
         "knn_join": _knn_join_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
+        "embedding_knn_join": _EMBEDDING_KNN_JOIN_SQL,
     }

@@ -87,6 +87,7 @@ def main() -> None:
         "jl_topk",
         "knn_join",
         "kmeans_clusters",
+        "embedding_knn_join",
     ]
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:

@@ -42,6 +42,7 @@ __all__ = [
     "cosine_pair",
     "cosine_topk",
     "cosine_topk_all",
+    "embedding_knn_join",
     "lsh_signature",
     "lsh_signature_udf",
     "lsh_neardup_pairs",
@@ -253,6 +254,127 @@ def cosine_topk(
         score = cosine_sim(vec_col, _query_lit(query_vec))
     scored = df.select(F.col(key_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(key_col)).limit(k)
+
+
+def embedding_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_vec_col: Optional[str] = None,
+    query_key_col: Optional[str] = None,
+    max_queries: int = 65536,
+) -> DataFrame:
+    """EXACT multi-query top-k over an embedding corpus — the
+    retrieval / hard-negative-mining join (for EVERY query row, the k
+    highest-cosine corpus rows), the scale path where
+    :func:`cosine_topk_all`'s cross join is the bounded baseline.
+
+    Shape: the query side is collected once (bounded by
+    ``max_queries`` — a queries x dim float64 matrix that must fit in
+    executor memory) and broadcast inside an Arrow-batched kernel.
+    Each corpus partition scores its rows against ALL queries with the
+    same sequential-fold cosine the single-query kernel uses
+    (DuckDB-fold parity) and emits only its LOCAL top-k per query —
+    mapInPandas output is bounded at queries x k rows per partition,
+    and the corpus itself never shuffles. One row_number window over
+    the partition winners (partitions x queries x k tiny rows) gives
+    the global exact answer: the local and global ranks use the SAME
+    total order (score rounded to 6dp desc — the cosine_topk
+    convention, which also pins cross-engine ordering — then corpus
+    key asc), so every global winner survives its partition cut.
+
+    Output columns: ``query_key`` (the query's key), ``key_col``,
+    ``score`` (rounded 6dp), ``rank`` (1..k).
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    if k < 1:
+        raise ValueError("embedding_knn_join: k must be >= 1")
+    qk = query_key_col or key_col
+    qv = query_vec_col or vec_col
+    qrows = queries.select(qk, qv).limit(int(max_queries) + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"embedding_knn_join: more than max_queries={max_queries} query rows; "
+            "raise max_queries consciously (the query matrix is broadcast whole) "
+            "or shard the query side"
+        )
+    if not qrows:
+        empty = corpus.select(F.col(key_col)).where(F.lit(False))
+        return empty.select(
+            F.col(key_col).alias("query_key"),
+            F.col(key_col),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        )
+    qkeys = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # sequential-fold norms
+    dim = Q.shape[1]
+
+    qkey_field = queries.select(F.col(qk)).schema[0]
+    key_field = corpus.select(F.col(key_col)).schema[0]
+    out_schema = StructType(
+        [
+            StructField("query_key", qkey_field.dataType),
+            StructField(key_field.name, key_field.dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+    src = corpus.select(F.col(key_col), F.col(vec_col))
+
+    def part(batches):
+        cand_keys: list = []
+        cand_scores: list = []  # per query: lists of (score, key) chunks
+        keys_all: list = []
+        scores_all: list = []
+        for pdf in batches:
+            v = pdf[vec_col]
+            mask = _valid_mask(v, dim)
+            if not mask.any():
+                continue
+            V = _stack_valid(v, mask, dim)
+            kk = pdf[key_col].to_numpy()[mask]
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            # one sequential-fold dot per query, vectorized over rows
+            S = np.empty((len(V), len(Q)), dtype=np.float64)
+            for j in range(len(Q)):
+                d = _seq_dot(V, Q[j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S[:, j] = np.where((nv == 0.0) | (qn[j] == 0.0), 0.0, d / (nv * qn[j]))
+            S = np.round(S, 6)
+            # local cut per batch: keep k best rows per query
+            for j in range(len(Q)):
+                order = np.lexsort((kk, -S[:, j]))[: int(k)]
+                keys_all.append((j, kk[order], S[order, j]))
+        if not keys_all:
+            return
+        # final per-partition cut over the batch winners
+        out_q, out_k, out_s = [], [], []
+        byq: dict = {}
+        for j, kks, ss in keys_all:
+            byq.setdefault(j, ([], []))
+            byq[j][0].append(kks)
+            byq[j][1].append(ss)
+        for j, (kks, ss) in byq.items():
+            kk = np.concatenate(kks)
+            sc = np.concatenate(ss)
+            order = np.lexsort((kk, -sc))[: int(k)]
+            out_q.extend([qkeys[j]] * len(order))
+            out_k.extend(kk[order].tolist())
+            out_s.extend(sc[order].tolist())
+        yield pd.DataFrame(
+            {"query_key": out_q, key_field.name: out_k, "score": out_s}
+        )
+
+    winners = src.mapInPandas(part, out_schema)
+    w = Window.partitionBy("query_key").orderBy(F.desc("score"), F.col(key_field.name))
+    return (
+        winners.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+    )
 
 
 def cosine_topk_all(

@@ -1505,3 +1505,27 @@ def test_cluster_balanced_sample(spark):
 
     with _pytest.raises(ValueError, match="per_cluster"):
         CL.cluster_balanced_sample(df, cents, per_cluster=0)
+
+
+def test_embedding_knn_join(spark):
+    """Multi-query exact top-k (round 7): partition-local cuts compose
+    to the global answer (same rounded-score total order), matches the
+    per-query cosine_topk baseline, rejects oversized query sides, and
+    the corpus never shuffles before the winners window."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5).repartition(7)  # force many partitions
+    got = similarity.embedding_knn_join(corpus, queries, k=3)
+    rows = got.orderBy("query_key", "rank").collect()
+    assert len(rows) == 15
+    for q in range(5):
+        qv = [float(x) for x in queries.where(F.col("vec_id") == q).first().embedding]
+        want = similarity.cosine_topk(corpus, qv, k=3).collect()
+        mine = [r for r in rows if r.query_key == q]
+        assert [(r.vec_id, r.score) for r in mine] == [(r.vec_id, r.score) for r in want]
+    with _pytest.raises(ValueError, match="max_queries"):
+        similarity.embedding_knn_join(corpus, emb, k=1, max_queries=3)
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.embedding_knn_join(corpus, queries, k=0)
