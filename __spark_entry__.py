@@ -1799,6 +1799,36 @@ ORDER BY c_custkey, s_suppkey
 """
 
 
+def _q_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (llm/similarity.py::
+    mean_pool_embeddings, round 7) — the chunk-to-document pooling /
+    class-centroid primitive as a PURE Column plan (posexplode ->
+    map-combinable per-(label, dim) avg -> sort_array(collect_list)
+    rebuild; no UDF, plan-asserted in tests). Values rounded to 6dp:
+    Spark's partial avg and DuckDB's sequential avg can differ in the
+    last ulp."""
+    from duckdb_geography_spark.llm.similarity import mean_pool_embeddings
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool_embeddings(emb, "label", out_col="centroid")
+    return pooled.select(
+        "label",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    ).orderBy("label")
+
+
+_LABEL_CENTROIDS_SQL = """
+WITH base AS (SELECT label, CAST(embedding AS DOUBLE[]) AS lst FROM embeddings),
+e AS (
+  SELECT label, i.i AS pos, lst[i.i] AS v
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) i),
+m AS (SELECT label, pos, avg(v) AS mv FROM e GROUP BY label, pos)
+SELECT label, list(round(mv, 6) ORDER BY pos) AS centroid
+FROM m GROUP BY label ORDER BY label
+"""
+
+
 def _q_embedding_knn_join(spark, sf_dir):
     """Multi-query exact top-k over the embedding corpus
     (llm/similarity.py::embedding_knn_join, round 7) — the retrieval /
@@ -6002,6 +6032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "kmeans_clusters": _q_kmeans_clusters,
         "embedding_knn_join": _q_embedding_knn_join,
+        "label_centroids": _q_label_centroids,
         "jl_project": _q_jl_project,
         "snap_cast_distance": _q_snap_cast_distance,
         "tpch_pricing_summary": _q_pricing_summary,
@@ -6160,4 +6191,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
         "embedding_knn_join": _EMBEDDING_KNN_JOIN_SQL,
+        "label_centroids": _LABEL_CENTROIDS_SQL,
     }

@@ -43,6 +43,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_all",
     "embedding_knn_join",
+    "mean_pool_embeddings",
     "lsh_signature",
     "lsh_signature_udf",
     "lsh_neardup_pairs",
@@ -254,6 +255,37 @@ def cosine_topk(
         score = cosine_sim(vec_col, _query_lit(query_vec))
     scored = df.select(F.col(key_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(key_col)).limit(k)
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_cols,
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Elementwise mean of an embedding column per group — the
+    chunk-to-document pooling step (a document embedding from its
+    chunk embeddings) and the class-centroid builder.
+
+    Pure Column plan, no UDF anywhere: posexplode to (group, dim_pos,
+    value) -> avg per (group, pos) — a map-side-combinable partial
+    aggregate, so the shuffle carries groups x dim running (sum,
+    count) pairs, not vectors — -> rebuild the array with
+    sort_array(collect_list(struct(pos, avg))) + transform. NULL
+    vectors drop out of the mean (posexplode skips them); a group of
+    only NULLs disappears (no dimensions to pool)."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    exploded = df.select(
+        *group_cols, F.posexplode(_c(vec_col)).alias("__p", "__v")
+    )
+    per_dim = exploded.groupBy(*group_cols, "__p").agg(
+        F.avg(F.col("__v").cast("double")).alias("__m")
+    )
+    return per_dim.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__p", "__m"))), lambda s: s["__m"]
+        ).alias(out_col)
+    )
 
 
 def embedding_knn_join(

@@ -1529,3 +1529,28 @@ def test_embedding_knn_join(spark):
         similarity.embedding_knn_join(corpus, emb, k=1, max_queries=3)
     with _pytest.raises(ValueError, match="k must be"):
         similarity.embedding_knn_join(corpus, queries, k=0)
+
+
+def test_mean_pool_embeddings(spark):
+    """Chunk->doc pooling (round 7): pure-Column plan (no Python eval
+    stage), elementwise means match numpy, NULL vectors drop out."""
+    import numpy as np
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (1, [3.0, 4.0, 5.0]),
+        (2, [10.0, 0.0, -2.0]),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc long, embedding array<double>")
+    out = similarity.mean_pool_embeddings(df, "doc").orderBy("doc").collect()
+    assert [r.doc for r in out] == [1, 2]
+    assert np.allclose(out[0].embedding, [2.0, 3.0, 4.0])
+    assert np.allclose(out[1].embedding, [10.0, 0.0, -2.0])  # NULL dropped
+    plan = (
+        similarity.mean_pool_embeddings(df, "doc")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan  # pure Column, no UDF
