@@ -5968,12 +5968,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token_budget_sample, token_budget_global, jl_topk (added after
     # the r6 window filled); (b) geoarrow_roundtrip and the rest of
     # the r5-recorded cohort now aging out, so no gate's latest driver
-    # record is older than two rounds. That fills all 50 slots;
-    # overlay_intersection (r5-recorded, semantics subsumed by the
-    # r6-recorded overlay_suite gate) is the one r5 gate that rides
-    # just past the window — it leads the r8 rotation. Every gate,
-    # windowed or not, is green in the full local oracle sweep
-    # (ORACLE_r7_evidence.txt, scripts/check_oracle.py).
+    # record is older than two rounds. That fills all 50 slots. Riding
+    # just past the window, leading the r8 rotation: overlay_intersection
+    # (r5-recorded; semantics subsumed by the r6-recorded overlay_suite
+    # gate) and the four operators ADDED this round — knn_join,
+    # kmeans_clusters, embedding_knn_join, label_centroids (slots
+    # 51-54, driver-unrecorded until r8). Every gate, windowed or not,
+    # is green in the full local oracle sweep (ORACLE_r7_evidence.txt,
+    # scripts/check_oracle.py, 105/105).
     return {
         # --- r7 window (50): never-recorded first, then the r5 cohort ---
         "token_budget_sample": _q_token_budget,
