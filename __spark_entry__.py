@@ -1294,18 +1294,6 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
-def _q_simhash(spark, sf_dir):
-    """60-bit SimHash signatures (md5 token hash) — per-bit majority
-    vote replayed exactly by the SQL oracle."""
-    from duckdb_geography_spark.llm.dedup import simhash
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash("text", n_bits=60, hash_fn="md5").alias("sig")
-    ).orderBy("doc_id")
-
-
 _SIMHASH_SQL = r"""
 WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
@@ -1324,20 +1312,6 @@ SELECT d.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) AS sig
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
 """
-
-
-def _q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup JOIN path under the oracle: 60-bit md5
-    signatures -> pigeonhole chunk equi-join (width-15 chunks, any
-    pair within hamming 3 shares one) -> bit_count refine. The oracle
-    replays signatures, bucketing, and refine in SQL."""
-    from duckdb_geography_spark.llm.dedup import simhash_pairs
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(
-        docs, max_hamming=3, blocks=4, n_bits=60, hash_fn="md5"
-    ).orderBy("key_a", "key_b")
 
 
 def _simhash_pairs_sql():
@@ -2308,39 +2282,6 @@ ORDER BY n_nationkey
 """
 
 
-def _q_overlay_intersection(spark, sf_dir):
-    """General polygon overlay per nation: rect ^ diagonally shifted
-    rect through the edge-classification overlay engine
-    (geo/overlay.py). The overlap is a geodesic quad whose two
-    non-corner vertices are great-circle crossings; the oracle
-    recomputes those crossings as cross products and the area with
-    the same Van Oosterom & Strackee excess the engine uses, so the
-    km2-rounded areas match exactly. The shifted rect's north edge is
-    clamped below the pole (ymax+5.7 can pass 90 for the top row of
-    nations, which has no WKT meaning)."""
-    from duckdb_geography_spark import synth
-    from duckdb_geography_spark.functions.accessors import s2_area
-    from duckdb_geography_spark.functions.io import s2_geogfromtext
-    from duckdb_geography_spark.functions.predicates import s2_intersection
-
-    _prep(spark)
-    nation = _t(spark, sf_dir, "nation").repartition(16)  # Python overlay per row
-    xmin, ymin, xmax, ymax = synth.nation_box()
-    shifted = F.format_string(
-        "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
-        xmin + 10.3, ymin + 5.7, xmax + 10.3, ymin + 5.7,
-        xmax + 10.3, F.least(ymax + 5.7, F.lit(89.0)),
-        xmin + 10.3, F.least(ymax + 5.7, F.lit(89.0)), xmin + 10.3, ymin + 5.7,
-    )
-    inter = s2_intersection(
-        s2_geogfromtext(synth.nation_wkt()), s2_geogfromtext(shifted)
-    )
-    return nation.select(
-        "n_nationkey",
-        F.round(s2_area(inter) / F.lit(1e6), 3).alias("inter_area_km2"),
-    ).orderBy("n_nationkey")
-
-
 def _overlay_intersection_sql():
     """The overlap quad's vertices: B's SW corner, meridian(xmax) x
     B's south great circle, A's NE corner, meridian(xmin+10.3) x A's
@@ -2709,19 +2650,23 @@ ORDER BY 1, 2
 
 
 def _q_overlay_suite(spark, sf_dir):
-    """s2_difference and s2_union under the exact oracle, same
-    rect-pair configuration as overlay_intersection: the oracle
-    computes area(A), area(B) and the overlap quad's area with the
-    engine's own spherical-excess formula, then uses the exact
-    identities area(A\\B) = area(A) - area(A^B) and
+    """s2_intersection, s2_difference and s2_union under the exact
+    oracle, one rect-pair configuration: the oracle computes area(A),
+    area(B) and the overlap quad's area with the engine's own
+    spherical-excess formula, then uses the exact identities
+    area(A\\B) = area(A) - area(A^B) and
     area(A u B) = area(A) + area(B) - area(A^B). A wrong edge split,
     dropped hole, or winding bug in the overlay engine shifts a
-    km2-rounded area and breaks the hash."""
+    km2-rounded area and breaks the hash. Round 8 (VERDICT r7 item 7):
+    absorbs the former overlay_intersection gate — inter_area_km2 is
+    that gate's exact output column, so all three overlay operators
+    stay full-value oracle-covered in one registry slot."""
     from duckdb_geography_spark import synth
     from duckdb_geography_spark.functions.accessors import s2_area
     from duckdb_geography_spark.functions.io import s2_geogfromtext
     from duckdb_geography_spark.functions.predicates import (
         s2_difference,
+        s2_intersection,
         s2_union,
     )
 
@@ -2737,10 +2682,14 @@ def _q_overlay_suite(spark, sf_dir):
     a = s2_geogfromtext(synth.nation_wkt())
     b = s2_geogfromtext(shifted)
     staged = nation.select(
-        "n_nationkey", s2_difference(a, b).alias("dg"), s2_union(a, b).alias("ug")
+        "n_nationkey",
+        s2_intersection(a, b).alias("ig"),
+        s2_difference(a, b).alias("dg"),
+        s2_union(a, b).alias("ug"),
     )
     return staged.select(
         "n_nationkey",
+        F.round(s2_area("ig") / F.lit(1e6), 3).alias("inter_area_km2"),
         F.round(s2_area("dg") / F.lit(1e6), 3).alias("diff_area_km2"),
         F.round(s2_area("ug") / F.lit(1e6), 3).alias("union_area_km2"),
     ).orderBy("n_nationkey")
@@ -2787,6 +2736,7 @@ def _overlay_suite_sql():
         + eb
         + """
 SELECT t.n_nationkey,
+  round(abs(t.e1 + t.e2) * 6371010.0 * 6371010.0 / 1e6, 3) AS inter_area_km2,
   round((abs(a.e) - abs(t.e1 + t.e2)) * 6371010.0 * 6371010.0 / 1e6, 3) AS diff_area_km2,
   round((abs(a.e) + abs(b.e) - abs(t.e1 + t.e2)) * 6371010.0 * 6371010.0 / 1e6, 3) AS union_area_km2
 FROM tri t
@@ -3935,19 +3885,6 @@ FROM ranked GROUP BY pack_bucket, pack_id ORDER BY pack_bucket, pack_id
 """
 
 
-def _q_bigram_nll(spark, sf_dir):
-    """Bigram-LM scoring — the n-gram step toward the KenLM filter:
-    per-document mean NLL per transition, add-1 smoothing, integer
-    micronats (llm/lm.py::bigram_nll). The oracle rebuilds transitions
-    with a 1-based list lambda and replays the identical ln calls over
-    integer arguments."""
-    from duckdb_geography_spark.llm.lm import bigram_nll
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return bigram_nll(docs).orderBy("doc_id")
-
-
 _BIGRAM_NLL_SQL = r"""
 WITH w AS (
   SELECT doc_id,
@@ -4003,19 +3940,6 @@ FROM documents ORDER BY doc_id
 """
 
 
-def _q_trigram_nll(spark, sf_dir):
-    """Trigram-LM scoring (two-word context) via the generalized
-    ngram_nll — the context-length knob of the KenLM-style filter.
-    Oracle rebuilds the (prev-pair, cur) transitions with 1-based list
-    lambdas and a greatest() slice guard (DuckDB's negative slice ends
-    wrap, which would fabricate transitions for one-word docs)."""
-    from duckdb_geography_spark.llm.lm import ngram_nll
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return ngram_nll(docs, 3).orderBy("doc_id")
-
-
 _TRIGRAM_NLL_SQL = r"""
 WITH w AS (
   SELECT doc_id,
@@ -4044,19 +3968,6 @@ SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_trans,
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
-
-
-def _q_unigram_nll(spark, sf_dir):
-    """Corpus-trained unigram-LM scoring (the SQL-replayable core of
-    the CCNet/RefinedWeb KenLM perplexity filter): per-document mean
-    negative log likelihood in nats/word, add-1 smoothing, integer
-    micronat aggregation so the sum is order-independent
-    (llm/lm.py::unigram_nll; ln parity JVM<->DuckDB pytest-asserted)."""
-    from duckdb_geography_spark.llm.lm import unigram_nll
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return unigram_nll(docs).orderBy("doc_id")
 
 
 _UNIGRAM_NLL_SQL = """
@@ -5957,31 +5868,221 @@ FROM s ORDER BY score_q8 DESC, vec_id LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# consolidated gates (round 8, VERDICT r7 item 7)
+#
+# With 105 gates against the driver's 50-slot correctness window, a
+# 2-round record rotation was structurally impossible. These merge the
+# near-duplicate gates into single union-shaped gates — every merged
+# operator keeps its FULL-VALUE oracle coverage (the union carries each
+# part's complete output, tagged by a part/n column), the registry
+# drops to 100 = exactly two windows.
+# ---------------------------------------------------------------------------
+
+
+def _q_ngram_nll(spark, sf_dir):
+    """Uni/bi/trigram LM scoring in one gate: the three per-document
+    NLL tables unioned with an ``n`` tag. All three operators'
+    complete outputs are hashed — n_words/n_trans normalize to
+    ``n_terms`` (long) so the union schema is uniform. Replaces the
+    unigram_nll / bigram_nll / trigram_nll gates (each r6-recorded)."""
+    from duckdb_geography_spark.llm.lm import bigram_nll, ngram_nll, unigram_nll
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    u = unigram_nll(docs).select(
+        F.lit(1).alias("n"),
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_terms"),
+        "nll",
+    )
+    b = bigram_nll(docs).select(
+        F.lit(2).alias("n"),
+        "doc_id",
+        F.col("n_trans").cast("long").alias("n_terms"),
+        "nll",
+    )
+    t = ngram_nll(docs, 3).select(
+        F.lit(3).alias("n"),
+        "doc_id",
+        F.col("n_trans").cast("long").alias("n_terms"),
+        "nll",
+    )
+    return u.unionByName(b).unionByName(t).orderBy("n", "doc_id")
+
+
+def _ngram_nll_sql():
+    parts = []
+    for n, sql, cnt in (
+        (1, _UNIGRAM_NLL_SQL, "n_words"),
+        (2, _BIGRAM_NLL_SQL, "n_trans"),
+        (3, _TRIGRAM_NLL_SQL, "n_trans"),
+    ):
+        parts.append(
+            f"SELECT {n} AS n, doc_id, CAST({cnt} AS BIGINT) AS n_terms, nll"
+            f" FROM ({sql})"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY n, doc_id"
+
+
+def _q_simhash_suite(spark, sf_dir):
+    """SimHash signatures + pigeonhole near-dup pairs in one gate:
+    (part='sig', doc_id, -1, signature) union (part='pair', key_a,
+    key_b, hamming). Both merged operators keep full-value coverage.
+    Replaces the simhash_signatures / simhash_pairs gates."""
+    from duckdb_geography_spark.llm.dedup import simhash, simhash_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.lit(-1).cast("long").alias("k2"),
+        simhash("text", n_bits=60, hash_fn="md5").cast("long").alias("v"),
+    )
+    pairs = simhash_pairs(
+        docs, max_hamming=3, blocks=4, n_bits=60, hash_fn="md5"
+    ).select(
+        F.lit("pair").alias("part"),
+        F.col("key_a").cast("long").alias("k1"),
+        F.col("key_b").cast("long").alias("k2"),
+        F.col("hamming").cast("long").alias("v"),
+    )
+    return sig.unionByName(pairs).orderBy("part", "k1", "k2")
+
+
+def _simhash_suite_sql():
+    return f"""
+SELECT 'sig' AS part, CAST(doc_id AS BIGINT) AS k1, CAST(-1 AS BIGINT) AS k2,
+       CAST(sig AS BIGINT) AS v
+FROM ({_SIMHASH_SQL})
+UNION ALL
+SELECT 'pair' AS part, CAST(key_a AS BIGINT) AS k1, CAST(key_b AS BIGINT) AS k2,
+       CAST(hamming AS BIGINT) AS v
+FROM ({_simhash_pairs_sql()})
+ORDER BY part, k1, k2
+"""
+
+
+def _q_token_budget_gate(spark, sf_dir):
+    """Per-stratum AND sort-free-global token-budget sampling in one
+    gate, tagged by part. The global part has no stratum / running
+    total in its contract — those columns are pinned ('' / -1) so the
+    union schema is uniform. Replaces token_budget_sample /
+    token_budget_global (both r7-recorded)."""
+    s = _q_token_budget(spark, sf_dir).select(
+        F.lit("stratum").alias("part"),
+        "doc_id",
+        "source",
+        "wc",
+        F.col("tokens_before").cast("long").alias("tokens_before"),
+        "__priority",
+    )
+    g = _q_token_budget_global(spark, sf_dir).select(
+        F.lit("global").alias("part"),
+        "doc_id",
+        F.lit("").alias("source"),
+        "wc",
+        F.lit(-1).cast("long").alias("tokens_before"),
+        "__priority",
+    )
+    return s.unionByName(g).orderBy("part", "doc_id")
+
+
+def _token_budget_gate_sql():
+    return f"""
+SELECT 'stratum' AS part, doc_id, source, wc,
+       CAST(tokens_before AS BIGINT) AS tokens_before, __priority
+FROM ({_TOKEN_BUDGET_SQL})
+UNION ALL
+SELECT 'global' AS part, doc_id, '' AS source, wc,
+       CAST(-1 AS BIGINT) AS tokens_before, __priority
+FROM ({_TOKEN_BUDGET_GLOBAL_SQL})
+ORDER BY part, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records the first 50
-    # registered queries. Round-7 window (VERDICT r6 item 1): (a) the
-    # three gates that have NEVER had a driver record —
-    # token_budget_sample, token_budget_global, jl_topk (added after
-    # the r6 window filled); (b) geoarrow_roundtrip and the rest of
-    # the r5-recorded cohort now aging out, so no gate's latest driver
-    # record is older than two rounds. That fills all 50 slots. Riding
-    # just past the window, leading the r8 rotation: overlay_intersection
-    # (r5-recorded; semantics subsumed by the r6-recorded overlay_suite
-    # gate) and the four operators ADDED this round — knn_join,
-    # kmeans_clusters, embedding_knn_join, label_centroids (slots
-    # 51-54, driver-unrecorded until r8). Every gate, windowed or not,
-    # is green in the full local oracle sweep (ORACLE_r7_evidence.txt,
-    # scripts/check_oracle.py, 105/105).
+    # registered queries. Round 8 consolidated the registry to exactly
+    # 100 gates (VERDICT r7 item 7: unigram/bigram/trigram_nll ->
+    # ngram_nll; simhash_signatures+simhash_pairs -> simhash_suite;
+    # token_budget_sample+global -> token_budget_gate;
+    # overlay_intersection absorbed into overlay_suite), so from r8 on
+    # the rotation is a clean 2-round cycle: this window (50) and the
+    # past-window half (50) swap every round. R8 window = (a) the four
+    # r7-new operators that have NEVER had a driver record — knn_join,
+    # kmeans_clusters, embedding_knn_join, label_centroids; (b) the
+    # four consolidated gates (new names/schemas, need fresh records);
+    # (c) 42 of the r6-recorded cohort. Past-window = the 4 r6 gates
+    # that slipped (jl_project, stream_decontaminate, weighted_mix,
+    # char_entropy — each with an r7-fresh sibling covering the same
+    # code path) leading the r9 window, then the 46 r7-recorded gates.
+    # Every gate, windowed or not, is green in the full local oracle
+    # sweep (ORACLE_r8_evidence.txt, scripts/check_oracle.py).
     return {
-        # --- r7 window (50): never-recorded first, then the r5 cohort ---
-        "token_budget_sample": _q_token_budget,
-        "token_budget_global": _q_token_budget_global,
-        "jl_topk": _q_jl_topk,
-        # r5-recorded cohort (aging out; geoarrow first per VERDICT)
+        # --- r8 window (50): never-recorded + consolidated first ---
+        "knn_join": _q_knn_join,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "embedding_knn_join": _q_embedding_knn_join,
+        "label_centroids": _q_label_centroids,
+        "overlay_suite": _q_overlay_suite,
+        "ngram_nll": _q_ngram_nll,
+        "simhash_suite": _q_simhash_suite,
+        "token_budget_gate": _q_token_budget_gate,
+        # r6-recorded cohort (42 of 46)
+        "snap_cast_distance": _q_snap_cast_distance,
+        "tpch_pricing_summary": _q_pricing_summary,
+        "tpch_top_orders": _q_top_orders,
+        "cell_bitops": _q_cell_bitops,
+        "cellfromlonlat": _q_cellfromlonlat,
+        "cell_containment_join": _q_cell_containment,
+        "pip_covering_join": _q_pip_join,
+        "wkt_roundtrip": _q_wkt_roundtrip,
+        "rect_measures": _q_rect_measures,
+        "covering_sizes": _q_covering_sizes,
+        "bounds_box_agg": _q_bounds_box_agg,
+        "accessor_suite": _q_accessor_suite,
+        "wkb_codec": _q_wkb_codec,
+        "predicate_gate": _q_predicate_gate,
+        "tsv_roundtrip": _q_tsv_roundtrip,
+        "partitioned_sink_gate": _q_partitioned_sink_gate,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_topk": _q_embedding_topk,
+        "minhash_lsh_candidates": _q_minhash_candidates,
+        "dedup_clusters": _q_dedup_clusters,
+        "sessionize_batch": _q_sessionize_batch,
+        "repetition_signals": _q_repetition_signals,
+        "boilerplate_frac": _q_boilerplate,
+        "decontaminate": _q_decontaminate,
+        "semdedup": _q_semdedup,
+        "sequence_packing": _q_sequence_packing,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "stream_interval_join": _q_stream_interval_join,
+        "topk_per_group": _q_topk_per_group,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "rolling_stats": _q_rolling_stats,
+        "url_ops": _q_url_ops,
+        "host_stats": _q_host_stats,
+        "pq_topk": _q_pq_topk,
+        "incremental_dedup": _q_incremental_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_lines": _q_dedup_lines,
+        "funnel": _q_funnel,
+        "snapped_distance_pairs": _q_snapped_distance,
+        "data_tables_gate": _q_data_tables_gate,
+        # --- past the 50-entry window: the r9 window, in its order ---
+        # (4 slipped r6 gates first, then the 46 r7-recorded gates)
+        "jl_project": _q_jl_project,
+        "stream_decontaminate": _q_stream_decontaminate,
+        "weighted_mix": _q_weighted_mix,
+        "char_entropy": _q_char_entropy,
         "geoarrow_roundtrip": _q_geoarrow_roundtrip,
         "corpus_curation": _q_corpus_curation,
         "stream_neardup": _q_stream_neardup,
@@ -6012,8 +6113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prep": _q_doc_prep,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "embedding_sim_pairs": _q_embedding_pairs,
-        "simhash_signatures": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_trained_topk": _q_ivf_trained_topk,
@@ -6029,62 +6128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds_box_gate": _q_bounds_box_gate,
         "validity_gate": _q_validity_gate,
         "debug_string_gate": _q_debug_string_gate,
-        # --- past the 50-entry window: recorded green in r6 ---
-        "overlay_intersection": _q_overlay_intersection,
-        "knn_join": _q_knn_join,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "embedding_knn_join": _q_embedding_knn_join,
-        "label_centroids": _q_label_centroids,
-        "jl_project": _q_jl_project,
-        "snap_cast_distance": _q_snap_cast_distance,
-        "tpch_pricing_summary": _q_pricing_summary,
-        "tpch_top_orders": _q_top_orders,
-        "cell_bitops": _q_cell_bitops,
-        "cellfromlonlat": _q_cellfromlonlat,
-        "cell_containment_join": _q_cell_containment,
-        "pip_covering_join": _q_pip_join,
-        "wkt_roundtrip": _q_wkt_roundtrip,
-        "rect_measures": _q_rect_measures,
-        "covering_sizes": _q_covering_sizes,
-        "bounds_box_agg": _q_bounds_box_agg,
-        "accessor_suite": _q_accessor_suite,
-        "wkb_codec": _q_wkb_codec,
-        "predicate_gate": _q_predicate_gate,
-        "overlay_suite": _q_overlay_suite,
-        "tsv_roundtrip": _q_tsv_roundtrip,
-        "partitioned_sink_gate": _q_partitioned_sink_gate,
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "embedding_topk": _q_embedding_topk,
-        "minhash_lsh_candidates": _q_minhash_candidates,
-        "dedup_clusters": _q_dedup_clusters,
-        "sessionize_batch": _q_sessionize_batch,
-        "repetition_signals": _q_repetition_signals,
-        "boilerplate_frac": _q_boilerplate,
-        "decontaminate": _q_decontaminate,
-        "semdedup": _q_semdedup,
-        "stream_decontaminate": _q_stream_decontaminate,
-        "sequence_packing": _q_sequence_packing,
-        "unigram_nll": _q_unigram_nll,
-        "bigram_nll": _q_bigram_nll,
-        "trigram_nll": _q_trigram_nll,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "stream_interval_join": _q_stream_interval_join,
-        "topk_per_group": _q_topk_per_group,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "rolling_stats": _q_rolling_stats,
-        "url_ops": _q_url_ops,
-        "host_stats": _q_host_stats,
-        "pq_topk": _q_pq_topk,
-        "incremental_dedup": _q_incremental_dedup,
-        "stratified_sample": _q_stratified_sample,
-        "dedup_lines": _q_dedup_lines,
-        "char_entropy": _q_char_entropy,
-        "weighted_mix": _q_weighted_mix,
-        "funnel": _q_funnel,
-        "snapped_distance_pairs": _q_snapped_distance,
-        "data_tables_gate": _q_data_tables_gate,
+        "jl_topk": _q_jl_topk,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -6123,14 +6167,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "minhash_lsh_candidates": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
-        "simhash_signatures": _SIMHASH_SQL,
-        "simhash_pairs": _simhash_pairs_sql(),
+        "simhash_suite": _simhash_suite_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "ivf_trained_topk": _ivf_trained_topk_sql(),
         "covering_sizes": _covering_sizes_sql(),
         "bounds_box_agg": _bounds_box_agg_sql(),
-        "overlay_intersection": _overlay_intersection_sql(),
         "overlay_suite": _overlay_suite_sql(),
         "audio_windows": _AUDIO_WINDOWS_SQL,
         "prepare_gate": _PREPARE_GATE_SQL,
@@ -6151,7 +6193,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "stream_decontaminate": _decontaminate_sql(),
         "sequence_packing": _SEQUENCE_PACKING_SQL,
-        "unigram_nll": _UNIGRAM_NLL_SQL,
+        "ngram_nll": _ngram_nll_sql(),
         "asof_join": _ASOF_JOIN_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,
         "topk_per_group": _TOPK_PER_GROUP_SQL,
@@ -6164,8 +6206,6 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
-        "bigram_nll": _BIGRAM_NLL_SQL,
-        "trigram_nll": _TRIGRAM_NLL_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "weighted_mix": _WEIGHTED_MIX_SQL,
         "funnel": _FUNNEL_SQL,
@@ -6187,8 +6227,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "weighted_stratified": _WEIGHTED_STRATIFIED_SQL,
-        "token_budget_sample": _TOKEN_BUDGET_SQL,
-        "token_budget_global": _TOKEN_BUDGET_GLOBAL_SQL,
+        "token_budget_gate": _token_budget_gate_sql(),
         "jl_topk": _jl_topk_sql(),
         "knn_join": _knn_join_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),

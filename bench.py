@@ -3,6 +3,17 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The final stdout line is kept COMPACT by contract: the driver records
+only a bounded tail of stdout, and round 7's line (57 queries + a
+per-query spread map, ~4 KB) outgrew that window, leaving the official
+record unparseable (VERDICT r7 item 1). format_bench_record() now
+guarantees the stdout line stays under MAX_STDOUT_LINE chars — the
+per-query spread map (and, if the suite ever grows far enough, the
+timings map itself) moves to a sidecar JSON file written next to this
+script and echoed on stderr. A unit test (tests/test_bench_record.py)
+pins the length contract so future gate growth can't silently break
+the driver record again.
+
 Headliners cover each engine layer: the covering spatial join, pure-
 Column cell ops, a geography-UDF pipeline, TPC-H-ish analytics, and
 the LLM operators (minhash LSH, simhash, cosine top-k, text stats).
@@ -20,18 +31,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: hard cap for the final stdout JSON line. The driver keeps a ~2000
+#: char tail; 1500 leaves headroom for prefix noise on the same stream.
+MAX_STDOUT_LINE = 1500
 
-def main() -> None:
-    from pyspark.sql import functions as F
 
-    import __spark_entry__ as e
-    from duckdb_geography_spark.session import get_spark
+def format_bench_record(timings, spreads, sf, total):
+    """Build (stdout_line, sidecar_record) for a finished run.
 
-    spark = get_spark(cpus=CPUS, shuffle_partitions=int(CPUS))
-    spark.sparkContext.setLogLevel("ERROR")
+    The stdout line always carries metric/value/unit/sf and — only if
+    it still fits under MAX_STDOUT_LINE — the per-query timings map.
+    The sidecar record always carries everything (timings + spread).
+    """
+    sidecar = {
+        "metric": "headline_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "sf": sf,
+    }
+    line_full = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    if len(line_full) <= MAX_STDOUT_LINE:
+        return line_full, sidecar
+    line_compact = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries_in_sidecar": len(timings),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    return line_compact, sidecar
 
-    qs = e.queries()
-    bench_queries = [
+
+def bench_queries():
+    """The headline suite, in run order. Module-level so the stdout
+    length test can size the real list."""
+    return [
         "pip_covering_join",
         "cell_bitops",
         "cellfromlonlat",
@@ -50,7 +98,7 @@ def main() -> None:
         "sessionize_batch",
         "langid",
         "minhash_lsh_candidates",
-        "simhash_signatures",
+        "simhash_suite",
         "embedding_topk",
         "lsh_topk",
         "ivf_topk",
@@ -59,7 +107,7 @@ def main() -> None:
         "semdedup",
         "boilerplate_frac",
         "sequence_packing",
-        "unigram_nll",
+        "ngram_nll",
         "asof_join",
         "interval_join",
         "topk_per_group",
@@ -71,7 +119,6 @@ def main() -> None:
         "stratified_sample",
         "grouped_quantiles",
         "dedup_lines",
-        "bigram_nll",
         "char_entropy",
         "funnel",
         "bm25_retrieval",
@@ -82,19 +129,31 @@ def main() -> None:
         "int8_topk",
         "bloom_prefilter",
         "zorder_layout",
-        "token_budget_sample",
-        "token_budget_global",
+        "token_budget_gate",
         "jl_topk",
         "knn_join",
         "kmeans_clusters",
         "embedding_knn_join",
     ]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from duckdb_geography_spark.session import get_spark
+
+    spark = get_spark(cpus=CPUS, shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = e.queries()
+    run_queries = bench_queries()
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     if only:
-        unknown = set(only) - set(bench_queries)
+        unknown = set(only) - set(run_queries)
         if unknown:
             raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
-        bench_queries = [q for q in bench_queries if q in only]
+        run_queries = [q for q in run_queries if q in only]
     # warm up the JVM AND the Python UDF workers once (not timed):
     # every task slot imports the package + numpy/pandas on first use,
     # which would otherwise be billed to the first UDF query
@@ -151,7 +210,7 @@ def main() -> None:
     timings = {}
     spreads = {}
     total = 0.0
-    for name in bench_queries:
+    for name in run_queries:
         best, worst, rows = float("inf"), 0.0, 0
         for _ in range(passes):
             t0 = time.perf_counter()
@@ -172,19 +231,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
+    line, sidecar = format_bench_record(timings, spreads, sf, total)
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_SIDECAR_sf{sf_tag}.json"
     )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+        print(f"# full per-query record: {sidecar_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: stderr still has it all
+        print(f"# sidecar write failed ({exc}); full record on stderr", file=sys.stderr)
+    print(f"# sidecar: {json.dumps(sidecar, separators=(',', ':'))}", file=sys.stderr)
+    assert len(line) <= MAX_STDOUT_LINE, len(line)
+    print(line)
     spark.stop()
 
 

@@ -56,7 +56,7 @@ _PURE_JVM = [
     "text_stats",
     "langid",
     "rolling_fingerprint",
-    "simhash_signatures",
+    "simhash_suite",
     "minhash_lsh_candidates",
     "dedup_exact",
     "haversine_pairs",
@@ -69,8 +69,7 @@ _PURE_JVM = [
     "dsir_weights",
     "jl_project",
     "jl_topk",
-    "token_budget_sample",
-    "token_budget_global",
+    "token_budget_gate",
 ]
 
 #: queries promised to run their vector math as Arrow-batched numpy
