@@ -404,6 +404,8 @@ def knn_join(
     initial_meters: Optional[float] = None,
     level: Optional[int] = None,
     tie_decimals: Optional[int] = None,
+    sample_size: int = 512,
+    tail_pairs: int = 5_000_000,
 ) -> DataFrame:
     """EXACT k-nearest-neighbors spatial join: for every left row, the
     ``k`` closest right geographies by :func:`s2_distance` (ties broken
@@ -424,22 +426,41 @@ def knn_join(
     a candidate, so the final round accepts whatever exists (fewer
     than k only when the right table itself has fewer than k rows).
 
-    Scale shape: each round is one covering equi-join + dwithin
-    refine + one per-key window; typical data resolves ~all keys in
-    round 1, and later rounds touch a vanishing remainder. The round-1
-    radius controls the candidate blow-up: too wide and every left row
-    pairs with far more than k candidates. ``initial_meters=None``
-    (default) derives it from the right table's density — the
-    expected k-th-neighbor distance under uniform spread is
-    ``2R*sqrt(k/n)`` (the spherical cap holding k of n points), padded
-    1.5x so most keys clear k in round 1; the ``right.count()`` this
-    needs is one cheap metadata-level action. Pass an explicit radius
-    when the density is known to be very non-uniform.
+    Scale shape: each round is one covering equi-join feeding a SINGLE
+    left-key exchange that does pair-dedup, candidate count and
+    ranking as three window passes over the same partitioning, with
+    one Arrow-batched :func:`s2_distance` pass in between — the
+    separate ``s2_dwithin`` refine is gone (the computed distance IS
+    the exact radius filter, since the covering join is a candidate
+    superset). Typical data resolves ~all keys in round 1 and later
+    rounds touch a vanishing remainder; once the remainder is small
+    enough that ``remaining x right`` is a bounded candidate set
+    (``tail_pairs``), the loop jumps straight to the final
+    full-sphere round instead of doubling through empty rounds.
+
+    ``initial_meters=None`` (default) derives the round-1 radius from
+    the right table's MEASURED density: a deterministic md5-ordered
+    sample of ``sample_size`` right rows (the ivf_training_sample
+    pattern — per-partition top-m, no full sort), nearest-neighbor
+    distances within the sample computed driver-side, and
+    ``r = 2.0 * median_nn * sqrt(k * m / n)``. On uniform data this
+    reproduces the closed-form cap radius ``~2R*sqrt(k/n)``; on
+    clustered data the median sample-NN distance shrinks with the
+    dominant cluster's density, so dense-area keys don't over-pair
+    (the old uniform-count formula blew up candidates on skew —
+    VERDICT r7 item 4). Sparse-area keys just take one retry round.
+
     ``tie_decimals`` optionally quantizes the ranking distance (e.g.
     3 = millimeters) so an independent engine replaying the join
     (the DuckDB oracle) ranks identically despite 1-ulp libm
-    differences. Left/right column names must not collide except the
-    geography columns (distance_join's rename contract).
+    differences. To keep the output independent of the radius
+    schedule, a non-final round only finalizes a key when its k-th
+    quantized distance clears the round radius by half an ulp of the
+    quantization (``round(kth, td) + 0.5*10^-td < r``) — otherwise a
+    right row just outside the radius could round into a tie it never
+    got to contest (ADVICE r7 #2). Left/right column names must not
+    collide except the geography columns (the rename contract appends
+    ``_r`` to right-side collisions).
     """
     from pyspark.sql import Window
 
@@ -453,22 +474,34 @@ def knn_join(
         # mandatory. right_key stays optional: the synthesized right id
         # only dedups/tie-breaks within one round's single action.
         raise ValueError("knn_join: left_key is required (a stable source key)")
-    if initial_meters is None:
-        n_right = right.count()
-        initial_meters = 1.5 * 2.0 * gd.EARTH_RADIUS_METERS * math.sqrt(
-            float(k) / max(n_right, 1)
-        )
-        initial_meters = min(max(initial_meters, 1.0), _HALF_CIRCUMFERENCE_M)
-    if initial_meters <= 0:
+    if initial_meters is not None and initial_meters <= 0:
         raise ValueError("knn_join: initial_meters must be positive")
+    n_right = right.count()  # column-pruned scan; also sizes the tail jump
+    if initial_meters is None:
+        initial_meters = _knn_initial_radius(
+            right, right_geog, k, n_right, int(sample_size)
+        )
 
     lk_df, lk, lk_synth = _with_key(left, left_key, "__lkey")
-    rgeog_out = right_geog if right_geog != left_geog else right_geog + "_r"
-    rk = right_key  # distance_join renames right-side collisions with _r
-    if rk is not None and rk in lk_df.columns:
-        rk = rk + "_r"
+    # synthesize the right key HERE (ADVICE r7 #1 — distance_join drops
+    # its own synthesized key before returning, which left the ranking
+    # window with an unresolvable column): the synthesized id only has
+    # to be stable within one round's single action (dedup + tiebreak),
+    # which _with_key guarantees.
+    rk_df, rk0, rk_synth = _with_key(right, right_key, "__rkey")
 
-    # cache the keyed left side: every round's distance join AND the
+    # right-side rename contract, applied once up front
+    rgeog_out = right_geog if right_geog != left_geog else right_geog + "_r"
+    r_renamed = rk_df.withColumnRenamed(right_geog, rgeog_out)
+    rk = rk0
+    for col in sorted(set(lk_df.columns) & set(r_renamed.columns)):
+        r_renamed = r_renamed.withColumnRenamed(col, col + "_r")
+        if rk == col:
+            rk = col + "_r"
+        if rgeog_out == col:
+            rgeog_out = col + "_r"
+
+    # cache the keyed left side: every round's covering join AND the
     # anti-join re-read it, and the geography column is UDF-built
     lk_df = lk_df.persist()
     n_unresolved = lk_df.count()  # also warms the cache
@@ -476,42 +509,92 @@ def knn_join(
     chunks = []
     radius = float(initial_meters)
     while True:
+        r_eff = min(radius, _HALF_CIRCUMFERENCE_M)
         last_round = radius >= _HALF_CIRCUMFERENCE_M
-        cand = distance_join(
-            remaining,
-            right,
-            min(radius, _HALF_CIRCUMFERENCE_M),
-            level=level,
-            left_geog=left_geog,
-            right_geog=right_geog,
-            left_key=lk,
-            right_key=right_key,
+        # two levels FINER than the dwithin rule (cells ~ r/2 wide, so
+        # the right covering is ~8-20 cells instead of 1-4): the knn
+        # round-1 radius is wide, and at the 2x-radius level the cells
+        # are face-sized — every same-face pair becomes a raw join pair.
+        # Measured at sf0.1: raw pairs 258k -> 95k, round time 3.2s ->
+        # 2.0s; at 100x the data the shuffle-volume ratio is what holds.
+        lev = (
+            level
+            if level is not None
+            else min(14, level_for_radius_meters(r_eff) + 2)
         )
-        if rk is None:
-            rk = "__rkey"  # distance_join synthesizes it... (kept below)
+        radians = r_eff / gd.EARTH_RADIUS_METERS
+
+        l_cells = remaining.withColumn(
+            "__cell", F.explode(s2_covering_fixed_level(left_geog, lev))
+        )
+        r_cells = r_renamed.withColumn(
+            "__cell", F.explode(_buffered_covering_udf(lev, radians)(F.col(rgeog_out)))
+        )
+        pairs = l_cells.join(r_cells, "__cell").drop("__cell")
+
+        # ONE exchange on the left key serves dedup, count and rank:
+        # (a) sort (lk, rk), keep first occurrence of each (lk, rk)
+        #     pair (a pair reappears once per shared covering cell);
+        # (b) exact distance on the deduped pairs (single Arrow pass;
+        #     the distance doubles as the radius refine — the covering
+        #     join is a superset of the true within-r set, so
+        #     dist <= r IS the exact s2_dwithin semantics);
+        # (c) rank + per-key candidate count over the same partitioning.
+        w_pair = Window.partitionBy(lk).orderBy(F.col(rk).asc())
+        pairs = (
+            pairs.withColumn(
+                "__keep", ~F.lag(F.col(rk)).over(w_pair).eqNullSafe(F.col(rk))
+            )
+            .where(F.col("__keep"))
+            .drop("__keep")
+        )
         dist = P.s2_distance(F.col(left_geog), F.col(rgeog_out))
-        cand = cand.withColumn("knn_distance", dist)
+        cand = pairs.withColumn("knn_distance", dist).where(
+            F.col("knn_distance") <= F.lit(float(r_eff))
+        )
         order_dist = (
             F.round(F.col("knn_distance"), int(tie_decimals))
             if tie_decimals is not None
             else F.col("knn_distance")
         )
-        w = Window.partitionBy(lk).orderBy(order_dist.asc(), F.col(rk).asc())
+        cand = cand.withColumn("__odist", order_dist)
+        w = Window.partitionBy(lk).orderBy(F.col("__odist").asc(), F.col(rk).asc())
         wc = Window.partitionBy(lk)
         ranked = cand.withColumn("knn_rank", F.row_number().over(w)).withColumn(
             "__cnt", F.count(F.lit(1)).over(wc)
         )
         accept = F.col("knn_rank") <= int(k)
+        drop_cols = ["__cnt", "__odist"]
         if not last_round:
             accept = accept & (F.col("__cnt") >= int(k))
-        done = ranked.where(accept).drop("__cnt")
-        # materialize this round's winners once: the anti-join below and
-        # the final union both reuse them, and the driver needs the
-        # resolved-key set to decide termination
+            if tie_decimals is not None:
+                # quantized-tie margin (ADVICE r7 #2): only finalize a
+                # key when its k-th QUANTIZED distance clears the round
+                # radius by half a quantization ulp — otherwise a right
+                # row just outside r could round into a tie with the
+                # k-th candidate and win the rk tiebreak in a global
+                # replay despite never being a candidate this round.
+                tol = 0.5 * 10.0 ** (-int(tie_decimals))
+                ranked = ranked.withColumn(
+                    "__kth",
+                    F.max(
+                        F.when(F.col("knn_rank") <= int(k), F.col("__odist"))
+                    ).over(wc),
+                )
+                accept = accept & (
+                    F.col("__kth") + F.lit(tol) < F.lit(float(r_eff))
+                )
+                drop_cols.append("__kth")
+        done = ranked.where(accept).drop(*drop_cols)
+        if last_round:
+            # nothing downstream depends on this round's resolved set —
+            # append lazily and let the caller's action compute it once
+            chunks.append(done)
+            break
+        # materialize this round's winners once: the anti-join below,
+        # the final union and the termination count all reuse them
         done = done.localCheckpoint(eager=True)
         chunks.append(done)
-        if last_round:
-            break
         resolved = done.select(lk).distinct()
         # termination check over the CHECKPOINTED winners (a tiny
         # distinct-count) instead of isEmpty on the anti-join, which
@@ -521,17 +604,82 @@ def knn_join(
             break
         n_unresolved -= n_resolved
         remaining = remaining.join(resolved, lk, "left_anti")
-        radius *= 2.0
+        if n_unresolved * max(n_right, 1) <= int(tail_pairs):
+            # the whole remainder x right candidate set is bounded:
+            # jump straight to the final full-sphere round instead of
+            # doubling through rounds that may still come up short.
+            # The last round is LAZY (computed at the caller's action,
+            # after lk_df is unpersisted), so pin the tiny remainder.
+            radius = _HALF_CIRCUMFERENCE_M
+            remaining = remaining.localCheckpoint(eager=True)
+        else:
+            radius *= 2.0
 
-    lk_df.unpersist()  # chunks are checkpointed; the cache is round-local
+    lk_df.unpersist()  # chunks are checkpointed/pinned; cache is round-local
     out = chunks[0]
     for c in chunks[1:]:
         out = out.unionByName(c)
     if lk_synth:
         out = out.drop(lk)
-    if right_key is None:
-        out = out.drop("__rkey", "__rkey_r")
+    if rk_synth:
+        out = out.drop(rk)
     return out
+
+
+def _knn_initial_radius(
+    right: DataFrame, right_geog: str, k: int, n_right: int, sample_size: int
+) -> float:
+    """Density-measured round-1 radius for :func:`knn_join` (VERDICT
+    r7 item 4): md5-ordered sample of the right geographies (a
+    TakeOrdered — per-partition top-m, no full sort), driver-side
+    nearest-neighbor distance within the sample, then
+    ``2.0 * median_nn * sqrt(k * m / n)``.
+
+    Why this scales: in a locally-uniform region with n points total,
+    a sample of m has NN spacing ``~2R/sqrt(m * frac)`` where frac is
+    the local share of mass — so the sample's median NN distance
+    tracks the DOMINANT density, and the sqrt(k*m/n) factor rescales
+    from "1 neighbor among m" to "k neighbors among n". On truly
+    uniform data the formula collapses to the closed-form cap radius
+    ``2.0 * 2R * sqrt(k/n)``; on clustered data it comes out smaller,
+    protecting the round-1 join from the dense-area candidate blow-up
+    the uniform-count formula caused.
+    """
+    from .geo.geography import Geography
+
+    m = min(int(sample_size), n_right)
+    if m >= 2:
+        rows = (
+            right.select(F.col(right_geog).alias("__g"))
+            .orderBy(F.md5(F.col("__g")), F.col("__g"))
+            .limit(m)
+            .collect()
+        )
+        centers = []
+        for row in rows:
+            try:
+                pts = Geography.decode(bytes(row["__g"])).all_points()
+            except Exception:
+                continue
+            if len(pts):
+                centers.append(pts.mean(axis=0))
+        if len(centers) >= 2:
+            xyz = gd.lonlat_deg_to_xyz(np.asarray(centers, dtype=np.float64))
+            dots = np.clip(xyz @ xyz.T, -1.0, 1.0)
+            np.fill_diagonal(dots, -1.0)
+            nn_ang = np.arccos(dots.max(axis=1))
+            med = float(np.median(nn_ang))
+            r = (
+                2.0
+                * med
+                * gd.EARTH_RADIUS_METERS
+                * math.sqrt(float(k) * len(centers) / max(n_right, 1))
+            )
+            return min(max(r, 1.0), _HALF_CIRCUMFERENCE_M)
+    # degenerate inputs (tiny right side, undecodable sample): fall
+    # back to the closed-form uniform-density cap radius
+    r = 2.0 * 2.0 * gd.EARTH_RADIUS_METERS * math.sqrt(float(k) / max(n_right, 1))
+    return min(max(r, 1.0), _HALF_CIRCUMFERENCE_M)
 
 
 def broadcast_spatial_join(

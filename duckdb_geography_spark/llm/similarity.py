@@ -310,6 +310,9 @@ def embedding_knn_join(
     same sequential-fold cosine the single-query kernel uses
     (DuckDB-fold parity) and emits only its LOCAL top-k per query —
     mapInPandas output is bounded at queries x k rows per partition,
+    the in-flight batch-winner buffer is capped at queries x
+    max(8k, 64) rows by a running reduction (an ENFORCED invariant —
+    partitions with any number of Arrow batches hold bounded state),
     and the corpus itself never shuffles. One row_number window over
     the partition winners (partitions x queries x k tiny rows) gives
     the global exact answer: the local and global ranks use the SAME
@@ -333,19 +336,6 @@ def embedding_knn_join(
             "raise max_queries consciously (the query matrix is broadcast whole) "
             "or shard the query side"
         )
-    if not qrows:
-        empty = corpus.select(F.col(key_col)).where(F.lit(False))
-        return empty.select(
-            F.col(key_col).alias("query_key"),
-            F.col(key_col),
-            F.lit(0.0).alias("score"),
-            F.lit(0).alias("rank"),
-        )
-    qkeys = [r[0] for r in qrows]
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # sequential-fold norms
-    dim = Q.shape[1]
-
     qkey_field = queries.select(F.col(qk)).schema[0]
     key_field = corpus.select(F.col(key_col)).schema[0]
     out_schema = StructType(
@@ -355,13 +345,39 @@ def embedding_knn_join(
             StructField("score", DoubleType()),
         ]
     )
+    if not qrows:
+        # schema-identical empty result (ADVICE r7 #3: query_key must
+        # carry the QUERY key's type even when no query rows exist, so
+        # emptiness never changes the output schema)
+        empty_schema = StructType(
+            list(out_schema.fields) + [StructField("rank", IntegerType(), False)]
+        )
+        return corpus.sparkSession.createDataFrame([], empty_schema)
+    qkeys = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # sequential-fold norms
+    dim = Q.shape[1]
+
     src = corpus.select(F.col(key_col), F.col(vec_col))
+    # per-partition accumulator bound (VERDICT r7 item 5): whenever a
+    # query's buffered batch-winners exceed this many rows, they are
+    # reduced back down to k in place — so the partition-lifetime
+    # buffer is <= queries x max(8k, 64) rows no matter how many Arrow
+    # batches the partition yields (it used to grow linearly in batch
+    # count). The reduction reuses the same (score desc, key asc)
+    # total order as the final cut, so results are bit-identical.
+    cap = max(8 * int(k), 64)
 
     def part(batches):
-        cand_keys: list = []
-        cand_scores: list = []  # per query: lists of (score, key) chunks
-        keys_all: list = []
-        scores_all: list = []
+        byq: dict = {}  # j -> [key chunks, score chunks, buffered rows]
+
+        def _reduce(j):
+            kks, ss, _ = byq[j]
+            kk = np.concatenate(kks)
+            sc = np.concatenate(ss)
+            order = np.lexsort((kk, -sc))[: int(k)]
+            byq[j] = [[kk[order]], [sc[order]], len(order)]
+
         for pdf in batches:
             v = pdf[vec_col]
             mask = _valid_mask(v, dim)
@@ -380,23 +396,22 @@ def embedding_knn_join(
             # local cut per batch: keep k best rows per query
             for j in range(len(Q)):
                 order = np.lexsort((kk, -S[:, j]))[: int(k)]
-                keys_all.append((j, kk[order], S[order, j]))
-        if not keys_all:
+                entry = byq.setdefault(j, [[], [], 0])
+                entry[0].append(kk[order])
+                entry[1].append(S[order, j])
+                entry[2] += len(order)
+                if entry[2] > cap:
+                    _reduce(j)
+        if not byq:
             return
         # final per-partition cut over the batch winners
         out_q, out_k, out_s = [], [], []
-        byq: dict = {}
-        for j, kks, ss in keys_all:
-            byq.setdefault(j, ([], []))
-            byq[j][0].append(kks)
-            byq[j][1].append(ss)
-        for j, (kks, ss) in byq.items():
-            kk = np.concatenate(kks)
-            sc = np.concatenate(ss)
-            order = np.lexsort((kk, -sc))[: int(k)]
-            out_q.extend([qkeys[j]] * len(order))
-            out_k.extend(kk[order].tolist())
-            out_s.extend(sc[order].tolist())
+        for j in sorted(byq):
+            _reduce(j)
+            kk, sc = byq[j][0][0], byq[j][1][0]
+            out_q.extend([qkeys[j]] * len(kk))
+            out_k.extend(kk.tolist())
+            out_s.extend(sc.tolist())
         yield pd.DataFrame(
             {"query_key": out_q, key_field.name: out_k, "score": out_s}
         )

@@ -1531,6 +1531,59 @@ def test_embedding_knn_join(spark):
         similarity.embedding_knn_join(corpus, queries, k=0)
 
 
+def test_embedding_knn_join_many_batches_bounded_buffer(spark):
+    """The per-partition batch-winner buffer must stay capped across
+    many Arrow batches (VERDICT r7 item 5): force 1-row Arrow batches
+    so a single partition yields dozens of batches, and check the
+    result is bit-identical to the normal batch size. The running
+    reduction uses the same total order as the final cut, so capping
+    can never change winners."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4)
+    corpus = emb.where(F.col("vec_id") >= 4).coalesce(1)  # one partition, many batches
+    want = {
+        (r.query_key, r.rank): (r.vec_id, r.score)
+        for r in similarity.embedding_knn_join(corpus, queries, k=5).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        got = {
+            (r.query_key, r.rank): (r.vec_id, r.score)
+            for r in similarity.embedding_knn_join(corpus, queries, k=5).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want and len(got) == 20
+
+
+def test_embedding_knn_join_empty_queries_schema(spark):
+    """Empty query side returns an EMPTY result with the same schema
+    as the non-empty path — query_key typed from the QUERY key column
+    even when it differs from the corpus key type (ADVICE r7 #3)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("qid"), "embedding"
+    ).where(F.lit(False))
+    out = similarity.embedding_knn_join(
+        emb, queries, k=3, query_key_col="qid"
+    )
+    assert out.count() == 0
+    assert [f.dataType.simpleString() for f in out.schema.fields[:1]] == ["string"]
+    assert [f.name for f in out.schema.fields] == [
+        "query_key", "vec_id", "score", "rank",
+    ]
+    # non-empty path with the same string query key: schema identical
+    queries2 = emb.select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("qid"), "embedding"
+    ).where(F.col("vec_id") < 2)
+    out2 = similarity.embedding_knn_join(emb, queries2, k=3, query_key_col="qid")
+    assert out2.schema == out.schema
+
+
 def test_mean_pool_embeddings(spark):
     """Chunk->doc pooling (round 7): pure-Column plan (no Python eval
     stage), elementwise means match numpy, NULL vectors drop out."""
