@@ -321,11 +321,26 @@ def cap_coverings_fixed_level(
     neighbors, testing the SAME acceptance predicate
     (_GeogRegion.may_intersect_batch for a buffered point: the point's
     leaf inside the cell, or center-to-point distance <= buffer +
-    circumradius) over one big vectorized batch per ring. Set-equality
-    with the descent is asserted over a randomized battery in
-    tests/test_r7_regressions.py — the flood fill is complete because
-    the accepted set of a cap is edge-connected (full-dimensional
-    connected region on a same-level tiling).
+    circumradius) over one big vectorized batch per ring.
+
+    Completeness is GUARANTEED, not assumed (ADVICE r7 #4 — the
+    acceptance set itself need not be edge-connected, because the
+    per-cell circumradius varies between same-level cells): the fill
+    TRAVERSES a slack-widened superset — cells whose center is within
+    ``buffer + circum(cell) + kMaxDiag/2^level`` of the point — and
+    EMITS only cells passing the exact predicate. Soundness of the
+    slack: every accepted cell's center lies within
+    ``buffer + max_circum(level)`` of the point (a metric disk), and
+    any cell crossed by the geodesic from an accepted center to the
+    point has its own center within one circumradius of that geodesic,
+    hence within ``buffer + max_circum + circum(cell)`` of the point.
+    ``max_circum(level) <= kMaxDiag/2^level`` (a cell's circumradius
+    is strictly less than its full diagonal; kMaxDiag = 1.21932... is
+    the published S2 quadratic-projection max-diagonal derivative), so
+    the widened traversal set contains an edge-connected path from the
+    seed to every accepted cell. Set-equality with the per-row descent
+    is additionally asserted over a randomized battery in
+    tests/test_r7_regressions.py.
 
     Returns a list of n uint64 arrays (sorted per row)."""
     n = len(vertex_lonlat)
@@ -333,15 +348,21 @@ def cap_coverings_fixed_level(
         return []
     vcell = cm.lonlat_to_cellid(vertex_lonlat[:, 0], vertex_lonlat[:, 1])
     vxyz = gd.lonlat_deg_to_xyz(vertex_lonlat)
+    # S2 kMaxDiag (quadratic projection): max cell diagonal at level L
+    # is 1.2193272972170503 / 2^L radians — a strict upper bound on any
+    # same-level circumradius, used as the traversal slack
+    slack = 1.2193272972170503 / (1 << max(level, 0))
 
-    def _accept(cand_cells: np.ndarray, cand_rows: np.ndarray) -> np.ndarray:
+    def _accept_both(cand_cells: np.ndarray, cand_rows: np.ndarray):
         # the exact may_intersect_batch arithmetic for a buffered point:
         # the point's leaf inside the cell, or center-to-point distance
-        # <= buffer + circumradius
+        # <= buffer + circumradius. Returns (exact, traverse) masks in
+        # one corner pass — traverse adds the kMaxDiag slack.
         lo = cm.range_min(cand_cells)
         hi = cm.range_max(cand_cells)
         vc = vcell[cand_rows]
         acc = (lo <= vc) & (vc <= hi)
+        trav = acc.copy()
         rest = np.flatnonzero(~acc)
         if len(rest):
             cells_r = cand_cells[rest]
@@ -352,7 +373,11 @@ def cap_coverings_fixed_level(
             )
             dmin = gd.angle(centers, vxyz[cand_rows[rest]])
             acc[rest[dmin <= buffer_radians + circum]] = True
-        return acc
+            trav[rest[dmin <= buffer_radians + circum + slack]] = True
+        return acc, trav
+
+    def _accept(cand_cells: np.ndarray, cand_rows: np.ndarray) -> np.ndarray:
+        return _accept_both(cand_cells, cand_rows)[0]
 
     seed = cm.parent(vcell, np.full(n, level, dtype=np.int64))
     accepted: list = [[int(seed[i])] for i in range(n)]  # seed contains the point
@@ -373,10 +398,13 @@ def cap_coverings_fixed_level(
         cand_rows = cand_rows[fresh]
         cand_cells = cand_cells[fresh]
         seen.update(zip(cand_rows.tolist(), cand_cells.tolist()))
-        acc = _accept(cand_cells, cand_rows)
-        frontier_rows = cand_rows[acc]
-        frontier_cells = cand_cells[acc]
-        for r, c in zip(frontier_rows.tolist(), frontier_cells.tolist()):
+        # traverse the slack-widened superset; emit only exact accepts
+        acc, trav = _accept_both(cand_cells, cand_rows)
+        frontier_rows = cand_rows[trav]
+        frontier_cells = cand_cells[trav]
+        emit_rows = cand_rows[acc]
+        emit_cells = cand_cells[acc]
+        for r, c in zip(emit_rows.tolist(), emit_cells.tolist()):
             accepted[r].append(c)
             if len(accepted[r]) > cap:
                 suggested = max(

@@ -170,3 +170,28 @@ def test_cap_covering_batch_equals_descent():
                 region = cov._GeogRegion(Geography.point(lon, lat), rad)
                 want = {int(c) for c in cov._fixed_level_covering(region, level)}
                 assert {int(c) for c in fast[i]} == want, (level, mult, (lon, lat))
+
+
+def test_cap_covering_coarse_levels_wide_radii():
+    """Connectivity stress for the slack-widened flood fill (ADVICE r7
+    #4): levels 0-2 have the largest same-level circumradius variation
+    (where a rejected ring could in principle isolate an accepted cell
+    from the seed), and wide buffers maximize the acceptance rim.
+    Every covering must still equal the per-row descent exactly."""
+    from duckdb_geography_spark.s2 import coverer as cov
+
+    rng = np.random.default_rng(7)
+    pts = list(zip(rng.random(12) * 360 - 180, rng.random(12) * 170 - 85)) + [
+        (45, 35.264389682754654),
+        (0, 90),
+        (-90, 0),
+    ]
+    for level in (0, 1, 2):
+        avg_edge = 0.85 / 2**level
+        for mult in (0.3, 0.9, 1.4, 3.0):
+            rad = avg_edge * mult
+            fast = cov.cap_coverings_fixed_level(np.array(pts), level, rad)
+            for i, (lon, lat) in enumerate(pts):
+                region = cov._GeogRegion(Geography.point(lon, lat), rad)
+                want = {int(c) for c in cov._fixed_level_covering(region, level)}
+                assert {int(c) for c in fast[i]} == want, (level, mult, (lon, lat))
