@@ -649,12 +649,12 @@ def _knn_initial_radius(
 
     m = min(int(sample_size), n_right)
     if m >= 2:
-        rows = (
-            right.select(F.col(right_geog).alias("__g"))
-            .orderBy(F.md5(F.col("__g")), F.col("__g"))
-            .limit(m)
-            .collect()
-        )
+        src = right.select(F.col(right_geog).alias("__g"))
+        if n_right > sample_size:
+            # unbiased deterministic subsample: TakeOrdered on md5
+            src = src.orderBy(F.md5(F.col("__g")), F.col("__g")).limit(m)
+        # else: the whole right side IS the sample — skip the sort
+        rows = src.collect()
         centers = []
         for row in rows:
             try:
