@@ -5928,19 +5928,25 @@ def _q_simhash_suite(spark, sf_dir):
     """SimHash signatures + pigeonhole near-dup pairs in one gate:
     (part='sig', doc_id, -1, signature) union (part='pair', key_a,
     key_b, hamming). Both merged operators keep full-value coverage.
-    Replaces the simhash_signatures / simhash_pairs gates."""
-    from duckdb_geography_spark.llm.dedup import simhash, simhash_pairs
+    Replaces the simhash_signatures / simhash_pairs gates. The
+    signature table is computed ONCE (lineage-cut, 16 bytes/row) and
+    feeds both union branches — the sig pass is the expensive part
+    (interpreted per-token HOF votes), the pairs join is cheap."""
+    from duckdb_geography_spark.llm.dedup import simhash, simhash_pairs_from_sigs
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select(
+    sigs = docs.select(
+        "doc_id", simhash("text", n_bits=60, hash_fn="md5").alias("sig")
+    ).localCheckpoint(eager=False)
+    sig = sigs.select(
         F.lit("sig").alias("part"),
         F.col("doc_id").cast("long").alias("k1"),
         F.lit(-1).cast("long").alias("k2"),
-        simhash("text", n_bits=60, hash_fn="md5").cast("long").alias("v"),
+        F.col("sig").cast("long").alias("v"),
     )
-    pairs = simhash_pairs(
-        docs, max_hamming=3, blocks=4, n_bits=60, hash_fn="md5"
+    pairs = simhash_pairs_from_sigs(
+        sigs, sig_col="sig", key_col="doc_id", max_hamming=3, blocks=4, n_bits=60
     ).select(
         F.lit("pair").alias("part"),
         F.col("key_a").cast("long").alias("k1"),

@@ -599,6 +599,43 @@ def simhash_pairs(
         F.col(key_col).alias("__key"),
         simhash(text_col, n_bits=n_bits, hash_fn=hash_fn).alias("__sig"),
     )
+    # materialization barrier (lineage cut, not just an exchange): the
+    # self-join's inferred isnotnull(join key) constraint rewrites to
+    # isnotnull(<the whole interpreted higher-order simhash expr>) and
+    # pushes through any Exchange into BOTH sides' parquet scans as a
+    # per-row DataFilter, so the signature was being re-evaluated
+    # several times per row per side (measured 147s for 5k docs at
+    # sf0.1; 3s with the cut). localCheckpoint stores 16 bytes/row on
+    # executor-local storage, both join sides read the same blocks,
+    # and no filter can cross an RDD boundary. Batch-only operator, so
+    # the eager=False checkpoint is safe.
+    sig = sig.localCheckpoint(eager=False)
+    return simhash_pairs_from_sigs(
+        sig, sig_col="__sig", key_col="__key",
+        max_hamming=max_hamming, blocks=blocks, n_bits=n_bits,
+    )
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    sig_col: str = "sig",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    n_bits: int = 64,
+) -> DataFrame:
+    """:func:`simhash_pairs` from PRECOMPUTED signatures — callers that
+    already materialized a signature table (an incremental-dedup store,
+    or a gate unioning signatures + pairs) skip the second signature
+    pass. ``sigs`` should be cheap to recompute or already a lineage
+    cut (see simhash_pairs); the caller owns that contract."""
+    while blocks <= max_hamming or n_bits % blocks != 0:
+        blocks += 1
+        if blocks > n_bits:
+            raise ValueError(
+                f"no chunk split of {n_bits} bits supports max_hamming={max_hamming}"
+            )
+    sig = sigs.select(F.col(key_col).alias("__key"), F.col(sig_col).alias("__sig"))
     width = n_bits // blocks
     chunk_keys = F.array(
         *[
