@@ -5929,15 +5929,17 @@ def _q_simhash_suite(spark, sf_dir):
     (part='sig', doc_id, -1, signature) union (part='pair', key_a,
     key_b, hamming). Both merged operators keep full-value coverage.
     Replaces the simhash_signatures / simhash_pairs gates. The
-    signature table is computed ONCE (lineage-cut, 16 bytes/row) and
-    feeds both union branches — the sig pass is the expensive part
-    (interpreted per-token HOF votes), the pairs join is cheap."""
-    from duckdb_geography_spark.llm.dedup import simhash, simhash_pairs_from_sigs
+    signature table is computed ONCE (the batch explode+vote-sum form,
+    lineage-cut, 16 bytes/row) and feeds both union branches."""
+    from duckdb_geography_spark.llm.dedup import (
+        simhash_batch,
+        simhash_pairs_from_sigs,
+    )
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id", simhash("text", n_bits=60, hash_fn="md5").alias("sig")
+    sigs = simhash_batch(
+        docs, n_bits=60, hash_fn="md5", out_col="sig"
     ).localCheckpoint(eager=False)
     sig = sigs.select(
         F.lit("sig").alias("part"),

@@ -525,10 +525,79 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
+def simhash_batch(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
+    out_col: str = "sig",
+) -> DataFrame:
+    """Batch twin of :func:`simhash` — identical signatures, computed
+    as explode + ``n_bits`` codegen'd vote sums instead of the per-row
+    interpreted higher-order lambda (which pays ~n_bits interpreted
+    expression evals PER TOKEN; measured 3.2s -> 0.6s for 5k docs at
+    sf0.1). Use this for batch corpora; keep the Column form for
+    per-row contexts (streaming, ad-hoc expressions).
+
+    Shape: explode tokens -> hash once per token -> groupBy(key) with
+    one integer SUM per bit (map-side combinable: the exchange carries
+    one n_bits-wide row per key per partition) -> signature assembled
+    by a pure projection. Bit-exactness with the Column form: the
+    votes are order-free integer sums, the majority test (> 0) and the
+    bit placement (shiftleft; distinct powers, so the sum IS the
+    bitwise or) are the same arithmetic. Docs with no tokens (empty,
+    whitespace-only, or NULL text) get 0 — the Column form's exact
+    contract. ``key_col`` must be unique (one signature per key)."""
+    from functools import reduce as _reduce
+
+    tokens = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
+    )
+    tok = df.select(F.col(key_col).alias("__key"), F.explode(tokens).alias("__t"))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("__t"))
+    else:
+        h = _token_hash(F.col("__t"), 60, hash_fn)
+    tok = tok.select("__key", h.alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"__w{i}")
+        for i in range(n_bits)
+    ]
+    votes = tok.groupBy("__key").agg(*aggs)
+    sig = _reduce(
+        lambda a, b: a + b,
+        [
+            F.when(
+                F.col(f"__w{i}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(n_bits)
+        ],
+    )
+    votes = votes.select("__key", sig.alias("__sig"))
+    base = df.select(F.col(key_col).alias("__key"))
+    # no-token docs (empty, whitespace-only, NULL text) all get 0 —
+    # the Column form's exact contract (its per-bit when(null > 0)
+    # falls through to 0 for NULL text too)
+    return base.join(votes, "__key", "left").select(
+        F.col("__key").alias(key_col),
+        F.coalesce(F.col("__sig"), F.lit(0).cast("long")).alias(out_col),
+    )
+
+
 def simhash(text, n_bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """SimHash of whitespace tokens: per-bit majority vote of token
     hashes, pure Column math (aggregate over an n_bits-slot weight
-    array). With ``hash_fn='md5'`` the token hash is 60-bit (15 hex
+    array). Batch corpora should prefer :func:`simhash_batch` — the
+    same signatures at a fraction of the CPU (this form pays ~n_bits
+    interpreted lambda evals per token; the batch form runs codegen'd
+    sums). With ``hash_fn='md5'`` the token hash is 60-bit (15 hex
     chars fit a BIGINT in both engines) so the signature has an exact
     DuckDB twin; pass n_bits=60 to skip the always-zero high bits."""
     tokens = F.filter(F.split(F.trim(_c(text)), "\\s+"), lambda t: F.length(t) > 0)
@@ -595,20 +664,19 @@ def simhash_pairs(
             raise ValueError(
                 f"no chunk split of {n_bits} bits supports max_hamming={max_hamming}"
             )
-    sig = df.select(
-        F.col(key_col).alias("__key"),
-        simhash(text_col, n_bits=n_bits, hash_fn=hash_fn).alias("__sig"),
-    )
+    sig = simhash_batch(
+        df, text_col=text_col, key_col=key_col, n_bits=n_bits,
+        hash_fn=hash_fn, out_col="__sig",
+    ).withColumnRenamed(key_col, "__key")
     # materialization barrier (lineage cut, not just an exchange): the
     # self-join's inferred isnotnull(join key) constraint rewrites to
-    # isnotnull(<the whole interpreted higher-order simhash expr>) and
-    # pushes through any Exchange into BOTH sides' parquet scans as a
-    # per-row DataFilter, so the signature was being re-evaluated
-    # several times per row per side (measured 147s for 5k docs at
-    # sf0.1; 3s with the cut). localCheckpoint stores 16 bytes/row on
-    # executor-local storage, both join sides read the same blocks,
-    # and no filter can cross an RDD boundary. Batch-only operator, so
-    # the eager=False checkpoint is safe.
+    # isnotnull(<the whole signature expression subtree>) and pushes
+    # through any Exchange toward BOTH sides' scans, re-evaluating the
+    # signature per row per side (measured 147s for 5k docs at sf0.1
+    # with the interpreted Column form; 3s with the cut).
+    # localCheckpoint stores 16 bytes/row on executor-local storage,
+    # both join sides read the same blocks, and no filter can cross an
+    # RDD boundary. Batch-only operator, so eager=False is safe.
     sig = sig.localCheckpoint(eager=False)
     return simhash_pairs_from_sigs(
         sig, sig_col="__sig", key_col="__key",

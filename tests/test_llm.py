@@ -233,6 +233,47 @@ class TestDedup:
         keys = {(p.key_a, p.key_b) for p in pairs}
         assert (1, 2) in keys and (1, 3) not in keys
 
+    def test_simhash_batch_equals_column_form(self, spark):
+        """simhash_batch must be bit-identical to the per-row Column
+        form for both hash functions, including the edge contracts:
+        empty / whitespace-only / NULL text -> 0, single token, long
+        docs. Real corpus slice + synthetic edges."""
+        edges = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, ""),
+            (3, "   \t  "),
+            (4, None),
+            (5, "single"),
+            (6, "x " * 500),
+            (7, "alpha beta gamma delta epsilon zeta eta iota"),
+        ]
+        df = spark.createDataFrame(edges, "doc_id long, text string")
+        real = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .limit(100)
+            .withColumn("doc_id", F.col("doc_id") + 1000)
+        )
+        both = df.union(real)
+        for hash_fn, n_bits in (("md5", 60), ("xxhash64", 64)):
+            col_form = {
+                r.doc_id: r.s
+                for r in both.select(
+                    "doc_id",
+                    dedup.simhash("text", n_bits=n_bits, hash_fn=hash_fn).alias("s"),
+                ).collect()
+            }
+            batch_form = {
+                r.doc_id: r.sig
+                for r in dedup.simhash_batch(
+                    both, n_bits=n_bits, hash_fn=hash_fn
+                ).collect()
+            }
+            assert batch_form == col_form, hash_fn
+            # empty / whitespace-only / NULL text all -> 0 (the Column
+            # form's per-bit when(null > 0) falls through to 0)
+            assert batch_form[2] == 0 and batch_form[3] == 0 and batch_form[4] == 0
+
     def test_embedding_neardup(self, spark, emb):
         planted = emb.limit(10).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
