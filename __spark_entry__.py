@@ -5617,8 +5617,13 @@ def _q_jl_project(spark, sf_dir):
     p = jl_project(
         emb, vec_col="embedding", in_dim=64, out_dim=8, seed=7, out_col="proj"
     )
+    # posexplode_OUTER: a plain posexplode makes Catalyst infer a
+    # size(proj) > 0 pushdown filter, which re-evaluates the whole
+    # folded projection expression inside the scan (2x per row). The
+    # outer form infers no filter, and proj is never empty (its length
+    # is the literal sign-matrix row count), so the rows are identical.
     return (
-        p.select("vec_id", F.posexplode("proj").alias("r", "v"))
+        p.select("vec_id", F.posexplode_outer("proj").alias("r", "v"))
         .select(
             "vec_id",
             F.col("r").cast("long").alias("r"),

@@ -798,6 +798,14 @@ def semdedup(
         _c(vec_col).alias("__v"),
         F.expr(f"array_position({dots}, array_max({dots}))").alias("cluster"),
     )
+    # lineage cut (same pathology as simhash_pairs): the cluster
+    # self-join's inferred isnotnull(cluster) constraint rewrites to
+    # isnotnull(<the k x dim argmax-dot expression>) and pushes into
+    # BOTH join sides' scans, re-evaluating the assignment per row per
+    # side. Checkpoint the (key, vec, cluster) rows once; every
+    # downstream consumer (a/b pair sides, the skew-cap join, the
+    # final kept left-join) reads the same blocks. Batch-only op.
+    assigned = assigned.localCheckpoint(eager=False)
     pairable = assigned
     if max_cluster is not None:
         sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__sz"))

@@ -40,6 +40,26 @@ def plans(spark, entry):
     return out
 
 
+def test_no_hof_exprs_in_scan_filters(plans):
+    """No interpreted higher-order-function expression may appear in a
+    FileScan's pushed DataFilters. Catalyst rewrites inferred
+    constraints (join-key isnotnull, generate size>0) in terms of the
+    UNDERLYING expression and pushes them into the scan — for a HOF
+    like a simhash signature or a k x dim argmax-dot that means
+    re-evaluating the whole expression per row per scan, on top of the
+    projection that computes it for real. This cost simhash_pairs 17x
+    (round 8) before the lineage cut; the invariant pins the fix for
+    every gate."""
+    offenders = {}
+    for name, p in plans.items():
+        for line in p.splitlines():
+            if "FileScan" in line and (
+                "aggregate(" in line or "zip_with(" in line
+            ):
+                offenders.setdefault(name, []).append(line.strip()[:90])
+    assert offenders == {}
+
+
 def test_no_cartesian_shapes_anywhere(plans):
     offenders = {
         name: [k for k in ("CartesianProduct", "BroadcastNestedLoopJoin") if k in p]
