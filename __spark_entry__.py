@@ -6015,6 +6015,187 @@ ORDER BY part, doc_id
 
 
 # ---------------------------------------------------------------------------
+# round 8: hybrid retrieval fusion + corpus snapshot CDC
+# ---------------------------------------------------------------------------
+
+
+def _q_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-25 fused with dense cosine
+    top-25 by reciprocal-rank fusion (llm/retrieval.py::rrf_fuse /
+    hybrid_rrf_topk, round 8) — integer micro-contributions
+    round(1e9/(c+rank)) summed as longs, so the fused scores are
+    exact cross-engine. vec_id keys the same corpus as doc_id
+    (TESTDATA contract); the query is the 4-term lexical query plus
+    vec_id 0's embedding, corpus side excludes vec_id 0 on both legs
+    so the query never retrieves itself."""
+    from duckdb_geography_spark.llm.retrieval import hybrid_rrf_topk
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") != 0)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return hybrid_rrf_topk(
+        docs,
+        emb.where(F.col("vec_id") != 0),
+        _BM25_TERMS,
+        [float(x) for x in q],
+        k=15,
+        n_each=25,
+    ).select("doc_id", "n_lists", "best_rank", "rrf_micro")
+
+
+def _rrf_hybrid_sql():
+    bm25 = _bm25_sql().replace(
+        "FROM documents", "FROM documents WHERE doc_id <> 0", 1
+    )
+    return f"""
+WITH bm_top AS ({bm25}),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+  FROM bm_top),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dn_top AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings, q WHERE vec_id <> 0
+  ORDER BY score DESC, vec_id LIMIT 25),
+dn AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+  FROM dn_top),
+u AS (SELECT * FROM bm UNION ALL SELECT * FROM dn)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lists,
+  CAST(min(rank) AS BIGINT) AS best_rank,
+  CAST(sum(CAST(round(1e9 / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf_micro
+FROM u GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id LIMIT 15
+"""
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot CDC (llm/cdc.py::snapshot_diff, round 8): old =
+    docs with doc_id % 7 != 0, new = docs with doc_id % 5 != 0 and
+    every 11th document's text uppercased — so the diff contains all
+    four added/removed/changed transitions plus dropped unchanged
+    rows. Fingerprints are NULL-safe md5 digests over (text, lang,
+    source, n_chars), identical on both engines."""
+    from duckdb_geography_spark.llm.cdc import snapshot_diff
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(
+        old, new, "doc_id", ["text", "lang", "source", "n_chars"]
+    ).orderBy("doc_id")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH fp_src AS (
+  SELECT doc_id,
+    md5(concat_ws(chr(31),
+      coalesce(CAST(text AS VARCHAR), chr(0) || 'N'),
+      coalesce(CAST(lang AS VARCHAR), chr(0) || 'N'),
+      coalesce(CAST(source AS VARCHAR), chr(0) || 'N'),
+      coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'N'))) AS fp,
+    md5(concat_ws(chr(31),
+      coalesce(CAST(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS VARCHAR), chr(0) || 'N'),
+      coalesce(CAST(lang AS VARCHAR), chr(0) || 'N'),
+      coalesce(CAST(source AS VARCHAR), chr(0) || 'N'),
+      coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'N'))) AS fp_new
+  FROM documents),
+o AS (SELECT doc_id, fp AS old_fp FROM fp_src WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id, fp_new AS new_fp FROM fp_src WHERE doc_id % 5 <> 0),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+  CASE WHEN old_fp IS NULL THEN 'added'
+       WHEN new_fp IS NULL THEN 'removed'
+       WHEN old_fp <> new_fp THEN 'changed'
+       ELSE 'unchanged' END AS change_type,
+  old_fp, new_fp
+FROM j
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+ORDER BY doc_id
+"""
+
+
+def _q_web_suite(spark, sf_dir):
+    """Consolidated web-analytics gate (r8 registry diet, VERDICT r7
+    item 7 follow-through): url_ops (parse/canonicalize) and
+    host_stats (per-host rollup) as one 2-part union — both operators
+    keep full-value oracle coverage under one driver slot."""
+    u = _q_url_ops(spark, sf_dir).select(
+        F.lit("url").alias("part"),
+        "doc_id",
+        "url",
+        "host",
+        "domain",
+        "path",
+        "norm",
+        F.lit(-1).cast("long").alias("n_docs"),
+        F.lit(-1).cast("long").alias("n_paths"),
+    )
+    h = _q_host_stats(spark, sf_dir).select(
+        F.lit("host").alias("part"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("").alias("url"),
+        "host",
+        F.lit("").alias("domain"),
+        F.lit("").alias("path"),
+        F.lit("").alias("norm"),
+        F.col("n_docs").cast("long"),
+        F.col("n_paths").cast("long"),
+    )
+    return u.unionByName(h).orderBy("part", "doc_id", "host")
+
+
+def _web_suite_sql():
+    return f"""
+SELECT 'url' AS part, doc_id, url, host, domain, path, norm,
+       CAST(-1 AS BIGINT) AS n_docs, CAST(-1 AS BIGINT) AS n_paths
+FROM ({_URL_OPS_SQL})
+UNION ALL
+SELECT 'host' AS part, CAST(-1 AS BIGINT) AS doc_id, '' AS url, host,
+       '' AS domain, '' AS path, '' AS norm,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_paths AS BIGINT) AS n_paths
+FROM ({_HOST_STATS_SQL})
+ORDER BY part, doc_id, host
+"""
+
+
+def _q_ivf_suite(spark, sf_dir):
+    """Consolidated IVF gate (r8 registry diet): fixed-centroid and
+    trained-centroid IVF top-k as one 2-part union — the
+    partition-pruning shape and the deterministic k-means training
+    replay both stay fully oracle-checked under one driver slot."""
+    a = _q_ivf_topk(spark, sf_dir).select(
+        F.lit("fixed").alias("part"), "vec_id", "score"
+    )
+    b = _q_ivf_trained_topk(spark, sf_dir).select(
+        F.lit("trained").alias("part"), "vec_id", "score"
+    )
+    return a.unionByName(b).orderBy("part", F.desc("score"), "vec_id")
+
+
+def _ivf_suite_sql():
+    return f"""
+SELECT 'fixed' AS part, vec_id, score FROM ({_ivf_topk_sql()})
+UNION ALL
+SELECT 'trained' AS part, vec_id, score FROM ({_ivf_trained_topk_sql()})
+ORDER BY part, score DESC, vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6031,10 +6212,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7-new operators that have NEVER had a driver record — knn_join,
     # kmeans_clusters, embedding_knn_join, label_centroids; (b) the
     # four consolidated gates (new names/schemas, need fresh records);
-    # (c) 42 of the r6-recorded cohort. Past-window = the 4 r6 gates
-    # that slipped (jl_project, stream_decontaminate, weighted_mix,
-    # char_entropy — each with an r7-fresh sibling covering the same
-    # code path) leading the r9 window, then the 46 r7-recorded gates.
+    # (c) 42 of the r6-recorded cohort. Late-r8 additions keep the
+    # count at exactly 100: url_ops+host_stats merged into web_suite
+    # and the new snapshot_diff CDC gate took their two r8-window
+    # slots; ivf_topk+ivf_trained_topk merged into ivf_suite and the
+    # new rrf_hybrid fusion gate took their two r9-cohort slots.
+    # Past-window = the 4 r6 gates that slipped (jl_project,
+    # stream_decontaminate, weighted_mix, char_entropy — each with an
+    # r7-fresh sibling covering the same code path) leading the r9
+    # window, then the r7-recorded gates.
     # Every gate, windowed or not, is green in the full local oracle
     # sweep (ORACLE_r8_evidence.txt, scripts/check_oracle.py).
     return {
@@ -6081,8 +6267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "grouped_quantiles": _q_grouped_quantiles,
         "rolling_stats": _q_rolling_stats,
-        "url_ops": _q_url_ops,
-        "host_stats": _q_host_stats,
+        "web_suite": _q_web_suite,
+        "snapshot_diff": _q_snapshot_diff,
         "pq_topk": _q_pq_topk,
         "incremental_dedup": _q_incremental_dedup,
         "stratified_sample": _q_stratified_sample,
@@ -6127,8 +6313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         "embedding_sim_pairs": _q_embedding_pairs,
         "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_trained_topk": _q_ivf_trained_topk,
+        "ivf_suite": _q_ivf_suite,
+        "rrf_hybrid": _q_rrf_hybrid,
         "box_ops": _q_box_ops,
         "dwithin_gate": _q_dwithin_gate,
         "multimodal_features": _q_multimodal_features,
@@ -6182,8 +6368,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "simhash_suite": _simhash_suite_sql(),
         "lsh_topk": _lsh_topk_sql(),
-        "ivf_topk": _ivf_topk_sql(),
-        "ivf_trained_topk": _ivf_trained_topk_sql(),
+        "ivf_suite": _ivf_suite_sql(),
+        "rrf_hybrid": _rrf_hybrid_sql(),
         "covering_sizes": _covering_sizes_sql(),
         "bounds_box_agg": _bounds_box_agg_sql(),
         "overlay_suite": _overlay_suite_sql(),
@@ -6213,8 +6399,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
         "rolling_stats": _ROLLING_STATS_SQL,
         "stream_interval_join": _INTERVAL_JOIN_SQL,
-        "url_ops": _URL_OPS_SQL,
-        "host_stats": _HOST_STATS_SQL,
+        "web_suite": _web_suite_sql(),
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "pq_topk": _pq_topk_sql(),
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,

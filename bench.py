@@ -101,7 +101,7 @@ def bench_queries():
         "simhash_suite",
         "embedding_topk",
         "lsh_topk",
-        "ivf_topk",
+        "ivf_suite",
         "repetition_signals",
         "decontaminate",
         "semdedup",
@@ -112,8 +112,8 @@ def bench_queries():
         "interval_join",
         "topk_per_group",
         "rolling_stats",
-        "url_ops",
-        "host_stats",
+        "web_suite",
+        "snapshot_diff",
         "pq_topk",
         "incremental_dedup",
         "stratified_sample",
@@ -134,6 +134,7 @@ def bench_queries():
         "knn_join",
         "kmeans_clusters",
         "embedding_knn_join",
+        "rrf_hybrid",
     ]
 
 

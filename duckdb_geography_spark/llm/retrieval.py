@@ -37,6 +37,8 @@ __all__ = [
     "tf_idf",
     "bm25_scores",
     "bm25_topk",
+    "rrf_fuse",
+    "hybrid_rrf_topk",
 ]
 
 
@@ -253,3 +255,106 @@ def bm25_topk(
         df, query_terms, text_col=text_col, key_col=key_col, k1=k1, b=b
     )
     return s.orderBy(F.col("bm25_micro").desc(), F.col(key_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    key_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    ``rrf(d) = sum over lists of 1 / (c + rank_i(d))``, the standard
+    hybrid-retrieval combiner (BM25 + dense ANN) — rank-based, so it
+    needs no score calibration between heterogeneous retrievers.
+
+    Output: ``(key, n_lists, best_rank, rrf_micro)`` ordered by fused
+    score descending (ties by ascending key — a total order).
+
+    Determinism: each contribution is ``round(1e9 / (c + rank))`` as a
+    long, summed as integers (order-free, exact cross-engine). With
+    the default ``c=60`` no halfway case exists for any ``rank`` up to
+    ``1024 - c``: a double ``1e9/x`` ends in exactly .5 only when x
+    divides 2e9 = 2^10 * 5^9 with an odd quotient, i.e. x is a
+    multiple of 2^10 — so Spark's HALF_UP and another engine's
+    HALF_EVEN agree on every contribution.
+
+    Scale shape: each input list is top-N-bounded by construction
+    (``bm25_topk`` / ``cosine_topk`` end in TakeOrderedAndProject), so
+    the union is ``N * len(rankings)`` rows and the fuse is one tiny
+    hash aggregate — nothing here scales with the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    if c < 1:
+        raise ValueError("rrf_fuse: c must be >= 1")
+    contribs = []
+    for df in rankings:
+        contribs.append(
+            df.select(
+                F.col(key_col),
+                F.col(rank_col).cast("long").alias("__rank"),
+                F.round(
+                    F.lit(1e9) / (F.lit(float(c)) + F.col(rank_col).cast("double"))
+                )
+                .cast("long")
+                .alias("__contrib"),
+            )
+        )
+    unioned = contribs[0]
+    for df in contribs[1:]:
+        unioned = unioned.unionByName(df)
+    fused = unioned.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min("__rank").alias("best_rank"),
+        F.sum("__contrib").alias("rrf_micro"),
+    )
+    fused = fused.orderBy(F.col("rrf_micro").desc(), F.col(key_col))
+    return fused.limit(int(k)) if k is not None else fused
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: Sequence[str],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_each: int = 20,
+    c: int = 60,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_key_col: str = "vec_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-``n_each`` fused with dense
+    cosine top-``n_each`` by reciprocal-rank fusion — the standard
+    two-tower corpus-slicing / RAG recall pattern. ``embeddings`` is
+    keyed by ``vec_key_col`` and joined to documents by identity of
+    the key value (the chunk/doc embedding table convention).
+
+    Both legs are top-N-bounded before the fuse, so the whole fusion
+    stage is constant-size regardless of corpus scale; the expensive
+    parts (BM25 posting scan, dense scoring) keep their own
+    scan-shaped plans.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    sparse = bm25_topk(
+        docs, query_terms, k=n_each, text_col=text_col, key_col=key_col,
+        k1=k1, b=b,
+    )
+    w_s = Window.orderBy(F.col("bm25_micro").desc(), F.col(key_col))
+    sparse = sparse.select(key_col, F.row_number().over(w_s).alias("rank"))
+    dense = cosine_topk(
+        embeddings, query_vec, k=n_each, vec_col=vec_col, key_col=vec_key_col
+    )
+    w_d = Window.orderBy(F.col("score").desc(), F.col(vec_key_col))
+    dense = dense.select(
+        F.col(vec_key_col).alias(key_col), F.row_number().over(w_d).alias("rank")
+    )
+    return rrf_fuse([sparse, dense], key_col=key_col, c=c, k=k)
