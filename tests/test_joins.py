@@ -504,6 +504,7 @@ class TestKnnJoin:
             right_key="b",
             # small initial radius forces several doubling rounds
             initial_meters=200_000,
+            allpairs_right_max=0,  # pin the radius path (r8 fast path off)
         )
         assert {(r.a, r.b, r.knn_rank) for r in got.collect()} == truth
         # distances are the real s2_distance values
@@ -515,7 +516,8 @@ class TestKnnJoin:
         left = cities.select(F.col("name").alias("a"), "geog").limit(5)
         right = cities.select(F.col("name").alias("b"), "geog").limit(2)
         got = J.knn_join(
-            left, right, k=4, left_key="a", right_key="b", initial_meters=1_000
+            left, right, k=4, left_key="a", right_key="b",
+            initial_meters=1_000, allpairs_right_max=0,
         )
         # every left key gets both right rows, ranks 1..2
         assert got.count() == 10
@@ -535,6 +537,7 @@ class TestKnnJoin:
             left_key="a",
             right_key="b",
             initial_meters=500_000,
+            allpairs_right_max=0,
         )
         assert {(r.a, r.b, r.knn_rank) for r in got.collect()} == truth
 
@@ -567,6 +570,7 @@ class TestKnnJoin:
             k=2,
             left_key="a",
             initial_meters=300_000,  # forces at least one retry round
+            allpairs_right_max=0,
         )
         rows = got.collect()
         assert "__rkey" not in got.columns and "__rkey_r" not in got.columns
@@ -629,6 +633,7 @@ class TestKnnJoin:
             k=3,
             left_key="a",
             right_key="b",
+            allpairs_right_max=0,
         )
         assert {(r.a, r.b, r.knn_rank) for r in got.collect()} == truth
 
@@ -650,5 +655,76 @@ class TestKnnJoin:
             left_key="a",
             right_key="b",
             initial_meters=400_000,
+            allpairs_right_max=0,
         )
         assert {(r.a, r.b, r.knn_rank) for r in got.collect()} == truth
+
+    def test_broadcast_path_matches_radius_path(self, spark, sample):
+        """The r8 small-right fast path (collected right + one
+        mapInPandas all-pairs pass, no join/window/shuffle) must be
+        ROW-IDENTICAL to the radius-doubling path on the same inputs —
+        points and polygons, with and without tie quantization."""
+        cities, countries, _ = sample
+        left_pts = cities.select(F.col("name").alias("a"), "geog").limit(40)
+        right_pts = cities.select(F.col("name").alias("b"), "geog").limit(25)
+        for td in (None, 3):
+            fast = J.knn_join(
+                left_pts, right_pts, k=3, left_key="a", right_key="b",
+                tie_decimals=td,
+            )
+            slow = J.knn_join(
+                left_pts, right_pts, k=3, left_key="a", right_key="b",
+                tie_decimals=td, allpairs_right_max=0,
+            )
+            assert fast.columns == slow.columns
+            key = lambda r: (r.a, r.knn_rank, r.b, round(r.knn_distance, 6))
+            assert sorted(map(key, fast.collect())) == sorted(
+                map(key, slow.collect())
+            )
+        # polygon left x point right drives the slow (decoded) tier
+        left_poly = countries.select(F.col("name").alias("a"), "geog").limit(8)
+        fast = J.knn_join(
+            left_poly, right_pts, k=2, left_key="a", right_key="b"
+        )
+        slow = J.knn_join(
+            left_poly, right_pts, k=2, left_key="a", right_key="b",
+            allpairs_right_max=0,
+        )
+        key = lambda r: (r.a, r.knn_rank, r.b, round(r.knn_distance, 6))
+        assert sorted(map(key, fast.collect())) == sorted(
+            map(key, slow.collect())
+        )
+
+    def test_broadcast_path_shape_and_edges(self, spark, sample):
+        """Fast-path specifics: no join/exchange in the plan, right
+        side smaller than k, empty right side, NULL left geography."""
+        cities, _, _ = sample
+        # filters, not limits: a global limit plans its own
+        # SinglePartition exchange that would mask the assertion
+        left = cities.where(F.length("name") <= 5).select(
+            F.col("name").alias("a"), "geog"
+        )
+        right = cities.where(F.col("name").startswith("San")).select(
+            F.col("name").alias("b"), "geog"
+        )
+        n_l, n_r = left.count(), right.count()
+        assert 0 < n_r <= 8 and n_l > 0
+        got = J.knn_join(left, right, k=max(5, n_r + 2), left_key="a", right_key="b")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+        rows = got.collect()
+        assert len(rows) == n_l * n_r  # k > n_r: every pair, ranks 1..n_r
+        assert max(r.knn_rank for r in rows) == n_r
+        # NULL left geography emits nothing for that key
+        left_null = left.withColumn(
+            "geog", F.when(F.col("a") == rows[0].a, None).otherwise(F.col("geog"))
+        )
+        got2 = J.knn_join(left_null, right, k=2, left_key="a", right_key="b")
+        assert {r.a for r in got2.collect()} == {
+            r.a for r in rows if r.a != rows[0].a
+        }
+        # empty right side -> empty result, full schema intact
+        empty_right = right.where(F.lit(False))
+        got3 = J.knn_join(left, empty_right, k=2, left_key="a", right_key="b")
+        assert got3.count() == 0
+        assert "knn_rank" in got3.columns and "knn_distance" in got3.columns
