@@ -870,11 +870,16 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id
 
 
 def _q_text_stats(spark, sf_dir):
+    """Per-document text statistics plus character-distribution
+    Shannon entropy (r8 registry diet: the char_entropy gate merged in
+    — llm/textstats.py::char_entropy_stats keeps full-value coverage
+    here, joined on the corpus primary key)."""
     from duckdb_geography_spark.llm import textstats as T
+    from duckdb_geography_spark.llm.textstats import char_entropy_stats
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    stats = docs.select(
         "doc_id",
         T.char_count("text").cast("long").alias("n_char"),
         T.token_count("text").cast("long").alias("n_tok"),
@@ -882,10 +887,13 @@ def _q_text_stats(spark, sf_dir):
         F.round(T.punct_ratio("text"), 6).alias("punct_r"),
         F.round(T.stopword_ratio("text"), 6).alias("stop_r"),
         T.fingerprint_md5("text").alias("fp"),
-    ).orderBy("doc_id")
+    )
+    ent = char_entropy_stats(docs)
+    return stats.join(ent, "doc_id").orderBy("doc_id")
 
 
 _TEXT_STATS_SQL = """
+SELECT ts.*, ce.h_char FROM (
 SELECT doc_id,
   length(text) AS n_char,
   CASE WHEN length(trim(text)) = 0 THEN 0
@@ -898,7 +906,18 @@ SELECT doc_id,
             w -> list_contains(['the','and','of','to','in','is','that','with','for','was'], w))) AS DOUBLE)
             / len(regexp_split_to_array(trim(text), '\\s+')), 6) END AS stop_r,
   md5(text) AS fp
-FROM documents ORDER BY doc_id
+FROM documents) ts
+JOIN (
+SELECT doc_id,
+ CASE WHEN length(text) = 0 THEN 0.0 ELSE
+  round((round(ln(CAST(length(text) AS DOUBLE)) * 1000000)
+   - CAST(list_sum(list_transform(
+       list_distinct(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1))),
+       x -> CAST(len(list_filter(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)), y -> y = x)) AS BIGINT)
+            * CAST(round(ln(CAST(len(list_filter(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)), y -> y = x)) AS DOUBLE)) * 1000000) AS BIGINT)))
+     AS DOUBLE) / length(text)) / 1000000.0, 6) END AS h_char
+FROM documents) ce USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -3914,32 +3933,6 @@ ORDER BY d.doc_id
 """
 
 
-def _q_char_entropy(spark, sf_dir):
-    """Character-distribution Shannon entropy per document via the
-    distributed aggregate form (llm/textstats.py::char_entropy_stats —
-    explode + two JVM hash aggs; the pure-Column twin is an ad-hoc
-    tool, O(n*distinct) interpreted lambdas per row): integer-count ln
-    terms in micronats, so both engines land on identical doubles."""
-    from duckdb_geography_spark.llm.textstats import char_entropy_stats
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    return char_entropy_stats(docs).orderBy("doc_id")
-
-
-_CHAR_ENTROPY_SQL = """
-SELECT doc_id,
- CASE WHEN length(text) = 0 THEN 0.0 ELSE
-  round((round(ln(CAST(length(text) AS DOUBLE)) * 1000000)
-   - CAST(list_sum(list_transform(
-       list_distinct(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1))),
-       x -> CAST(len(list_filter(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)), y -> y = x)) AS BIGINT)
-            * CAST(round(ln(CAST(len(list_filter(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)), y -> y = x)) AS DOUBLE)) * 1000000) AS BIGINT)))
-     AS DOUBLE) / length(text)) / 1000000.0, 6) END AS h_char
-FROM documents ORDER BY doc_id
-"""
-
-
 _TRIGRAM_NLL_SQL = r"""
 WITH w AS (
   SELECT doc_id,
@@ -6081,7 +6074,11 @@ def _q_snapshot_diff(spark, sf_dir):
     four added/removed/changed transitions plus dropped unchanged
     rows. Fingerprints are NULL-safe md5 digests over (text, lang,
     source, n_chars), identical on both engines."""
-    from duckdb_geography_spark.llm.cdc import snapshot_diff
+    from duckdb_geography_spark.llm.cdc import (
+        content_fingerprint,
+        snapshot_apply,
+        snapshot_diff,
+    )
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
@@ -6092,9 +6089,24 @@ def _q_snapshot_diff(spark, sf_dir):
             F.col("text")
         ),
     )
-    return snapshot_diff(
-        old, new, "doc_id", ["text", "lang", "source", "n_chars"]
-    ).orderBy("doc_id")
+    cols = ["text", "lang", "source", "n_chars"]
+    d = snapshot_diff(old, new, "doc_id", cols).select(
+        F.lit("diff").alias("part"), "doc_id", "change_type", "old_fp", "new_fp"
+    )
+    # closure property, oracle-checked: apply(old, diff(old, new))
+    # must rebuild new EXACTLY — the oracle's apply part is the new
+    # snapshot's own fingerprints, so any reconstruction error
+    # hash-mismatches
+    diff_pay = snapshot_diff(old, new, "doc_id", cols, include_payload=True)
+    rebuilt = snapshot_apply(old, diff_pay, "doc_id", cols)
+    a = rebuilt.select(
+        F.lit("apply").alias("part"),
+        "doc_id",
+        F.lit("applied").alias("change_type"),
+        F.lit("").alias("old_fp"),
+        content_fingerprint(cols).alias("new_fp"),
+    )
+    return d.unionByName(a).orderBy("part", "doc_id")
 
 
 _SNAPSHOT_DIFF_SQL = """
@@ -6116,7 +6128,7 @@ n AS (SELECT doc_id, fp_new AS new_fp FROM fp_src WHERE doc_id % 5 <> 0),
 j AS (
   SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
-SELECT doc_id,
+SELECT 'diff' AS part, doc_id,
   CASE WHEN old_fp IS NULL THEN 'added'
        WHEN new_fp IS NULL THEN 'removed'
        WHEN old_fp <> new_fp THEN 'changed'
@@ -6124,7 +6136,11 @@ SELECT doc_id,
   old_fp, new_fp
 FROM j
 WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
-ORDER BY doc_id
+UNION ALL
+SELECT 'apply' AS part, doc_id, 'applied' AS change_type, '' AS old_fp,
+       fp_new AS new_fp
+FROM fp_src WHERE doc_id % 5 <> 0
+ORDER BY part, doc_id
 """
 
 
@@ -6192,6 +6208,51 @@ SELECT 'fixed' AS part, vec_id, score FROM ({_ivf_topk_sql()})
 UNION ALL
 SELECT 'trained' AS part, vec_id, score FROM ({_ivf_trained_topk_sql()})
 ORDER BY part, score DESC, vec_id
+"""
+
+
+_LINEAR_WEIGHTS = {"hash": 1.5, "table": -0.75, "scan": 2.0, "slow": -1.25}
+_LINEAR_BIAS = 0.1
+
+
+def _q_linear_score(spark, sf_dir):
+    """Fasttext-style sparse linear quality/topic scorer over every
+    document (llm/classify.py::linear_text_score, round 8): integer
+    micro-unit weights, broadcast vocabulary join, exact per-document
+    integer scores; zero-match and NULL-text documents carry the bias
+    with n_matched = 0."""
+    from duckdb_geography_spark.llm.classify import linear_text_score
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return linear_text_score(
+        docs, _LINEAR_WEIGHTS, bias=_LINEAR_BIAS
+    ).orderBy("doc_id")
+
+
+def _linear_score_sql():
+    vocab = ",\n    ".join(
+        f"('{w}', {int(round(v * 1e6))})"
+        for w, v in sorted(_LINEAR_WEIGHTS.items())
+    )
+    bias = int(round(_LINEAR_BIAS * 1e6))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+vocab(word, w_micro) AS (
+  VALUES
+    {vocab}
+),
+dots AS (
+  SELECT t.doc_id, count(*) AS n_matched, sum(t.tf * v.w_micro) AS dot
+  FROM tf t JOIN vocab v USING (word) GROUP BY t.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_matched, 0) AS BIGINT) AS n_matched,
+  CAST(coalesce(s.dot, 0) + {bias} AS BIGINT) AS score_micro
+FROM documents d LEFT JOIN dots s USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -6281,7 +6342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": _q_jl_project,
         "stream_decontaminate": _q_stream_decontaminate,
         "weighted_mix": _q_weighted_mix,
-        "char_entropy": _q_char_entropy,
+        "linear_score": _q_linear_score,
         "geoarrow_roundtrip": _q_geoarrow_roundtrip,
         "corpus_curation": _q_corpus_curation,
         "stream_neardup": _q_stream_neardup,
@@ -6405,7 +6466,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
-        "char_entropy": _CHAR_ENTROPY_SQL,
+        "linear_score": _linear_score_sql(),
         "weighted_mix": _WEIGHTED_MIX_SQL,
         "funnel": _FUNNEL_SQL,
         "corpus_curation": _curation_sql(),

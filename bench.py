@@ -119,7 +119,7 @@ def bench_queries():
         "stratified_sample",
         "grouped_quantiles",
         "dedup_lines",
-        "char_entropy",
+        "linear_score",
         "funnel",
         "bm25_retrieval",
         "dup_spans",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["content_fingerprint", "snapshot_diff"]
+__all__ = ["content_fingerprint", "snapshot_diff", "snapshot_apply"]
 
 #: unit separator between content columns; a sentinel distinguishes
 #: NULL from empty string (concat_ws would silently skip NULLs)
@@ -106,3 +106,38 @@ def snapshot_diff(
         )
         out = out.join(pay, keys, "left")
     return out
+
+
+def snapshot_apply(
+    old: DataFrame,
+    diff: DataFrame,
+    key_cols: Sequence[str] | str,
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Reconstruct the NEW snapshot from the old one plus a
+    payload-carrying diff (``snapshot_diff(..., include_payload=True)``)
+    — the closure property ``apply(old, diff(old, new)) == new`` that
+    makes the delta a faithful replication log. Output columns:
+    ``key_cols + content_cols``.
+
+    Scale shape: one anti-join on the snapshot key (old rows whose key
+    appears in the diff drop out — removed and changed alike) plus a
+    union with the diff's added/changed payload rows; both legs are
+    key-partitioned, nothing is collected, and the diff side is
+    delta-sized.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    content_cols = list(content_cols)
+    missing = [c for c in content_cols if c not in diff.columns]
+    if missing:
+        raise ValueError(
+            f"snapshot_apply: diff lacks payload columns {missing}; build it "
+            "with snapshot_diff(..., include_payload=True)"
+        )
+    survivors = old.select(*keys, *content_cols).join(
+        diff.select(*keys), keys, "left_anti"
+    )
+    upserts = diff.where(
+        F.col("change_type").isin("added", "changed")
+    ).select(*keys, *content_cols)
+    return survivors.unionByName(upserts)

@@ -44,6 +44,8 @@ REGISTRY = [
     ("Importance Resampling (DSIR)", f"{PKG}.llm.dsir", ()),
     ("Repetition Signals", f"{PKG}.llm.repetition", ()),
     ("URL / Web", f"{PKG}.llm.web", ()),
+    ("Snapshot CDC", f"{PKG}.llm.cdc", ()),
+    ("Linear Text Classification", f"{PKG}.llm.classify", ()),
     ("Product Quantization", f"{PKG}.llm.pq", ()),
     ("Corpus Clustering", f"{PKG}.llm.cluster", ()),
     (

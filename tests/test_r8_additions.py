@@ -139,3 +139,64 @@ class TestSnapshotDiff:
             ).collect()
         ]
         assert fps[0] != fps[1]
+
+
+class TestSnapshotApply:
+    def test_closure_property(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], "doc_id long, text string"
+        )
+        diff = C.snapshot_diff(old, new, "doc_id", ["text"], include_payload=True)
+        rebuilt = C.snapshot_apply(old, diff, "doc_id", ["text"])
+        assert sorted((r.doc_id, r.text) for r in rebuilt.collect()) == sorted(
+            (r.doc_id, r.text) for r in new.collect()
+        )
+
+    def test_requires_payload(self, spark):
+        old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        diff = C.snapshot_diff(old, old, "doc_id", ["text"], include_unchanged=True)
+        with pytest.raises(ValueError, match="payload"):
+            C.snapshot_apply(old, diff, "doc_id", ["text"])
+
+
+class TestLinearTextScore:
+    def test_hand_computed_scores(self, spark):
+        from duckdb_geography_spark.llm import classify as CL
+
+        docs = spark.createDataFrame(
+            [(0, "good good bad"), (1, "neutral words"), (2, None)],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.n_matched, r.score_micro)
+            for r in CL.linear_text_score(
+                docs, {"good": 1.5, "bad": -2.0}, bias=0.25
+            ).collect()
+        }
+        # doc 0: 2*1.5e6 - 1*2e6 + 0.25e6 = 1_250_000, 2 matched terms
+        assert out[0] == (2, 1_250_000)
+        # no match / NULL text: bias only
+        assert out[1] == (0, 250_000)
+        assert out[2] == (0, 250_000)
+
+    def test_filter_threshold(self, spark):
+        from duckdb_geography_spark.llm import classify as CL
+
+        docs = spark.createDataFrame(
+            [(0, "good"), (1, "bad"), (2, "meh")], "doc_id long, text string"
+        )
+        kept = CL.linear_text_filter(
+            docs, {"good": 1.0, "bad": -1.0}, threshold=0.5
+        ).collect()
+        assert [r.doc_id for r in kept] == [0]
+        assert kept[0].text == "good" and kept[0].score_micro == 1_000_000
+
+    def test_empty_weights_raise(self, spark):
+        from duckdb_geography_spark.llm import classify as CL
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            CL.linear_text_score(docs, {})
