@@ -6256,6 +6256,87 @@ ORDER BY d.doc_id
 """
 
 
+def _q_weighted_suite(spark, sf_dir):
+    """Consolidated weighted-sampling gate (r8 registry diet): the
+    global Efraimidis-Spirakis top-50 and the per-language quota draw
+    as one 2-part union — identical (doc_id, lang, __priority)
+    schemas, both operators keep full-value oracle coverage under one
+    driver slot."""
+    g = _q_weighted_sample(spark, sf_dir).select(
+        F.lit("global").alias("part"), "doc_id", "lang", "__priority"
+    )
+    s = _q_weighted_stratified(spark, sf_dir).select(
+        F.lit("stratum").alias("part"), "doc_id", "lang", "__priority"
+    )
+    return g.unionByName(s).orderBy("part", "doc_id")
+
+
+def _weighted_suite_sql():
+    return f"""
+SELECT 'global' AS part, * FROM ({_WEIGHTED_SAMPLE_SQL})
+UNION ALL
+SELECT 'stratum' AS part, * FROM ({_WEIGHTED_STRATIFIED_SQL})
+ORDER BY part, doc_id
+"""
+
+
+def _q_vocab_drift(spark, sf_dir):
+    """Corpus drift report (llm/drift.py::vocab_divergence, round 8):
+    smoothed-KL word contributions between the even- and odd-doc_id
+    halves of the corpus — top-25 drifting words plus the exact scaled
+    total, all integer micronats (add-1 smoothing makes every term a
+    log of integers, so both engines land on identical longs)."""
+    from duckdb_geography_spark.llm.drift import vocab_divergence
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    d = vocab_divergence(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+    top = d.orderBy(F.desc("contrib_micro"), "word").limit(25)
+    tot = d.agg(
+        F.sum("c_a").cast("long").alias("c_a"),
+        F.sum("c_b").cast("long").alias("c_b"),
+        F.sum("contrib_micro").cast("long").alias("contrib_micro"),
+    ).select(F.lit("__total__").alias("word"), "c_a", "c_b", "contrib_micro")
+    return top.unionByName(tot).orderBy(F.desc("contrib_micro"), "word")
+
+
+_VOCAB_DRIFT_SQL = """
+WITH wa AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents WHERE doc_id % 2 = 0),
+ca AS (SELECT word, count(*) AS c_a FROM wa GROUP BY 1),
+wb AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents WHERE doc_id % 2 = 1),
+cb AS (SELECT word, count(*) AS c_b FROM wb GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.word, cb.word) AS word,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+t AS (SELECT sum(c_a) AS na, sum(c_b) AS nb, count(*) AS v FROM j),
+c AS (
+  SELECT word, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+    CAST((c_a + 1) * (
+        CAST(round(ln(CAST(c_a + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      - CAST(round(ln(CAST(t.na + t.v AS DOUBLE)) * 1e6) AS BIGINT)
+      - CAST(round(ln(CAST(c_b + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      + CAST(round(ln(CAST(t.nb + t.v AS DOUBLE)) * 1e6) AS BIGINT)
+    ) AS BIGINT) AS contrib_micro
+  FROM j, t)
+SELECT * FROM (
+  SELECT word, c_a, c_b, contrib_micro FROM c
+  ORDER BY contrib_micro DESC, word LIMIT 25)
+UNION ALL
+SELECT '__total__' AS word, CAST(sum(c_a) AS BIGINT), CAST(sum(c_b) AS BIGINT),
+       CAST(sum(contrib_micro) AS BIGINT)
+FROM c
+ORDER BY contrib_micro DESC, word
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6357,9 +6438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_topk": _q_int8_topk,
         "stream_hll": _q_stream_hll,
         "bloom_prefilter": _q_bloom_prefilter,
-        "weighted_sample": _q_weighted_sample,
+        "weighted_suite": _q_weighted_suite,
         "zorder_layout": _q_zorder_layout,
-        "weighted_stratified": _q_weighted_stratified,
+        "vocab_drift": _q_vocab_drift,
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
         "haversine_pairs": _q_haversine_pairs,
@@ -6484,9 +6565,9 @@ def oracle_sql() -> dict[str, str]:
         "snap_cast_distance": _snap_cast_distance_sql(),
         "stream_hll": _STREAM_HLL_SQL,
         "bloom_prefilter": _BLOOM_SQL,
-        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "weighted_suite": _weighted_suite_sql(),
         "zorder_layout": _zorder_layout_sql(),
-        "weighted_stratified": _WEIGHTED_STRATIFIED_SQL,
+        "vocab_drift": _VOCAB_DRIFT_SQL,
         "token_budget_gate": _token_budget_gate_sql(),
         "jl_topk": _jl_topk_sql(),
         "knn_join": _knn_join_sql(),

@@ -135,6 +135,7 @@ def bench_queries():
         "kmeans_clusters",
         "embedding_knn_join",
         "rrf_hybrid",
+        "vocab_drift",
     ]
 
 

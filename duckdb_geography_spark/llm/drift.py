@@ -1,0 +1,89 @@
+"""Corpus drift detection — smoothed KL divergence between the word
+distributions of two corpus slices (yesterday's crawl vs today's, one
+source vs another, train vs eval), the monitoring primitive that tells
+a pipeline WHEN to re-curate and WHICH tokens moved.
+
+100 TB shape: each slice reduces to a vocabulary-sized word-count
+table (one map-side-combinable hash aggregate over the tokenized
+text), the two tables meet in ONE full-outer equi-join on the word,
+and the three corpus constants attach through the fold-proof
+single-row hash join (the :mod:`.retrieval` pattern) — so the only
+data-sized work is the two token scans; everything after is
+vocabulary-sized.
+
+Determinism (the integer-micronat discipline of :mod:`.lm` /
+:mod:`.retrieval`): with add-1 smoothing every probability is a ratio
+of integers, so each word's divergence contribution is
+
+    contrib_micro(w) = (c_a(w) + 1) * (  lnm(c_a(w) + 1) - lnm(N_a + V)
+                                       - lnm(c_b(w) + 1) + lnm(N_b + V) )
+
+with ``lnm(x) = round(ln(x) * 1e6)`` over INTEGER arguments — an exact
+long on both engines. ``sum(contrib_micro) / (N_a + V) / 1e6`` is the
+smoothed KL(P_a || P_b) up to the micronat rounding; the scaled
+integer form is what ships, sorts, and hash-compares exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .retrieval import _ln_micro, _words
+
+__all__ = ["vocab_divergence"]
+
+
+def _word_counts(df: DataFrame, text_col: str, out: str) -> DataFrame:
+    return (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def vocab_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-word drift contributions between slice A and slice B:
+    ``(word, c_a, c_b, contrib_micro)`` for every word in the UNION
+    vocabulary (absent-side counts are 0 — the add-1 smoothing keeps
+    their log terms finite, and words new to A or gone from A are
+    exactly the large-contribution rows a drift report surfaces).
+    Positive contributions mark words over-represented in A relative
+    to B. ``sum(contrib_micro)`` over all rows is the scaled smoothed
+    KL divergence; sort by ``contrib_micro`` descending for the drift
+    report, ties on the word for a total order.
+    """
+    a = _word_counts(df_a, text_col, "c_a")
+    b = _word_counts(df_b, text_col, "c_b")
+    joined = a.join(b, "word", "full_outer").select(
+        "word",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    totals = joined.agg(
+        F.sum("c_a").alias("__na"),
+        F.sum("c_b").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    ).select(
+        # fold-proof single-row hash join key (retrieval.py pattern):
+        # a constant the optimizer cannot fold away
+        F.shiftrightunsigned(F.col("__v"), 63).cast("int").alias("__k"),
+        _ln_micro(F.col("__na") + F.col("__v")).alias("__ln_na_v"),
+        _ln_micro(F.col("__nb") + F.col("__v")).alias("__ln_nb_v"),
+    )
+    joined = joined.withColumn(
+        "__k", F.shiftrightunsigned(F.col("c_a"), 63).cast("int")
+    )
+    contrib = (F.col("c_a") + 1) * (
+        _ln_micro(F.col("c_a") + 1)
+        - F.col("__ln_na_v")
+        - _ln_micro(F.col("c_b") + 1)
+        + F.col("__ln_nb_v")
+    )
+    return joined.join(F.broadcast(totals), "__k").select(
+        "word", "c_a", "c_b", contrib.cast("long").alias("contrib_micro")
+    )

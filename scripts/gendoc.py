@@ -46,6 +46,7 @@ REGISTRY = [
     ("URL / Web", f"{PKG}.llm.web", ()),
     ("Snapshot CDC", f"{PKG}.llm.cdc", ()),
     ("Linear Text Classification", f"{PKG}.llm.classify", ()),
+    ("Corpus Drift", f"{PKG}.llm.drift", ()),
     ("Product Quantization", f"{PKG}.llm.pq", ()),
     ("Corpus Clustering", f"{PKG}.llm.cluster", ()),
     (

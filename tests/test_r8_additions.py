@@ -200,3 +200,48 @@ class TestLinearTextScore:
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             CL.linear_text_score(docs, {})
+
+
+class TestVocabDivergence:
+    def test_hand_computed_contributions(self, spark):
+        import math
+
+        from duckdb_geography_spark.llm import drift as D
+
+        a = spark.createDataFrame(
+            [(0, "x x y")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(0, "x z")], "doc_id long, text string"
+        )
+        rows = {
+            r.word: r
+            for r in D.vocab_divergence(a, b).collect()
+        }
+        # union vocab {x, y, z}; N_a=3, N_b=2, V=3
+        lnm = lambda x: round(math.log(x) * 1e6)
+        def contrib(ca, cb):
+            return (ca + 1) * (lnm(ca + 1) - lnm(3 + 3) - lnm(cb + 1) + lnm(2 + 3))
+        assert (rows["x"].c_a, rows["x"].c_b) == (2, 1)
+        assert rows["x"].contrib_micro == contrib(2, 1)
+        assert rows["y"].contrib_micro == contrib(1, 0)  # new-in-A word
+        assert rows["z"].contrib_micro == contrib(0, 1)  # gone-from-A word
+        # identical slices -> zero divergence exactly
+        zero = D.vocab_divergence(a, a).agg(F.sum("contrib_micro")).first()[0]
+        assert zero == 0
+
+    def test_drift_direction(self, spark):
+        from duckdb_geography_spark.llm import drift as D
+
+        a = spark.createDataFrame(
+            [(i, "spam " * 5) for i in range(20)], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(i, "ham " * 5) for i in range(20)], "doc_id long, text string"
+        )
+        top = (
+            D.vocab_divergence(a, b)
+            .orderBy(F.desc("contrib_micro"), "word")
+            .first()
+        )
+        assert top.word == "spam" and top.contrib_micro > 0
