@@ -90,6 +90,12 @@ _PURE_JVM = [
     "jl_project",
     "jl_topk",
     "token_budget_gate",
+    # round-8 additions: CDC, linear classifier, drift, web suite are
+    # pure Column plans end to end
+    "snapshot_diff",
+    "linear_score",
+    "vocab_drift",
+    "web_suite",
 ]
 
 #: queries promised to run their vector math as Arrow-batched numpy
@@ -98,7 +104,8 @@ _PURE_JVM = [
 _ARROW_VECTORIZED = [
     "embedding_topk",
     "lsh_topk",
-    "ivf_topk",
+    "ivf_suite",
+    "rrf_hybrid",
 ]
 
 
@@ -130,7 +137,7 @@ def test_filter_pushdown_reaches_scan(spark, entry):
     # by logical plan, which swaps the FileScan for InMemoryTableScan
     # and hides PushedFilters) — drop caches so we see the real scan.
     spark.catalog.clearCache()
-    df = entry.queries()["ivf_topk"](spark, SF_DIR)
+    df = entry.queries()["ivf_suite"](spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in p
     assert "vec_id" in p.split("PushedFilters:")[1].split("]")[0]
@@ -144,7 +151,7 @@ def test_broadcast_joins_where_dims_are_small(plans):
 
 def test_topk_is_takeordered_not_global_sort(plans):
     # top-k queries must plan a TakeOrderedAndProject, not a full sort
-    for name in ("embedding_topk", "lsh_topk", "ivf_topk", "tpch_top_orders", "jl_topk"):
+    for name in ("embedding_topk", "lsh_topk", "ivf_suite", "tpch_top_orders", "jl_topk"):
         assert "TakeOrderedAndProject" in plans[name], name
 
 
