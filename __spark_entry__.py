@@ -6354,19 +6354,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7-new operators that have NEVER had a driver record — knn_join,
     # kmeans_clusters, embedding_knn_join, label_centroids; (b) the
     # four consolidated gates (new names/schemas, need fresh records);
-    # (c) 42 of the r6-recorded cohort. Late-r8 additions keep the
-    # count at exactly 100: url_ops+host_stats merged into web_suite
-    # and the new snapshot_diff CDC gate took their two r8-window
-    # slots; ivf_topk+ivf_trained_topk merged into ivf_suite and the
-    # new rrf_hybrid fusion gate took their two r9-cohort slots.
-    # Past-window = the 4 r6 gates that slipped (jl_project,
-    # stream_decontaminate, weighted_mix, char_entropy — each with an
-    # r7-fresh sibling covering the same code path) leading the r9
-    # window, then the r7-recorded gates.
+    # (c) the r6-recorded cohort. Late-r8 additions keep the count at
+    # exactly 100 (every new operator's slot came from a near-dup
+    # merge: web_suite, ivf_suite, text_stats+char_entropy,
+    # weighted_suite) and the window was re-cut so EVERY gate that is
+    # new or changed schema this round sits in the first 50 and gets
+    # a fresh driver record: web_suite, snapshot_diff (diff+apply),
+    # text_stats (+h_char), ivf_suite, rrf_hybrid, linear_score,
+    # vocab_drift, weighted_suite. Six unchanged r6-cohort gates
+    # (incremental_dedup, stratified_sample, dedup_lines, funnel,
+    # snapped_distance_pairs, data_tables_gate) slipped to lead the
+    # r9 window (their operators are code-stable and re-verified in
+    # the full local sweep every round), followed by the 4 r6 gates
+    # that slipped in the original cut (jl_project,
+    # stream_decontaminate, weighted_mix — char_entropy was absorbed
+    # into text_stats) and the r7-recorded gates.
     # Every gate, windowed or not, is green in the full local oracle
     # sweep (ORACLE_r8_evidence.txt, scripts/check_oracle.py).
     return {
-        # --- r8 window (50): never-recorded + consolidated first ---
         "knn_join": _q_knn_join,
         "kmeans_clusters": _q_kmeans_clusters,
         "embedding_knn_join": _q_embedding_knn_join,
@@ -6375,7 +6380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_nll": _q_ngram_nll,
         "simhash_suite": _q_simhash_suite,
         "token_budget_gate": _q_token_budget_gate,
-        # r6-recorded cohort (42 of 46)
         "snap_cast_distance": _q_snap_cast_distance,
         "tpch_pricing_summary": _q_pricing_summary,
         "tpch_top_orders": _q_top_orders,
@@ -6412,18 +6416,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_suite": _q_web_suite,
         "snapshot_diff": _q_snapshot_diff,
         "pq_topk": _q_pq_topk,
+        "text_stats": _q_text_stats,
+        "ivf_suite": _q_ivf_suite,
+        "rrf_hybrid": _q_rrf_hybrid,
+        "linear_score": _q_linear_score,
+        "vocab_drift": _q_vocab_drift,
+        "weighted_suite": _q_weighted_suite,
         "incremental_dedup": _q_incremental_dedup,
         "stratified_sample": _q_stratified_sample,
         "dedup_lines": _q_dedup_lines,
         "funnel": _q_funnel,
         "snapped_distance_pairs": _q_snapped_distance,
         "data_tables_gate": _q_data_tables_gate,
-        # --- past the 50-entry window: the r9 window, in its order ---
-        # (4 slipped r6 gates first, then the 46 r7-recorded gates)
         "jl_project": _q_jl_project,
         "stream_decontaminate": _q_stream_decontaminate,
         "weighted_mix": _q_weighted_mix,
-        "linear_score": _q_linear_score,
         "geoarrow_roundtrip": _q_geoarrow_roundtrip,
         "corpus_curation": _q_corpus_curation,
         "stream_neardup": _q_stream_neardup,
@@ -6438,13 +6445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_topk": _q_int8_topk,
         "stream_hll": _q_stream_hll,
         "bloom_prefilter": _q_bloom_prefilter,
-        "weighted_suite": _q_weighted_suite,
         "zorder_layout": _q_zorder_layout,
-        "vocab_drift": _q_vocab_drift,
         "events_hourly": _q_events_hourly,
         "region_rollup": _q_region_rollup,
         "haversine_pairs": _q_haversine_pairs,
-        "text_stats": _q_text_stats,
         "langid": _q_langid,
         "doc_quality": _q_doc_quality,
         "stream_windowed_counts": _q_stream_windowed_counts,
@@ -6455,8 +6459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         "embedding_sim_pairs": _q_embedding_pairs,
         "lsh_topk": _q_lsh_topk,
-        "ivf_suite": _q_ivf_suite,
-        "rrf_hybrid": _q_rrf_hybrid,
         "box_ops": _q_box_ops,
         "dwithin_gate": _q_dwithin_gate,
         "multimodal_features": _q_multimodal_features,
