@@ -50,6 +50,17 @@ def _prep(spark: SparkSession):
 _NANO_TS = {"ts", "o_orderdate", "l_shipdate"}
 
 
+def _oracle_sf_dir() -> str:
+    """The scale-factor dir the oracle SQL generators read their
+    driver-side training samples from (trained IVF / k-means replay /
+    PQ codebooks / JL signs). The driver's correctness run compares at
+    sf0.01, the default; scripts/check_gates.py and check_oracle.py
+    export SPARK_GRAFT_ORACLE_SF_DIR so the SAME gates verify at
+    .scale/sf1 and beyond (the Spark side trains on whatever sf_dir it
+    is given, so the oracle must replay training from that dir too)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 #: per-session memo of table DataFrames: `spark.read.parquet` costs
 #: ~0.3s of driver time (footer/schema read) per call, and a query
 #: suite re-reads the same tables constantly. DataFrames are immutable
@@ -1491,7 +1502,7 @@ def _ivf_trained_topk_sql():
     from duckdb_geography_spark.llm.similarity import train_ivf_centroids
 
     pdf = _pd.read_parquet(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     from duckdb_geography_spark.llm.similarity import training_sample_pandas
 
@@ -1897,7 +1908,7 @@ def _kmeans_clusters_sql():
     from duckdb_geography_spark.llm.cluster import kmeans_replay_pandas
 
     pdf = _pd.read_parquet(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     cents, _ = kmeans_replay_pandas(pdf, k=8, iters=3)
     vals = ",\n    ".join(
@@ -3800,7 +3811,7 @@ def _semdedup_sql():
     from duckdb_geography_spark.llm.similarity import train_ivf_centroids
 
     pdf = _pd.read_parquet(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     from duckdb_geography_spark.llm.similarity import training_sample_pandas
 
@@ -4687,7 +4698,7 @@ def _pq_topk_sql():
     from duckdb_geography_spark.llm.pq import pq_adc_lut, train_pq_codebooks
 
     pdf = _pd.read_parquet(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     from duckdb_geography_spark.llm.similarity import training_sample_pandas
 
@@ -4700,7 +4711,11 @@ def _pq_topk_sql():
     for s in range(m):
         for j in range(k):
             cs = ", ".join(repr(float(c)) for c in books[s, j])
-            rows.append(f"({s + 1}, {j}, [{cs}]::DOUBLE[], {lut[s, j]!r})")
+            # ::DOUBLE: DuckDB types a bare high-precision decimal
+            # literal as DECIMAL(18,x) — whose additions can overflow at
+            # larger sf and whose arithmetic would not be the
+            # float-for-float replay of pq_score's double chain
+            rows.append(f"({s + 1}, {j}, [{cs}]::DOUBLE[], {lut[s, j]!r}::DOUBLE)")
     vals = ",\n    ".join(rows)
     dist = " + ".join(
         f"(list_extract(v, (s-1)*{ds} + {i + 1}) - list_extract(c, {i + 1}))"
@@ -5667,7 +5682,7 @@ def _jl_topk_sql():
     from duckdb_geography_spark.llm.similarity import jl_signs
 
     pdf = _pd.read_parquet(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     q = _np.asarray(
         [float(x) for x in pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]],

@@ -4,6 +4,7 @@ Usage: python scripts/check_gates.py [query ...] [--sf DIR]
 With no query names, checks every registered query.
 """
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -19,6 +20,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def main():
     sf = "/root/testdata/sf0.01"
+    # (the oracle training-sample dir is pinned AFTER arg parsing below)
     args = []
     argv = sys.argv[1:]
     i = 0
@@ -46,6 +48,9 @@ def main():
         if os.path.isdir(path):  # Spark-written dataset directory
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS FROM '{path}'")
+    # the trained-sample oracle generators (IVF / k-means / PQ / JL)
+    # must replay training from the SAME sf dir the Spark side reads
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf
     qs, osql = e.queries(), e.oracle_sql()
     names = args or list(qs)
     n_ok = 0

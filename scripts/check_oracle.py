@@ -43,6 +43,7 @@ def main(sf_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in e.TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, osql = e.queries(), e.oracle_sql()
     if only:
         unknown = set(only) - set(qs)
