@@ -3938,7 +3938,8 @@ per AS (
   CROSS JOIN tot
   GROUP BY t.doc_id)
 SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_trans,
-       round(coalesce(CAST(p.s AS DOUBLE) / p.n / 1000000.0, 0.0), 6) AS nll
+       round(coalesce(CAST(p.s AS DOUBLE) / p.n / 1000000.0, 0.0), 6) AS nll,
+       CAST(coalesce(p.s, 0) AS BIGINT) AS s_micro
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
@@ -3968,7 +3969,8 @@ per AS (
   CROSS JOIN tot
   GROUP BY t.doc_id)
 SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_trans,
-       round(coalesce(CAST(p.s AS DOUBLE) / p.n / 1000000.0, 0.0), 6) AS nll
+       round(coalesce(CAST(p.s AS DOUBLE) / p.n / 1000000.0, 0.0), 6) AS nll,
+       CAST(coalesce(p.s, 0) AS BIGINT) AS s_micro
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
@@ -3993,7 +3995,8 @@ scored AS (
   GROUP BY w.doc_id)
 SELECT d.doc_id,
   coalesce(s.n, 0) AS n_words,
-  round(coalesce(s.sum_micro / s.n / 1e6, 0.0), 6) AS nll
+  round(coalesce(s.sum_micro / s.n / 1e6, 0.0), 6) AS nll,
+  CAST(coalesce(s.sum_micro, 0) AS BIGINT) AS s_micro
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
 """
@@ -5902,23 +5905,28 @@ def _q_ngram_nll(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    u = unigram_nll(docs).select(
+    # s_micro (the exact integer micronat sum) replaces the rounded
+    # nats/term float in the gate: the float divides two exact
+    # integers in doubles and a row CAN land on a 6dp rounding
+    # boundary where independent engines disagree by one ulp (seen
+    # once at sf1); the integer column is exact at any corpus size.
+    u = unigram_nll(docs, exact_micro=True).select(
         F.lit(1).alias("n"),
         "doc_id",
         F.col("n_words").cast("long").alias("n_terms"),
-        "nll",
+        "s_micro",
     )
-    b = bigram_nll(docs).select(
+    b = bigram_nll(docs, exact_micro=True).select(
         F.lit(2).alias("n"),
         "doc_id",
         F.col("n_trans").cast("long").alias("n_terms"),
-        "nll",
+        "s_micro",
     )
-    t = ngram_nll(docs, 3).select(
+    t = ngram_nll(docs, 3, exact_micro=True).select(
         F.lit(3).alias("n"),
         "doc_id",
         F.col("n_trans").cast("long").alias("n_terms"),
-        "nll",
+        "s_micro",
     )
     return u.unionByName(b).unionByName(t).orderBy("n", "doc_id")
 
@@ -5931,8 +5939,8 @@ def _ngram_nll_sql():
         (3, _TRIGRAM_NLL_SQL, "n_trans"),
     ):
         parts.append(
-            f"SELECT {n} AS n, doc_id, CAST({cnt} AS BIGINT) AS n_terms, nll"
-            f" FROM ({sql})"
+            f"SELECT {n} AS n, doc_id, CAST({cnt} AS BIGINT) AS n_terms,"
+            f" CAST(s_micro AS BIGINT) AS s_micro FROM ({sql})"
         )
     return "\nUNION ALL\n".join(parts) + "\nORDER BY n, doc_id"
 

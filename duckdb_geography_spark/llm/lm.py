@@ -61,6 +61,7 @@ def unigram_nll(
     key_col: str = "doc_id",
     counts: DataFrame | None = None,
     alpha: int = 1,
+    exact_micro: bool = False,
 ) -> DataFrame:
     """Per-document mean unigram negative log likelihood (nats/word)
     under the corpus unigram LM with add-``alpha`` smoothing:
@@ -72,7 +73,11 @@ def unigram_nll(
     ``alpha`` must be a positive integer so every ln argument stays
     integral (exact cross-engine log parity). Returns
     ``(key, n_words, nll)`` with nll in nats/word rounded to 6dp;
-    word-less documents score 0.0.
+    word-less documents score 0.0. ``exact_micro=True`` appends
+    ``s_micro`` — the raw integer micronat sum, exact at ANY corpus
+    size (the rounded ``nll`` divides two exact integers in doubles,
+    so a row can land on a 6dp rounding boundary where independent
+    engines disagree by one ulp; the integer column cannot).
     """
     if alpha < 1 or int(alpha) != alpha:
         raise ValueError("alpha must be a positive integer")
@@ -138,7 +143,7 @@ def unigram_nll(
         )
     )
     keys = df.select(_c(key_col).alias("__key")).distinct()
-    return keys.join(scored, "__key", "left").select(
+    cols = [
         F.col("__key").alias(key_col),
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_words"),
         F.round(
@@ -147,7 +152,14 @@ def unigram_nll(
             ),
             6,
         ).alias("nll"),
-    )
+    ]
+    if exact_micro:
+        cols.append(
+            F.coalesce(F.col("__sum_micro"), F.lit(0))
+            .cast("long")
+            .alias("s_micro")
+        )
+    return keys.join(scored, "__key", "left").select(*cols)
 
 
 def _transitions(
@@ -199,6 +211,7 @@ def ngram_nll(
     key_col: str = "doc_id",
     counts: DataFrame | None = None,
     alpha: int = 1,
+    exact_micro: bool = False,
 ) -> DataFrame:
     """Per-document mean n-gram negative log likelihood (nats per
     transition) under an add-``alpha`` n-gram LM with an (n-1)-word
@@ -286,14 +299,21 @@ def ngram_nll(
         )
     )
     keys = df.select(_c(key_col).alias("__key")).distinct()
-    return keys.join(scored, "__key", "left").select(
+    cols = [
         F.col("__key").alias(key_col),
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_trans"),
         F.round(
             F.coalesce(F.col("__sum_micro") / F.col("__n") / F.lit(1e6), F.lit(0.0)),
             6,
         ).alias("nll"),
-    )
+    ]
+    if exact_micro:
+        cols.append(
+            F.coalesce(F.col("__sum_micro"), F.lit(0))
+            .cast("long")
+            .alias("s_micro")
+        )
+    return keys.join(scored, "__key", "left").select(*cols)
 
 
 def bigram_nll(
@@ -302,8 +322,10 @@ def bigram_nll(
     key_col: str = "doc_id",
     counts: DataFrame | None = None,
     alpha: int = 1,
+    exact_micro: bool = False,
 ) -> DataFrame:
     """:func:`ngram_nll` at n=2 (single-word context)."""
     return ngram_nll(
-        df, 2, text_col=text_col, key_col=key_col, counts=counts, alpha=alpha
+        df, 2, text_col=text_col, key_col=key_col, counts=counts, alpha=alpha,
+        exact_micro=exact_micro,
     )

@@ -65,6 +65,23 @@ def main():
             if gcols != wcols:
                 print(f"{name}: SCHEMA-MISMATCH {gcols} vs {wcols}")
                 continue
+            # array/list cells (embedding columns) are unsortable and
+            # unhashable — normalize them to rounded strings first,
+            # the same treatment check_oracle.py's norm_frame applies
+            def _norm_obj(df_):
+                for c_ in df_.columns:
+                    if df_[c_].dtype == object:
+                        df_[c_] = df_[c_].map(
+                            lambda v: (
+                                str([round(float(x), 6) for x in v])
+                                if isinstance(v, (list, tuple, np.ndarray))
+                                else str(v)
+                            )
+                        )
+                return df_
+
+            got = _norm_obj(got)
+            want = _norm_obj(want)
             got = got[gcols].sort_values(gcols).reset_index(drop=True)
             want = want[wcols].sort_values(wcols).reset_index(drop=True)
             if got.shape != want.shape:
