@@ -77,13 +77,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source needs a directory; glob-filter the events file
-    df = (
+    df = _stream_table(spark, schema, sf_dir, "events.parquet")
+    return _ensure_event_time(df)
+
+
+def _stream_table(spark: SparkSession, schema, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one table of an sf dir, handling BOTH
+    fixture layouts: a single ``<name>`` parquet FILE (the driver's
+    testdata — the file source needs a directory, so stream the parent
+    glob-filtered to the file), and a Spark-written dataset DIRECTORY
+    ``<name>/part-*.parquet`` (the .scale/sf1+ layout and what any
+    production writer produces — stream the directory itself; the
+    glob filter would exclude every part file)."""
+    import os
+
+    path = f"{sf_dir}/{name}"
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", name)
         .parquet(sf_dir)
     )
-    return _ensure_event_time(df)
 
 
 def windowed_event_counts(
@@ -302,11 +317,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory-glob pattern as :func:`read_events_stream`): the shape
     of a continuously-arriving crawl/ingest feed."""
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    return _stream_table(spark, schema, sf_dir, "documents.parquet")
 
 
 def collect_benchmark_grams(
