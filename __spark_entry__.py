@@ -1816,20 +1816,24 @@ def _q_label_centroids(spark, sf_dir):
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     pooled = mean_pool_embeddings(emb, "label", out_col="centroid")
-    return pooled.select(
-        "label",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
-    ).orderBy("label")
+    # Gate output is posexplode-ed to SCALAR rows (label, pos, value):
+    # the driver's canonicalizer sorts/hashes pandas cells and cannot
+    # factorize array cells, so no gate may return a top-level array
+    # column (pinned by tests/test_gate_schemas.py).
+    return (
+        pooled.select("label", F.posexplode("centroid").alias("pos", "v"))
+        .select("label", "pos", F.round("v", 6).alias("value"))
+        .orderBy("label", "pos")
+    )
 
 
 _LABEL_CENTROIDS_SQL = """
 WITH base AS (SELECT label, CAST(embedding AS DOUBLE[]) AS lst FROM embeddings),
 e AS (
-  SELECT label, i.i AS pos, lst[i.i] AS v
-  FROM base, LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) i),
-m AS (SELECT label, pos, avg(v) AS mv FROM e GROUP BY label, pos)
-SELECT label, list(round(mv, 6) ORDER BY pos) AS centroid
-FROM m GROUP BY label ORDER BY label
+  SELECT label, i.i - 1 AS pos, lst[i.i] AS v
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) i)
+SELECT label, pos, round(avg(v), 6) AS value
+FROM e GROUP BY label, pos ORDER BY label, pos
 """
 
 
@@ -6367,84 +6371,23 @@ ORDER BY contrib_micro DESC, word
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records the first 50
-    # registered queries. Round 8 consolidated the registry to exactly
-    # 100 gates (VERDICT r7 item 7: unigram/bigram/trigram_nll ->
-    # ngram_nll; simhash_signatures+simhash_pairs -> simhash_suite;
-    # token_budget_sample+global -> token_budget_gate;
-    # overlay_intersection absorbed into overlay_suite), so from r8 on
-    # the rotation is a clean 2-round cycle: this window (50) and the
-    # past-window half (50) swap every round. R8 window = (a) the four
-    # r7-new operators that have NEVER had a driver record — knn_join,
-    # kmeans_clusters, embedding_knn_join, label_centroids; (b) the
-    # four consolidated gates (new names/schemas, need fresh records);
-    # (c) the r6-recorded cohort. Late-r8 additions keep the count at
-    # exactly 100 (every new operator's slot came from a near-dup
-    # merge: web_suite, ivf_suite, text_stats+char_entropy,
-    # weighted_suite) and the window was re-cut so EVERY gate that is
-    # new or changed schema this round sits in the first 50 and gets
-    # a fresh driver record: web_suite, snapshot_diff (diff+apply),
-    # text_stats (+h_char), ivf_suite, rrf_hybrid, linear_score,
-    # vocab_drift, weighted_suite. Six unchanged r6-cohort gates
-    # (incremental_dedup, stratified_sample, dedup_lines, funnel,
-    # snapped_distance_pairs, data_tables_gate) slipped to lead the
-    # r9 window (their operators are code-stable and re-verified in
-    # the full local sweep every round), followed by the 4 r6 gates
-    # that slipped in the original cut (jl_project,
-    # stream_decontaminate, weighted_mix — char_entropy was absorbed
-    # into text_stats) and the r7-recorded gates.
+    # registered queries. The registry is pinned at exactly 100 gates
+    # (two 50-slot driver windows); new operators take slots freed by
+    # near-dup merges, never growing the count.
+    # R9 window (first 50): label_centroids leads — its r8 record
+    # erred on output SHAPE (a raw array<double> column that the
+    # driver's canonicalizer cannot sort/hash), so the gate was
+    # reshaped this round to posexplode-ed scalar rows and needs a
+    # fresh record. Next the nine gates whose latest driver record was
+    # r6 (re-verified green in every local sweep since), then 40 of
+    # the 41 r7-recorded gates. jl_topk (r7-recorded, code-stable)
+    # leads the second half and thus the r10 window; positions 52-100
+    # are the 49 gates recorded green in CORRECTNESS_r08.json. After
+    # r9, no gate's latest driver record is older than r7.
     # Every gate, windowed or not, is green in the full local oracle
-    # sweep (ORACLE_r8_evidence.txt, scripts/check_oracle.py).
+    # sweep (ORACLE_r9_evidence.txt, scripts/check_oracle.py).
     return {
-        "knn_join": _q_knn_join,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "embedding_knn_join": _q_embedding_knn_join,
         "label_centroids": _q_label_centroids,
-        "overlay_suite": _q_overlay_suite,
-        "ngram_nll": _q_ngram_nll,
-        "simhash_suite": _q_simhash_suite,
-        "token_budget_gate": _q_token_budget_gate,
-        "snap_cast_distance": _q_snap_cast_distance,
-        "tpch_pricing_summary": _q_pricing_summary,
-        "tpch_top_orders": _q_top_orders,
-        "cell_bitops": _q_cell_bitops,
-        "cellfromlonlat": _q_cellfromlonlat,
-        "cell_containment_join": _q_cell_containment,
-        "pip_covering_join": _q_pip_join,
-        "wkt_roundtrip": _q_wkt_roundtrip,
-        "rect_measures": _q_rect_measures,
-        "covering_sizes": _q_covering_sizes,
-        "bounds_box_agg": _q_bounds_box_agg,
-        "accessor_suite": _q_accessor_suite,
-        "wkb_codec": _q_wkb_codec,
-        "predicate_gate": _q_predicate_gate,
-        "tsv_roundtrip": _q_tsv_roundtrip,
-        "partitioned_sink_gate": _q_partitioned_sink_gate,
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "embedding_topk": _q_embedding_topk,
-        "minhash_lsh_candidates": _q_minhash_candidates,
-        "dedup_clusters": _q_dedup_clusters,
-        "sessionize_batch": _q_sessionize_batch,
-        "repetition_signals": _q_repetition_signals,
-        "boilerplate_frac": _q_boilerplate,
-        "decontaminate": _q_decontaminate,
-        "semdedup": _q_semdedup,
-        "sequence_packing": _q_sequence_packing,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "stream_interval_join": _q_stream_interval_join,
-        "topk_per_group": _q_topk_per_group,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "rolling_stats": _q_rolling_stats,
-        "web_suite": _q_web_suite,
-        "snapshot_diff": _q_snapshot_diff,
-        "pq_topk": _q_pq_topk,
-        "text_stats": _q_text_stats,
-        "ivf_suite": _q_ivf_suite,
-        "rrf_hybrid": _q_rrf_hybrid,
-        "linear_score": _q_linear_score,
-        "vocab_drift": _q_vocab_drift,
-        "weighted_suite": _q_weighted_suite,
         "incremental_dedup": _q_incremental_dedup,
         "stratified_sample": _q_stratified_sample,
         "dedup_lines": _q_dedup_lines,
@@ -6495,6 +6438,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity_gate": _q_validity_gate,
         "debug_string_gate": _q_debug_string_gate,
         "jl_topk": _q_jl_topk,
+        "knn_join": _q_knn_join,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "embedding_knn_join": _q_embedding_knn_join,
+        "overlay_suite": _q_overlay_suite,
+        "ngram_nll": _q_ngram_nll,
+        "simhash_suite": _q_simhash_suite,
+        "token_budget_gate": _q_token_budget_gate,
+        "snap_cast_distance": _q_snap_cast_distance,
+        "tpch_pricing_summary": _q_pricing_summary,
+        "tpch_top_orders": _q_top_orders,
+        "cell_bitops": _q_cell_bitops,
+        "cellfromlonlat": _q_cellfromlonlat,
+        "cell_containment_join": _q_cell_containment,
+        "pip_covering_join": _q_pip_join,
+        "wkt_roundtrip": _q_wkt_roundtrip,
+        "rect_measures": _q_rect_measures,
+        "covering_sizes": _q_covering_sizes,
+        "bounds_box_agg": _q_bounds_box_agg,
+        "accessor_suite": _q_accessor_suite,
+        "wkb_codec": _q_wkb_codec,
+        "predicate_gate": _q_predicate_gate,
+        "tsv_roundtrip": _q_tsv_roundtrip,
+        "partitioned_sink_gate": _q_partitioned_sink_gate,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_topk": _q_embedding_topk,
+        "minhash_lsh_candidates": _q_minhash_candidates,
+        "dedup_clusters": _q_dedup_clusters,
+        "sessionize_batch": _q_sessionize_batch,
+        "repetition_signals": _q_repetition_signals,
+        "boilerplate_frac": _q_boilerplate,
+        "decontaminate": _q_decontaminate,
+        "semdedup": _q_semdedup,
+        "sequence_packing": _q_sequence_packing,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "stream_interval_join": _q_stream_interval_join,
+        "topk_per_group": _q_topk_per_group,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "rolling_stats": _q_rolling_stats,
+        "web_suite": _q_web_suite,
+        "snapshot_diff": _q_snapshot_diff,
+        "pq_topk": _q_pq_topk,
+        "text_stats": _q_text_stats,
+        "ivf_suite": _q_ivf_suite,
+        "rrf_hybrid": _q_rrf_hybrid,
+        "linear_score": _q_linear_score,
+        "vocab_drift": _q_vocab_drift,
+        "weighted_suite": _q_weighted_suite,
     }
 
 def oracle_sql() -> dict[str, str]:

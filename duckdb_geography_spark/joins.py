@@ -546,6 +546,20 @@ def knn_join(
                 out = out.drop(rk)
             return out
 
+    # pair-dedup identity for the radius rounds: the lag-based dedup
+    # below must see a UNIQUE NON-NULL value per right row — the user's
+    # right_key may contain NULLs (eqNullSafe would then conflate
+    # distinct NULL-keyed rows AND drop the group's first row, because
+    # lag's null head null-safe-equals a NULL key). When the key was
+    # synthesized it already is a unique monotonic id; otherwise add
+    # one, used ONLY for dedup (ranking still tiebreaks on the user
+    # key, NULLS FIRST, mirroring the broadcast fast path).
+    if rk_synth:
+        dedup_key = rk
+    else:
+        dedup_key = "__rrow"
+        r_renamed = r_renamed.withColumn(dedup_key, F.monotonically_increasing_id())
+
     if initial_meters is None:
         # the two setup actions (column-pruned right count, md5-ordered
         # radius sample) are independent — submit them as concurrent
@@ -626,10 +640,11 @@ def knn_join(
         #     join is a superset of the true within-r set, so
         #     dist <= r IS the exact s2_dwithin semantics);
         # (c) rank + per-key candidate count over the same partitioning.
-        w_pair = Window.partitionBy(lk).orderBy(F.col(rk).asc())
+        w_pair = Window.partitionBy(lk).orderBy(F.col(dedup_key).asc())
         pairs = (
             pairs.withColumn(
-                "__keep", ~F.lag(F.col(rk)).over(w_pair).eqNullSafe(F.col(rk))
+                "__keep",
+                ~F.lag(F.col(dedup_key)).over(w_pair).eqNullSafe(F.col(dedup_key)),
             )
             .where(F.col("__keep"))
             .drop("__keep")
@@ -716,6 +731,8 @@ def knn_join(
         out = out.drop(lk)
     if rk_synth:
         out = out.drop(rk)
+    else:
+        out = out.drop(dedup_key)
     return out
 
 
@@ -876,9 +893,20 @@ def _knn_broadcast_plan(
             r_ids[j] = int.from_bytes(b[4:12], "little")
             r_fast[j] = True
     r_xyz = np.stack(cm.cellid_to_center_xyz(r_ids), axis=1)
-    # the ranking window's tiebreak order over the right keys
-    rk_series = pd.Series([row[rk_idx] for row in rrows])
-    order = rk_series.argsort(kind="stable").to_numpy()
+    # the ranking window's tiebreak order over the right keys. Spark's
+    # ASC default is NULLS FIRST, and pandas argsort raises TypeError
+    # on an object series holding None — so NULL keys are split out
+    # and placed first explicitly (stable within each group).
+    rk_vals = [row[rk_idx] for row in rrows]
+    null_idx = np.array([j for j, v in enumerate(rk_vals) if v is None], dtype=np.int64)
+    nn_idx = np.array([j for j, v in enumerate(rk_vals) if v is not None], dtype=np.int64)
+    if len(nn_idx):
+        nn_sorted = nn_idx[
+            pd.Series([rk_vals[j] for j in nn_idx]).argsort(kind="stable").to_numpy()
+        ]
+    else:
+        nn_sorted = nn_idx
+    order = np.concatenate([null_idx, nn_sorted])
     r_pos = np.empty(m, dtype=np.int64)
     r_pos[order] = np.arange(m)
     # right-side output payload in collected order (binary cols arrive

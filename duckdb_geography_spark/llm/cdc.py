@@ -124,7 +124,13 @@ def snapshot_apply(
     appears in the diff drop out — removed and changed alike) plus a
     union with the diff's added/changed payload rows; both legs are
     key-partitioned, nothing is collected, and the diff side is
-    delta-sized.
+    delta-sized when the diff was built without ``include_unchanged``.
+
+    A diff built with ``include_unchanged=True`` also works: the
+    anti-join drops every diff key, so ``unchanged`` rows must be (and
+    are) re-added from the diff's payload — which equals the old row
+    by definition of unchanged. Without this the rebuilt snapshot
+    would silently lose every unchanged document.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     content_cols = list(content_cols)
@@ -138,6 +144,6 @@ def snapshot_apply(
         diff.select(*keys), keys, "left_anti"
     )
     upserts = diff.where(
-        F.col("change_type").isin("added", "changed")
+        F.col("change_type").isin("added", "changed", "unchanged")
     ).select(*keys, *content_cols)
     return survivors.unionByName(upserts)

@@ -64,6 +64,12 @@ def vocab_divergence(
         F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
         F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
     )
+    # the count frame feeds BOTH the totals aggregate and the output
+    # join; without a lineage cut the docstring's "only data-sized work
+    # is the two token scans" holds only if ReusedExchange happens to
+    # fire — checkpoint the (vocabulary-sized, bounded) frame so the
+    # scans are provably paid once (ADVICE r8)
+    joined = joined.localCheckpoint(eager=True)
     totals = joined.agg(
         F.sum("c_a").alias("__na"),
         F.sum("c_b").alias("__nb"),

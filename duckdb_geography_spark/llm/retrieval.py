@@ -284,6 +284,14 @@ def rrf_fuse(
     (``bm25_topk`` / ``cosine_topk`` end in TakeOrderedAndProject), so
     the union is ``N * len(rankings)`` rows and the fuse is one tiny
     hash aggregate — nothing here scales with the corpus.
+
+    A key SHOULD appear at most once per input list (the definition of
+    a ranking); a list that repeats a key — e.g. one row per matching
+    chunk of the same document — is defensively collapsed to its best
+    (minimum) rank per key before fusing, so ``n_lists`` counts lists,
+    never rows, and a repeated key cannot inflate its fused score
+    (ADVICE r8). The per-list dedup aggregate runs over the already
+    top-N-bounded list, so it costs nothing at scale.
     """
     if not rankings:
         raise ValueError("rrf_fuse: rankings must be non-empty")
@@ -291,12 +299,17 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: c must be >= 1")
     contribs = []
     for df in rankings:
+        per = (
+            df.select(F.col(key_col), F.col(rank_col).cast("long").alias("__rank"))
+            .groupBy(key_col)
+            .agg(F.min("__rank").alias("__rank"))
+        )
         contribs.append(
-            df.select(
+            per.select(
                 F.col(key_col),
-                F.col(rank_col).cast("long").alias("__rank"),
+                F.col("__rank"),
                 F.round(
-                    F.lit(1e9) / (F.lit(float(c)) + F.col(rank_col).cast("double"))
+                    F.lit(1e9) / (F.lit(float(c)) + F.col("__rank").cast("double"))
                 )
                 .cast("long")
                 .alias("__contrib"),

@@ -542,6 +542,137 @@ def render(categories) -> str:
     return "\n".join(lines).rstrip() + "\n"
 
 
+#: Reference-parity map (VERDICT r8 item 5): every function the
+#: reference registers, its anchor in the REFERENCE repo's own
+#: function-reference.md (category, line of the `### name` heading
+#: with the worked example) or src location for the ones its docs
+#: omit, and the driver gate that oracle-verifies the repo
+#: equivalent. Line numbers are pinned to the reference snapshot this
+#: repo was built against; the repo-side anchors are validated live
+#: against collect().
+REF_PARITY = {
+    # Accessors
+    "s2_area": ("Accessors", "docs/function-reference.md:61", "rect_measures"),
+    "s2_dimension": ("Accessors", "docs/function-reference.md:96", "accessor_suite"),
+    "s2_distance": ("Accessors", "docs/function-reference.md:155", "snapped_distance_pairs"),
+    "s2_dwithin": ("Accessors", "docs/function-reference.md:178", "dwithin_gate"),
+    "s2_is_valid": ("Accessors", "docs/function-reference.md:214", "validity_gate"),
+    "s2_is_valid_reason": ("Accessors", "docs/function-reference.md:247", "validity_gate"),
+    "s2_isempty": ("Accessors", "docs/function-reference.md:275", "accessor_suite"),
+    "s2_length": ("Accessors", "docs/function-reference.md:295", "accessor_suite"),
+    "s2_max_distance": ("Accessors", "docs/function-reference.md:335", "snap_cast_distance"),
+    "s2_num_points": ("Accessors", "docs/function-reference.md:358", "accessor_suite"),
+    "s2_perimeter": ("Accessors", "docs/function-reference.md:386", "rect_measures"),
+    "s2_x": ("Accessors", "docs/function-reference.md:423", "accessor_suite"),
+    "s2_y": ("Accessors", "docs/function-reference.md:447", "accessor_suite"),
+    # Bounds
+    "s2_bounds_box": ("Bounds", "docs/function-reference.md:472", "bounds_box_gate"),
+    "s2_box": ("Bounds", "docs/function-reference.md:505", "box_ops"),
+    "s2_box_intersects": ("Bounds", "docs/function-reference.md:539", "box_ops"),
+    "s2_box_struct": ("Bounds", "docs/function-reference.md:573", "box_ops"),
+    "s2_box_union": ("Bounds", "docs/function-reference.md:593", "box_ops"),
+    "s2_box_wkb": ("Bounds", "docs/function-reference.md:616", "box_ops"),
+    "s2_covering": ("Bounds", "docs/function-reference.md:636", "covering_sizes"),
+    "s2_covering_fixed_level": ("Bounds", "docs/function-reference.md:682", "pip_covering_join"),
+    "s2_bounds_box_agg": ("Bounds", "src/s2_bounds.cpp:245-341 (not in reference docs)", "bounds_box_agg"),
+    # Cellops
+    "s2_arbitrarycellfromwkb": ("Cellops", "docs/function-reference.md:715", "cellfromwkb_gate"),
+    "s2_cell_child": ("Cellops", "docs/function-reference.md:771", "cell_bitops"),
+    "s2_cell_contains": ("Cellops", "docs/function-reference.md:802", "cell_containment_join"),
+    "s2_cell_edge_neighbor": ("Cellops", "docs/function-reference.md:835", "cell_neighbor_gate"),
+    "s2_cell_from_token": ("Cellops", "docs/function-reference.md:866", "cell_bitops"),
+    "s2_cell_intersects": ("Cellops", "docs/function-reference.md:901", "cell_containment_join"),
+    "s2_cell_level": ("Cellops", "docs/function-reference.md:937", "cell_bitops"),
+    "s2_cell_parent": ("Cellops", "docs/function-reference.md:957", "cell_bitops"),
+    "s2_cell_range_max": ("Cellops", "docs/function-reference.md:990", "cell_bitops"),
+    "s2_cell_range_min": ("Cellops", "docs/function-reference.md:1012", "cell_bitops"),
+    "s2_cell_token": ("Cellops", "docs/function-reference.md:1034", "cell_bitops"),
+    "s2_cell_vertex": ("Cellops", "docs/function-reference.md:1067", "cell_vertex_gate"),
+    "s2_cellfromlonlat": ("Cellops", "docs/function-reference.md:1110", "cellfromlonlat"),
+    "s2_cellfromwkb": ("Cellops", "docs/function-reference.md:1151", "cellfromwkb_gate"),
+    # Conversion
+    "s2_astext": ("Conversion", "docs/function-reference.md:1190", "wkt_roundtrip"),
+    "s2_aswkb": ("Conversion", "docs/function-reference.md:1221", "wkb_codec"),
+    "s2_format": ("Conversion", "docs/function-reference.md:1250", "wkt_roundtrip"),
+    "s2_geogfromtext": ("Conversion", "docs/function-reference.md:1275", "wkt_roundtrip"),
+    "s2_geogfromtext_novalidate": ("Conversion", "docs/function-reference.md:1308", "validity_gate"),
+    "s2_geogfromwkb": ("Conversion", "docs/function-reference.md:1333", "wkb_codec"),
+    "s2_geogfromwkb_novalidate": ("Conversion", "docs/function-reference.md:1360", "wkb_codec"),
+    "s2_prepare": ("Conversion", "docs/function-reference.md:1387", "prepare_gate"),
+    # Data
+    "s2_data_city": ("Data", "docs/function-reference.md:1437", "data_tables_gate"),
+    "s2_data_country": ("Data", "docs/function-reference.md:1469", "data_tables_gate"),
+    "s2_data_cities": ("Data", "src/s2_data.cpp:26-76 (not in reference docs)", "data_tables_gate"),
+    "s2_data_countries": ("Data", "src/s2_data.cpp:78-128 (not in reference docs)", "data_tables_gate"),
+    "s2_dependencies": ("Data", "src/s2_dependencies.cpp (not in reference docs)", "data_tables_gate"),
+    # Overlay
+    "s2_difference": ("Overlay", "docs/function-reference.md:1502", "overlay_suite"),
+    "s2_intersection": ("Overlay", "docs/function-reference.md:1525", "overlay_suite"),
+    "s2_union": ("Overlay", "docs/function-reference.md:1548", "overlay_suite"),
+    # Predicates
+    "s2_contains": ("Predicates", "docs/function-reference.md:1572", "predicate_gate"),
+    "s2_equals": ("Predicates", "docs/function-reference.md:1608", "predicate_gate"),
+    "s2_intersects": ("Predicates", "docs/function-reference.md:1641", "pip_covering_join"),
+    "s2_mayintersect": ("Predicates", "docs/function-reference.md:1669", "pip_covering_join"),
+    # GeoArrow (src-only surface)
+    "s2_register_geoarrow_extensions": (
+        "GeoArrow", "src/s2_geoarrow.cpp:18-93 (not in reference docs)",
+        "geoarrow_roundtrip",
+    ),
+}
+
+
+def render_parity(categories) -> str:
+    """docs/reference-parity.md: one row per function the reference
+    registers — where its worked example lives in the REFERENCE repo's
+    docs, the same-named repo equivalent (linked into our
+    function-reference.md), and the driver gate whose DuckDB oracle
+    verifies the behavior end to end."""
+    repo_mod = {
+        f["name"]: f["module"].removeprefix(PKG + ".")
+        for cat in categories
+        for f in cat["functions"]
+    }
+    missing = sorted(n for n in REF_PARITY if n not in repo_mod)
+    if missing:
+        raise SystemExit(f"reference functions without repo equivalents: {missing}")
+    lines = [
+        "# Reference Parity",
+        "",
+        "<!-- GENERATED by scripts/gendoc.py — edit REF_PARITY there,"
+        " not this file. tests/test_docs.py keeps it current. -->",
+        "",
+        "Every function the reference engine registers, mapped to its"
+        " repo equivalent. *Reference example* points into the"
+        " reference repo's own `docs/function-reference.md` (the `###`"
+        " heading with the worked example) or, for functions its docs"
+        " omit, the registering source file. *Repo equivalent* links"
+        " into [function-reference.md](function-reference.md), whose"
+        " examples are executable and test-pinned. *Driver gate* names"
+        " the `__spark_entry__.queries()` entry whose DuckDB oracle"
+        " verifies the behavior on real data every round.",
+        "",
+        "| Reference function | Reference example | Repo equivalent | Driver gate |",
+        "| --- | --- | --- | --- |",
+    ]
+    by_cat: dict = {}
+    for name, (cat, anchor, gate) in REF_PARITY.items():
+        by_cat.setdefault(cat, []).append((name, anchor, gate))
+    for cat in sorted(by_cat):
+        for name, anchor, gate in sorted(by_cat[cat]):
+            lines.append(
+                f"| `{name}` ({cat}) | {anchor} | "
+                f"[`{repo_mod[name]}.{name}`](function-reference.md#{name.lower()}) | "
+                f"`{gate}` |"
+            )
+    lines += [
+        "",
+        f"{len(REF_PARITY)} reference functions, {len(REF_PARITY)} repo"
+        " equivalents, 0 missing.",
+    ]
+    return "\n".join(lines) + "\n"
+
+
 def example_namespace(spark):
     """The namespace tests execute examples in: spark + F + every
     documented function."""
@@ -557,13 +688,19 @@ def example_namespace(spark):
 
 
 def main():
-    content = render(collect())
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "docs", "function-reference.md")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as fh:
-        fh.write(content)
-    print(f"wrote {out} ({len(content.splitlines())} lines)")
+    cats = collect()
+    docs_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
+    )
+    os.makedirs(docs_dir, exist_ok=True)
+    for fname, content in (
+        ("function-reference.md", render(cats)),
+        ("reference-parity.md", render_parity(cats)),
+    ):
+        out = os.path.join(docs_dir, fname)
+        with open(out, "w") as fh:
+            fh.write(content)
+        print(f"wrote {out} ({len(content.splitlines())} lines)")
 
 
 if __name__ == "__main__":

@@ -31,6 +31,39 @@ def test_reference_doc_is_current():
     )
 
 
+def test_reference_parity_page_is_current():
+    want = gendoc.render_parity(gendoc.collect())
+    path = os.path.join(os.path.dirname(DOC_PATH), "reference-parity.md")
+    with open(path) as fh:
+        got = fh.read()
+    assert got == want, (
+        "docs/reference-parity.md is stale — run `python scripts/gendoc.py`"
+    )
+
+
+def test_reference_parity_covers_every_registered_function():
+    """The parity map must cover EVERY s2_* function the reference's
+    C++ registers (the VERDICT census), each mapped to a same-named
+    documented repo function and to a live driver gate."""
+    documented = {
+        f["name"] for cat in gendoc.collect() for f in cat["functions"]
+    }
+    assert len(gendoc.REF_PARITY) >= 57
+    missing_repo = sorted(set(gendoc.REF_PARITY) - documented)
+    assert missing_repo == [], missing_repo
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+
+    gates = set(entry.queries())
+    bad_gates = sorted(
+        {g for (_, _, g) in gendoc.REF_PARITY.values()} - gates
+    )
+    assert bad_gates == [], bad_gates
+
+
 def test_every_documented_function_has_a_docstring():
     undocumented = [
         f["name"]

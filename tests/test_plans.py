@@ -32,12 +32,34 @@ def entry():
 
 
 @pytest.fixture(scope="module")
-def plans(spark, entry):
-    out = {}
-    for name, fn in entry.queries().items():
-        df = fn(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
-    return out
+def frames(spark, entry):
+    return {name: fn(spark, SF_DIR) for name, fn in entry.queries().items()}
+
+
+@pytest.fixture(scope="module")
+def plans(frames):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in frames.items()
+    }
+
+
+def test_no_complex_types_in_gate_output(frames):
+    """No gate may return a top-level array/map/struct column: the
+    driver's correctness canonicalizer sorts the pandas result by all
+    columns and cannot factorize/hash list cells (this erred
+    label_centroids in the round-8 record even though the values were
+    correct). Gates with vector-shaped results must posexplode to
+    scalar rows instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {
+        name: [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        for name, df in frames.items()
+    }
+    offenders = {k: v for k, v in offenders.items() if v}
+    assert offenders == {}
 
 
 def test_no_hof_exprs_in_scan_filters(plans):
