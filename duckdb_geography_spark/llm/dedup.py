@@ -549,8 +549,6 @@ def simhash_batch(
     bitwise or) are the same arithmetic. Docs with no tokens (empty,
     whitespace-only, or NULL text) get 0 — the Column form's exact
     contract. ``key_col`` must be unique (one signature per key)."""
-    from functools import reduce as _reduce
-
     tokens = F.filter(
         F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.length(t) > 0
     )
@@ -560,27 +558,40 @@ def simhash_batch(
     else:
         h = _token_hash(F.col("__t"), 60, hash_fn)
     tok = tok.select("__key", h.alias("__h"))
+    # two-level branch-free vote form (round 9; suite gate measured
+    # 2.5 s -> ~0.9 s at sf0.1): level 1 collapses repeated tokens to
+    # (key, hash, count) — a 1-counter map-side-combinable aggregate,
+    # and natural text repeats words (~2.3x here), so the expensive
+    # stage sees only distinct (key, hash) rows. Level 2 runs the
+    # n_bits per-bit sums weighted by the count. The +1/-1 majority
+    # vote over bit i equals 2*sum(bit_i) - n_tokens, so each
+    # per-bit aggregate is a plain weighted sum of (h >>> i) & 1 —
+    # no when/otherwise in the hot path — plus one shared token
+    # count; the majority test (votes > 0) becomes 2*ones > n:
+    # identical arithmetic (ties, i.e. votes == 0, stay bit 0 on
+    # both forms — bit-exact with the Column form, test-pinned).
+    # The per-bit expressions are built as SQL strings (one py4j
+    # round-trip each, and ONE for the whole signature assembly)
+    # rather than nested Column objects: driver-side plan
+    # construction of ~180 Column expressions cost more wall time
+    # (2.8 s) than executing the query (0.5 s).
+    lvl1 = tok.groupBy("__key", "__h").agg(F.count(F.lit(1)).alias("__c"))
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"__w{i}")
+        F.expr(f"sum(__c * (shiftrightunsigned(__h, {i}) & 1)) AS __o{i}")
         for i in range(n_bits)
     ]
-    votes = tok.groupBy("__key").agg(*aggs)
-    sig = _reduce(
-        lambda a, b: a + b,
-        [
-            F.when(
-                F.col(f"__w{i}") > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(n_bits)
-        ],
+    votes = lvl1.groupBy("__key").agg(F.expr("sum(__c) AS __n"), *aggs)
+    # bit weights as SIGNED two's-complement literals: 1 << 63 would
+    # overflow the BIGINT cast (the Column form's shiftleft wrapped
+    # to negative implicitly)
+    sig_sql = " + ".join(
+        "(CASE WHEN 2*__o{i} > __n THEN CAST({v} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)".format(
+            i=i, v=(1 << i) if i < 63 else (1 << i) - (1 << 64)
+        )
+        for i in range(n_bits)
     )
-    votes = votes.select("__key", sig.alias("__sig"))
+    votes = votes.select("__key", F.expr(sig_sql).alias("__sig"))
     base = df.select(F.col(key_col).alias("__key"))
     # no-token docs (empty, whitespace-only, NULL text) all get 0 —
     # the Column form's exact contract (its per-bit when(null > 0)

