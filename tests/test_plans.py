@@ -127,7 +127,6 @@ _ARROW_VECTORIZED = [
     "embedding_topk",
     "lsh_topk",
     "ivf_suite",
-    "rrf_hybrid",
 ]
 
 
@@ -142,6 +141,17 @@ def test_vector_paths_are_arrow_not_rowwise(plans, name):
     p = plans[name]
     assert "ArrowEvalPython" in p, name
     assert "BatchEvalPython" not in p, name
+
+
+def test_rrf_fuse_plan_is_pure_jvm_over_checkpointed_legs(plans):
+    """Since round 9 hybrid_rrf_topk materializes its two legs as
+    concurrent jobs (the Arrow-vectorized cosine runs inside the dense
+    leg's own job — covered by embedding_topk above); the FUSED plan
+    the gate returns must read the two checkpointed n_each-row frames
+    with no Python eval stage of any kind."""
+    p = plans["rrf_hybrid"]
+    assert "ExistingRDD" in p or "LogicalRDD" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
 def test_column_pruning_reaches_scan(plans):
