@@ -4290,7 +4290,13 @@ def _q_stream_neardup(spark, sf_dir):
         ).alias("ts"),
     )
     d = tempfile.mkdtemp(prefix="nd_gate_")
-    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    # stage as MANY files: the streaming scan assigns ~one task per
+    # file, and the per-row minhash signature (64 interpreted perms)
+    # is the stage's cost — coalesce(1) made the sf1 replay compute
+    # 50k signatures on a single core and blow the 300 s timeout.
+    # Ownership is min-(ts,key), so the result is file/batch-order
+    # independent.
+    docs.repartition(32).write.mode("overwrite").parquet(d)
     schema = spark.read.parquet(d).schema
     src = spark.readStream.schema(schema).parquet(d)
     owners = windowed_neardup_owners(

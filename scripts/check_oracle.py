@@ -42,7 +42,10 @@ def main(sf_dir: str, only=None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in e.TABLES:
-        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset directory
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS FROM '{path}'")
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, osql = e.queries(), e.oracle_sql()
     if only:

@@ -54,6 +54,24 @@ class TestRetrieval:
         assert w[(0, "x")] == 0 and w[(1, "x")] == 0 and w[(2, "x")] == 0
         assert w[(0, "a")] > 0  # rare word weighs positive
 
+    def test_bm25_plan_tokenizes_candidates_once(self, spark):
+        """Round-9 shape pin: the candidate set is tokenized exactly
+        once — document frequencies derive from the lineage-cut
+        posting table, so the plan bm25 RETURNS must read an
+        ExistingRDD (the materialized postings) and contain NO
+        Generate/explode of its own. A Generate reappearing here means
+        someone reintroduced a second tokenize scan (the pre-round-9
+        document_frequencies form)."""
+        df = _docs(spark, ["a b a", "b c", "c a"])
+        p = (
+            R.bm25_topk(df, ["a", "c"], k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ExistingRDD" in p
+        assert "Generate" not in p and "explode" not in p
+
     def test_bm25_ranks_denser_match_higher(self, spark):
         df = _docs(
             spark,
