@@ -489,6 +489,14 @@ def knn_join(
     got to contest (ADVICE r7 #2). Left/right column names must not
     collide except the geography columns (the rename contract appends
     ``_r`` to right-side collisions).
+
+    NULL right keys are safe on both paths (round 9): ranking ties
+    order them first (Spark's ASC NULLS FIRST), and the radius rounds
+    dedup candidate pairs on an internally synthesized unique row id,
+    never the user key — so NULL-keyed (or duplicate-keyed) right
+    rows are distinct candidates, not conflated ones. Rank order
+    among EQUAL (distance, right_key) ties is the usual window
+    nondeterminism; pass a unique right_key for a total order.
     """
     from pyspark.sql import Window
 
