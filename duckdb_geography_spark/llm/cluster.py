@@ -161,18 +161,33 @@ def kmeans_fit(
     base = df.select(
         F.col(vec_col).alias("__v"), _quant_col(vec_col).alias("__qv")
     ).persist()
+    # per-iteration update: ONE aggregate with dim component sums per
+    # cluster (expr strings — see simhash_batch for the py4j
+    # rationale), emitting k rows of dim columns. The earlier
+    # posexplode form shuffled n x dim (cluster, pos, value) rows per
+    # iteration; partial aggregation here reduces each partition to k
+    # rows before the exchange — the right shape at any scale, and
+    # the exact same integer sums (centroids bit-identical,
+    # test-pinned).
+    aggs = [
+        F.expr(f"sum(element_at(__qv, {i + 1})) AS __s{i}") for i in range(dim)
+    ]
     try:
         for _ in range(int(iters)):
             assigned = base.withColumn("__c", _assign_udf(cents)("__v"))
-            rows = (
-                assigned.select("__c", F.posexplode("__qv").alias("__p", "__q"))
-                .groupBy("__c", "__p")
-                .agg(F.sum("__q").alias("__s"))
-                .collect()
-            )
-            sums: dict = {}
-            for r in rows:
-                sums.setdefault(int(r["__c"]), [0] * dim)[int(r["__p"])] = int(r["__s"])
+            rows = assigned.groupBy("__c").agg(*aggs).collect()
+            # NULL component sums (a cluster whose members all have
+            # NULL/short __qv) map to 0 — the posexplode form emitted
+            # no rows for them, and _update_centroids keeps the
+            # previous centroid for an all-zero sum, so the semantics
+            # are unchanged
+            sums = {
+                int(r["__c"]): [
+                    int(v) if (v := r[f"__s{i}"]) is not None else 0
+                    for i in range(dim)
+                ]
+                for r in rows
+            }
             cents = _update_centroids(cents, sums, dim)
     finally:
         base.unpersist()
