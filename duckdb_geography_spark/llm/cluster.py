@@ -175,7 +175,16 @@ def kmeans_fit(
     try:
         for _ in range(int(iters)):
             assigned = base.withColumn("__c", _assign_udf(cents)("__v"))
-            rows = assigned.groupBy("__c").agg(*aggs).collect()
+            # NULL embeddings assign to a NULL cluster (the _assign_udf
+            # contract); drop that group before aggregating — the
+            # posexplode form emitted no rows for NULL __qv, and
+            # int(None) on the group key would crash
+            rows = (
+                assigned.where(F.col("__c").isNotNull())
+                .groupBy("__c")
+                .agg(*aggs)
+                .collect()
+            )
             # NULL component sums (a cluster whose members all have
             # NULL/short __qv) map to 0 — the posexplode form emitted
             # no rows for them, and _update_centroids keeps the

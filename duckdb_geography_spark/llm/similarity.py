@@ -545,6 +545,10 @@ def ivf_training_sample(
     bit-for-bit."""
     rows = (
         df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+        # NULL vectors can never train a centroid; dropping them here
+        # (and in training_sample_pandas, the oracle twin) keeps
+        # NULL-embedding corpora fittable instead of crashing np.stack
+        .where(F.col(vec_col).isNotNull())
         .orderBy(F.md5(F.col("k").cast("string")), "k")
         .limit(int(sample_size))
         .collect()
@@ -559,6 +563,7 @@ def training_sample_pandas(pdf, vec_col="embedding", key_col="vec_id", sample_si
     centroids replay bit-for-bit."""
     import hashlib
 
+    pdf = pdf[pdf[vec_col].notna()]
     keyed = pdf.assign(
         __h=[hashlib.md5(str(k).encode()).hexdigest() for k in pdf[key_col]]
     ).sort_values(["__h", key_col])

@@ -1516,6 +1516,25 @@ def test_kmeans_distributed_matches_replay(spark):
     with pytest.raises(ValueError, match="k must be"):
         CL.kmeans_fit(df, k=0)
 
+    # ADVICE r9 regression: a NULL embedding assigns to a NULL cluster
+    # (the _assign_udf contract) — the fit must skip that group, not
+    # crash on int(None), and the centroids must be identical to the
+    # NULL-free fit (NULL rows contribute nothing to the sums)
+    null_row = spark.createDataFrame(
+        [(int(pdf["vec_id"].max()) + 1, None)],
+        schema=df.select("vec_id", "embedding").schema,
+    )
+    df_null = df.select("vec_id", "embedding").unionByName(null_row)
+    cents_null = CL.kmeans_fit(df_null, k=4, iters=2, sample_size=32)
+    assert float(np.abs(cents_null - cents).max()) == 0.0
+    got_null = (
+        CL.kmeans_assign(df_null, cents_null)
+        .where(F.col("embedding").isNull())
+        .select("cluster_id")
+        .collect()
+    )
+    assert len(got_null) == 1 and got_null[0]["cluster_id"] is None
+
 
 def test_cluster_balanced_sample(spark):
     import numpy as np
