@@ -6380,69 +6380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered queries. The registry is pinned at exactly 100 gates
     # (two 50-slot driver windows); new operators take slots freed by
     # near-dup merges, never growing the count.
-    # R9 window (first 50): label_centroids leads — its r8 record
-    # erred on output SHAPE (a raw array<double> column that the
-    # driver's canonicalizer cannot sort/hash), so the gate was
-    # reshaped this round to posexplode-ed scalar rows and needs a
-    # fresh record. Next the nine gates whose latest driver record was
-    # r6 (re-verified green in every local sweep since), then 40 of
-    # the 41 r7-recorded gates. jl_topk (r7-recorded, code-stable)
-    # leads the second half and thus the r10 window; positions 52-100
-    # are the 49 gates recorded green in CORRECTNESS_r08.json. After
-    # r9, no gate's latest driver record is older than r7.
+    # R10 window (first 50): jl_topk leads — after r9 it is the only
+    # gate whose latest driver record is r7-vintage; the other 49
+    # slots are the cohort recorded green in CORRECTNESS_r08.json.
+    # Positions 51-100 are the 50 gates recorded green in
+    # CORRECTNESS_r09.json. After r10, no gate's latest driver record
+    # is older than r8.
     # Every gate, windowed or not, is green in the full local oracle
-    # sweep (ORACLE_r9_evidence.txt, scripts/check_oracle.py).
+    # sweep (scripts/check_oracle.py; ORACLE_r{N}_evidence.txt).
     return {
-        "label_centroids": _q_label_centroids,
-        "incremental_dedup": _q_incremental_dedup,
-        "stratified_sample": _q_stratified_sample,
-        "dedup_lines": _q_dedup_lines,
-        "funnel": _q_funnel,
-        "snapped_distance_pairs": _q_snapped_distance,
-        "data_tables_gate": _q_data_tables_gate,
-        "jl_project": _q_jl_project,
-        "stream_decontaminate": _q_stream_decontaminate,
-        "weighted_mix": _q_weighted_mix,
-        "geoarrow_roundtrip": _q_geoarrow_roundtrip,
-        "corpus_curation": _q_corpus_curation,
-        "stream_neardup": _q_stream_neardup,
-        "cell_coercion_gate": _q_cell_coercion_gate,
-        "rewrite_deep_gate": _q_rewrite_deep_gate,
-        "bm25_retrieval": _q_bm25_retrieval,
-        "tfidf_vectors": _q_tfidf_vectors,
-        "dup_spans": _q_dup_spans,
-        "dsir_weights": _q_dsir_weights,
-        "hll_distinct": _q_hll_distinct,
-        "cms_counts": _q_cms_counts,
-        "int8_topk": _q_int8_topk,
-        "stream_hll": _q_stream_hll,
-        "bloom_prefilter": _q_bloom_prefilter,
-        "zorder_layout": _q_zorder_layout,
-        "events_hourly": _q_events_hourly,
-        "region_rollup": _q_region_rollup,
-        "haversine_pairs": _q_haversine_pairs,
-        "langid": _q_langid,
-        "doc_quality": _q_doc_quality,
-        "stream_windowed_counts": _q_stream_windowed_counts,
-        "stream_cell_rollup": _q_stream_cell_rollup,
-        "stream_sessionize": _q_stream_sessionize,
-        "doc_chunks": _q_doc_chunks,
-        "doc_prep": _q_doc_prep,
-        "rolling_fingerprint": _q_rolling_fingerprint,
-        "embedding_sim_pairs": _q_embedding_pairs,
-        "lsh_topk": _q_lsh_topk,
-        "box_ops": _q_box_ops,
-        "dwithin_gate": _q_dwithin_gate,
-        "multimodal_features": _q_multimodal_features,
-        "audio_windows": _q_audio_windows,
-        "prepare_gate": _q_prepare_gate,
-        "cellfromwkb_gate": _q_cellfromwkb_gate,
-        "cell_vertex_gate": _q_cell_vertex_gate,
-        "cell_neighbor_gate": _q_cell_neighbor_gate,
-        "cell_union_gate": _q_cell_union_gate,
-        "bounds_box_gate": _q_bounds_box_gate,
-        "validity_gate": _q_validity_gate,
-        "debug_string_gate": _q_debug_string_gate,
         "jl_topk": _q_jl_topk,
         "knn_join": _q_knn_join,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -6493,6 +6439,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_score": _q_linear_score,
         "vocab_drift": _q_vocab_drift,
         "weighted_suite": _q_weighted_suite,
+        "label_centroids": _q_label_centroids,
+        "incremental_dedup": _q_incremental_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_lines": _q_dedup_lines,
+        "funnel": _q_funnel,
+        "snapped_distance_pairs": _q_snapped_distance,
+        "data_tables_gate": _q_data_tables_gate,
+        "jl_project": _q_jl_project,
+        "stream_decontaminate": _q_stream_decontaminate,
+        "weighted_mix": _q_weighted_mix,
+        "geoarrow_roundtrip": _q_geoarrow_roundtrip,
+        "corpus_curation": _q_corpus_curation,
+        "stream_neardup": _q_stream_neardup,
+        "cell_coercion_gate": _q_cell_coercion_gate,
+        "rewrite_deep_gate": _q_rewrite_deep_gate,
+        "bm25_retrieval": _q_bm25_retrieval,
+        "tfidf_vectors": _q_tfidf_vectors,
+        "dup_spans": _q_dup_spans,
+        "dsir_weights": _q_dsir_weights,
+        "hll_distinct": _q_hll_distinct,
+        "cms_counts": _q_cms_counts,
+        "int8_topk": _q_int8_topk,
+        "stream_hll": _q_stream_hll,
+        "bloom_prefilter": _q_bloom_prefilter,
+        "zorder_layout": _q_zorder_layout,
+        "events_hourly": _q_events_hourly,
+        "region_rollup": _q_region_rollup,
+        "haversine_pairs": _q_haversine_pairs,
+        "langid": _q_langid,
+        "doc_quality": _q_doc_quality,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_cell_rollup": _q_stream_cell_rollup,
+        "stream_sessionize": _q_stream_sessionize,
+        "doc_chunks": _q_doc_chunks,
+        "doc_prep": _q_doc_prep,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "embedding_sim_pairs": _q_embedding_pairs,
+        "lsh_topk": _q_lsh_topk,
+        "box_ops": _q_box_ops,
+        "dwithin_gate": _q_dwithin_gate,
+        "multimodal_features": _q_multimodal_features,
+        "audio_windows": _q_audio_windows,
+        "prepare_gate": _q_prepare_gate,
+        "cellfromwkb_gate": _q_cellfromwkb_gate,
+        "cell_vertex_gate": _q_cell_vertex_gate,
+        "cell_neighbor_gate": _q_cell_neighbor_gate,
+        "cell_union_gate": _q_cell_union_gate,
+        "bounds_box_gate": _q_bounds_box_gate,
+        "validity_gate": _q_validity_gate,
+        "debug_string_gate": _q_debug_string_gate,
     }
 
 def oracle_sql() -> dict[str, str]:
