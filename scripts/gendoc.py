@@ -614,6 +614,11 @@ REF_PARITY = {
     "s2_equals": ("Predicates", "docs/function-reference.md:1608", "predicate_gate"),
     "s2_intersects": ("Predicates", "docs/function-reference.md:1641", "pip_covering_join"),
     "s2_mayintersect": ("Predicates", "docs/function-reference.md:1669", "pip_covering_join"),
+    # Extension smoke scalar
+    "s2": (
+        "Data", "src/geography_extension.cpp:18-27 (not in reference docs)",
+        "data_tables_gate",
+    ),
     # GeoArrow (src-only surface)
     "s2_register_geoarrow_extensions": (
         "GeoArrow", "src/s2_geoarrow.cpp:18-93 (not in reference docs)",
