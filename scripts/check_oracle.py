@@ -47,6 +47,10 @@ def main(sf_dir: str, only=None) -> int:
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS FROM '{path}'")
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    # bounded-output variants of the output-quadratic gates: a no-op
+    # at sf0.01 (all knobs resolve to their defaults there), required
+    # for full-value replays at sf1+ (see __spark_entry__._bounded_gates)
+    os.environ["SPARK_GRAFT_BOUNDED_GATES"] = "1"
     qs, osql = e.queries(), e.oracle_sql()
     if only:
         unknown = set(only) - set(qs)
