@@ -727,7 +727,7 @@ def _q_haversine_pairs(spark, sf_dir):
     # unique), with a provable superset of the answer. At 100x the
     # data this stays a shuffle/broadcast hash join — no
     # BroadcastNestedLoopJoin anywhere in the plan.
-    band_deg = max(0.5, thr / 100_000.0)
+    band_deg = max(0.05, thr / 100_000.0)
     band = lambda c: F.floor(c / F.lit(band_deg)).cast("long")  # noqa: E731
     c_b = cust.withColumn("__band", band(F.col("clat")))
     s_b = supp.withColumn(
@@ -747,7 +747,7 @@ def _haversine_sql():
     # superset correctness) — keeps the oracle near-linear instead of
     # a |customer| x |supplier| cross join at sf1+
     thr = _haversine_threshold_m(_oracle_sf_dir())
-    band_deg = max(0.5, thr / 100_000.0)
+    band_deg = max(0.05, thr / 100_000.0)
     return f"""
 WITH c AS (SELECT c_custkey,
     (c_custkey * 40503 % 180000) / 1000.0 - 90.0 AS clat,

@@ -43,6 +43,11 @@ def main(sf_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in e.TABLES:
         path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            # subset replicas (.scale/sf10 carries only the tables its
+            # gates read) — a gate touching a missing table will fail
+            # loudly on its own
+            continue
         if os.path.isdir(path):  # Spark-written dataset directory
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS FROM '{path}'")
