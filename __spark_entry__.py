@@ -1850,9 +1850,14 @@ def _q_snapped_distance(spark, sf_dir):
 
     _prep(spark)
     band = lambda c: F.floor(c / F.lit(27.0)).cast("long")  # noqa: E731
+    # bounded-output sf variant: qualifying pairs grow with
+    # |customer| x |supplier|, so BOTH samples thin with their table
+    # (%10 / %2 at the driver's sf0.01, x m beyond — see _bounded_gates)
+    mc = 10 * _bounded_mod(sf_dir, "customer", base=1500)
+    ms = 2 * _bounded_mod(sf_dir, "supplier", base=100)
     cust = (
         _t(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") % 10 == 0)
+        .where(F.col("c_custkey") % mc == 0)
         .select(
             "c_custkey",
             band(synth.cust_lat()).alias("__band"),
@@ -1863,7 +1868,7 @@ def _q_snapped_distance(spark, sf_dir):
     )
     supp = (
         _t(spark, sf_dir, "supplier")
-        .where(F.col("s_suppkey") % 2 == 0)
+        .where(F.col("s_suppkey") % ms == 0)
         .select(
             "s_suppkey",
             F.explode(
@@ -1890,13 +1895,15 @@ def _q_snapped_distance(spark, sf_dir):
 def _snapped_distance_sql():
     from duckdb_geography_spark import synth
 
+    mc = 10 * _bounded_mod(_oracle_sf_dir(), "customer", base=1500)
+    ms = 2 * _bounded_mod(_oracle_sf_dir(), "supplier", base=100)
     cpts = (
         f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, {synth.CUST_LAT_SQL} AS lat "
-        "FROM customer WHERE c_custkey % 10 = 0"
+        f"FROM customer WHERE c_custkey % {mc} = 0"
     )
     spts = (
         f"SELECT s_suppkey AS k, {synth.SUPP_LON_SQL} AS lon, {synth.SUPP_LAT_SQL} AS lat "
-        "FROM supplier WHERE s_suppkey % 2 = 0"
+        f"FROM supplier WHERE s_suppkey % {ms} = 0"
     )
     return f"""
 WITH RECURSIVE {synth.cellfromlonlat_cte(cpts, "_c")},
@@ -2065,9 +2072,14 @@ def _q_knn_join(spark, sf_dir):
     from duckdb_geography_spark.functions.casts import s2_cell_center_to_geography
 
     _prep(spark)
+    # bounded-output sf variant: the ORACLE is a literal cross join
+    # (left x right pairs), so the left sample thins with customer
+    # growth — %10 at the driver's sf0.01, %10*m beyond (the right
+    # side stays full: the operator under test keeps its real corpus)
+    mc = 10 * _bounded_mod(sf_dir, "customer", base=1500)
     cust = (
         _t(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") % 10 == 0)
+        .where(F.col("c_custkey") % mc == 0)
         .select(
             "c_custkey",
             s2_cell_center_to_geography(
@@ -2106,9 +2118,10 @@ def _q_knn_join(spark, sf_dir):
 def _knn_join_sql():
     from duckdb_geography_spark import synth
 
+    mc = 10 * _bounded_mod(_oracle_sf_dir(), "customer", base=1500)
     cpts = (
         f"SELECT c_custkey AS k, {synth.CUST_LON_SQL} AS lon, {synth.CUST_LAT_SQL} AS lat "
-        "FROM customer WHERE c_custkey % 10 = 0"
+        f"FROM customer WHERE c_custkey % {mc} = 0"
     )
     spts = (
         f"SELECT s_suppkey AS k, {synth.SUPP_LON_SQL} AS lon, {synth.SUPP_LAT_SQL} AS lat "
