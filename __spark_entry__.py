@@ -2639,6 +2639,12 @@ def _q_stream_sessionize(spark, sf_dir):
 
     _prep(spark)
     ev = SE.read_events_stream(spark, sf_dir)
+    # bounded-output sf variant by WHOLE users (sessions stay intact;
+    # base=1M keeps the full feed through sf1 — 10M events at sf10
+    # blow the Python-stateful gate's drain budget)
+    m = _bounded_mod(sf_dir, "events", base=1_000_000)
+    if m > 1:
+        ev = ev.where(F.col("user_id") % m == 0)
     out = SE.sessionize(ev, gap_minutes=30)
     qname = f"sess_gate_{uuid.uuid4().hex[:8]}"
     q = (
@@ -2683,13 +2689,15 @@ def _q_stream_sessionize(spark, sf_dir):
     )
 
 
-_STREAM_SESSIONIZE_SQL = """
+def _stream_sessionize_sql():
+    m = _bounded_mod(_oracle_sf_dir(), "events", base=1_000_000)
+    return f"""
 WITH o AS (
   SELECT user_id, event_id, ts, value,
     CASE WHEN epoch(ts) - lag(epoch(ts))
            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
          THEN 1 ELSE 0 END AS brk
-  FROM events),
+  FROM events WHERE user_id % {m} = 0),
 s AS (
   SELECT user_id, ts, value,
     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2709,6 +2717,9 @@ SELECT a.user_id, a.start_s, a.end_s, a.n_events, a.value_micro
 FROM agg a JOIN last l ON l.user_id = a.user_id AND a.session_id < l.last_id
 ORDER BY a.user_id, a.start_s
 """
+
+
+
 
 
 def _q_stream_windowed_counts(spark, sf_dir):
@@ -3900,7 +3911,10 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
-def _decontaminate_sql():
+def _decontaminate_sql(stream_m: int = 1):
+    # stream_m > 1 = the stream gate's bounded corpus (the benchmark
+    # gram set is still drawn from the FULL corpus slice, so only the
+    # output side filters)
     cte = _NGRAM_CTE.format(n=8)
     return f"""
 WITH {cte},
@@ -3909,6 +3923,7 @@ hits AS (
   SELECT DISTINCT doc_id FROM g8 JOIN bench USING (g))
 SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {stream_m} = 0
 ORDER BY d.doc_id
 """
 
@@ -4156,6 +4171,13 @@ def _q_stream_decontaminate(spark, sf_dir):
     bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
     grams = SE.collect_benchmark_grams(bench, n=8)
     docs = SE.read_documents_stream(spark, sf_dir)
+    # bounded-output sf variant (base=50k: full corpus through sf1 —
+    # whose ~150s wall is proven — 1-in-m beyond; the 500k-doc sf10
+    # stream blows the gate's 300s micro-batch budget; the benchmark
+    # slice stays corpus-wide)
+    m = _bounded_mod(sf_dir, "documents", base=50_000)
+    if m > 1:
+        docs = docs.where(F.col("doc_id") % m == 0)
     out = SE.stream_decontaminate(docs, grams, n=8).select(
         "doc_id", "contaminated"
     )
@@ -4421,7 +4443,14 @@ def _q_stream_neardup(spark, sf_dir):
     )
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents").select(
+    # bounded-output sf variant (base=50k: full corpus through sf1 —
+    # whose wall is proven — 500k signatures at sf10 blow the 300s
+    # micro-batch budget)
+    m = _bounded_mod(sf_dir, "documents", base=50_000)
+    docs = _t(spark, sf_dir, "documents")
+    if m > 1:
+        docs = docs.where(F.col("doc_id") % m == 0)
+    docs = docs.select(
         "doc_id",
         "text",
         F.expr(
@@ -4474,11 +4503,12 @@ def _stream_neardup_sql():
         f"SELECT doc_id, {bi} AS band, {band_key(bi)} AS bk FROM sig"
         for bi in range(8)
     )
+    m = _bounded_mod(_oracle_sf_dir(), "documents", base=50_000)
     return f"""
 WITH d AS (
   SELECT doc_id, text,
          TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) AS ts
-  FROM documents),
+  FROM documents WHERE doc_id % {m} = 0),
 mx AS (SELECT max(ts) AS m FROM d),
 sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 5) AS g
@@ -6653,7 +6683,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": _SESSIONIZE_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_cell_rollup": _stream_cell_rollup_sql(),
-        "stream_sessionize": _STREAM_SESSIONIZE_SQL,
+        "stream_sessionize": _stream_sessionize_sql(),
         "doc_chunks": _DOC_CHUNKS_SQL,
         "doc_prep": _doc_prep_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
@@ -6690,7 +6720,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_frac": _boilerplate_sql(),
         "decontaminate": _decontaminate_sql(),
         "semdedup": _semdedup_sql(),
-        "stream_decontaminate": _decontaminate_sql(),
+        "stream_decontaminate": _decontaminate_sql(
+            stream_m=_bounded_mod(_oracle_sf_dir(), "documents", base=50_000)
+        ),
         "sequence_packing": _SEQUENCE_PACKING_SQL,
         "ngram_nll": _ngram_nll_sql(),
         "asof_join": _ASOF_JOIN_SQL,
