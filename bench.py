@@ -35,26 +35,92 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: char tail; 1500 leaves headroom for prefix noise on the same stream.
 MAX_STDOUT_LINE = 1500
 
+#: the gates whose OUTPUT is quadratic in input rows by construction
+#: (all-pairs emission under a fixed threshold). At sf >= 1 their wall
+#: is dominated by qualifying-pair volume, not engine work — r10's
+#: sf10 total was 70% one gate's output writing — so every record also
+#: carries value_excl_quadratic for round-over-round comparability
+#: (VERDICT r10 item 3). The set matches __spark_entry__._bounded_gates.
+QUADRATIC_OUTPUT_QUERIES = frozenset(
+    {
+        "haversine_pairs",
+        "minhash_lsh_candidates",
+        "ngram_jaccard_pairs",
+        "embedding_sim_pairs",
+        "dedup_clusters",
+        "semdedup",
+        "corpus_curation",
+    }
+)
 
-def format_bench_record(timings, spreads, sf, total):
+
+def load_snapshot():
+    """Box-load metadata stamped into every bench record (VERDICT r10
+    item 4): without it, a quiet-vs-loaded comparison is folklore.
+    1/5/15-minute load averages, uptime, and the raw /proc/stat cpu
+    jiffies — the start/end jiffy delta yields the steal%/idle% over
+    the run, which is the evidence that separates 'noisy co-tenant VM'
+    from 'real regression' (a quiet-at-idle box can still lose 30% to
+    hypervisor steal once all 32 cores are demanded)."""
+    try:
+        la = os.getloadavg()
+    except OSError:  # platform without getloadavg
+        la = (-1.0, -1.0, -1.0)
+    up = -1.0
+    jiffies = None
+    try:
+        with open("/proc/uptime") as fh:
+            up = float(fh.read().split()[0])
+        with open("/proc/stat") as fh:
+            # user nice system idle iowait irq softirq steal
+            jiffies = [int(x) for x in fh.readline().split()[1:9]]
+    except (OSError, ValueError, IndexError):
+        pass
+    return {
+        "loadavg": [round(x, 2) for x in la],
+        "uptime_sec": round(up, 1),
+        "cpu_jiffies": jiffies,
+    }
+
+
+def cpu_mix_over_run(start, end):
+    """Percent user/idle/steal across the run from the two snapshots."""
+    a, b = start.get("cpu_jiffies"), end.get("cpu_jiffies")
+    if not a or not b:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d) or 1
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    return {n: round(100.0 * v / total, 2) for n, v in zip(names, d)}
+
+
+def format_bench_record(timings, spreads, sf, total, load=None):
     """Build (stdout_line, sidecar_record) for a finished run.
 
     The stdout line always carries metric/value/unit/sf and — only if
     it still fits under MAX_STDOUT_LINE — the per-query timings map.
-    The sidecar record always carries everything (timings + spread).
+    The sidecar record always carries everything (timings + spread +
+    the start/end load snapshots).
     """
+    excl = round(
+        sum(t for q, t in timings.items() if q not in QUADRATIC_OUTPUT_QUERIES), 3
+    )
     sidecar = {
         "metric": "headline_suite_total",
         "value": round(total, 3),
+        "value_excl_quadratic": excl,
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
         "sf": sf,
     }
+    if load is not None:
+        sidecar["load"] = load
     line_full = json.dumps(
         {
             "metric": "headline_suite_total",
             "value": round(total, 3),
+            "value_excl_quadratic": excl,
             "unit": "sec",
             "queries": timings,
             "sf": sf,
@@ -67,6 +133,7 @@ def format_bench_record(timings, spreads, sf, total):
         {
             "metric": "headline_suite_total",
             "value": round(total, 3),
+            "value_excl_quadratic": excl,
             "unit": "sec",
             "queries_in_sidecar": len(timings),
             "sf": sf,
@@ -209,6 +276,7 @@ def main() -> None:
     # still let a blip through). SPARK_GRAFT_PASSES=1 for long
     # large-sf scaling runs where wall-clock matters more than jitter.
     passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
+    load_start = load_snapshot()
     timings = {}
     spreads = {}
     total = 0.0
@@ -235,7 +303,14 @@ def main() -> None:
 
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
-    line, sidecar = format_bench_record(timings, spreads, sf, total)
+    load_end = load_snapshot()
+    load = {
+        "start": load_start,
+        "end": load_end,
+        "cpu_mix_pct": cpu_mix_over_run(load_start, load_end),
+        "passes": passes,
+    }
+    line, sidecar = format_bench_record(timings, spreads, sf, total, load=load)
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_SIDECAR_sf{sf_tag}.json"
     )

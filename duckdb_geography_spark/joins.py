@@ -22,6 +22,7 @@ Python).
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -70,6 +71,37 @@ def level_for_radius_meters(meters: float) -> int:
     # average cell edge at level L is ~ 0.85 / 2^L radians
     lev = int(math.floor(math.log2(0.85 / max(radians, 1e-12)))) - 1
     return max(0, min(30, lev))
+
+
+#: row cap for honoring a caller's ``broadcast_right`` hint. A forced
+#: ``F.broadcast`` bypasses Spark's autoBroadcastJoinThreshold entirely,
+#: so a hint on a side that turns out to be a DATA table (not a dim)
+#: becomes an executor OOM at some scale factor. 100k base rows — the
+#: exploded covering multiplies that by ~1-8 cells/row — keeps the
+#: broadcast in the tens of MB for typical geography rows.
+BROADCAST_RIGHT_MAX_ROWS = 100_000
+
+
+def _guarded_broadcast(
+    exploded: DataFrame, base: DataFrame, what: str, max_rows: int = 0
+) -> DataFrame:
+    """Honor a broadcast request only after a BOUNDED size probe
+    (``limit(n+1).count()`` — a bounded scan at any table size, the
+    knn_join pattern at :func:`knn_join`). Probes the UN-exploded
+    frame so the probe never pays the covering UDF. Over the cap, the
+    join falls back to the two-sided cell equi-join (shuffle hash /
+    sort-merge) with a warning instead of OOMing an executor."""
+    cap = int(max_rows) or BROADCAST_RIGHT_MAX_ROWS
+    n = base.limit(cap + 1).count()
+    if n <= cap:
+        return F.broadcast(exploded)
+    warnings.warn(
+        f"{what}: broadcast_right requested but the right side has "
+        f"> {cap} rows; falling back to a shuffle equi-join (a forced "
+        f"broadcast of a data-sized table risks executor OOM)",
+        stacklevel=3,
+    )
+    return exploded
 
 
 def _with_key(df: DataFrame, key: Optional[str], name: str):
@@ -131,7 +163,7 @@ def covering_join(
         "__cell", F.explode(s2_covering_fixed_level(rgeog_out, level))
     )
     if broadcast_right:
-        r_cells = F.broadcast(r_cells)
+        r_cells = _guarded_broadcast(r_cells, rk_df, "covering_join")
 
     pairs = l_cells.join(r_cells, "__cell").drop("__cell")
     pairs = pairs.dropDuplicates([lk, rk])
@@ -241,7 +273,7 @@ def covering_range_join(
         "__rcell", F.explode(_range_covering_udf(max_cells, coarse_level)(F.col(rgeog_out)))
     ).withColumn("__bucket", C.s2_cell_parent(F.col("__rcell"), coarse_level))
     if broadcast_right:
-        r_cells = F.broadcast(r_cells)
+        r_cells = _guarded_broadcast(r_cells, rk_df, "covering_range_join")
 
     lmin = _uns_ord(C.s2_cell_range_min(F.col("__lcell")))
     lmax = _uns_ord(C.s2_cell_range_max(F.col("__lcell")))
@@ -287,7 +319,7 @@ def cell_containment_join(
         "__cell", F.explode(s2_covering_fixed_level(region_geog, level))
     )
     if broadcast_regions:
-        r = F.broadcast(r)
+        r = _guarded_broadcast(r, regions, "cell_containment_join")
     p = points.withColumn("__cell", C.s2_cell_parent(F.col(point_cell), level))
     joined = p.join(r, "__cell").drop("__cell")
     if refine:
@@ -381,7 +413,7 @@ def distance_join(
         "__cell", F.explode(_buffered_covering_udf(level, radians)(F.col(rgeog_out)))
     )
     if broadcast_right:
-        r_cells = F.broadcast(r_cells)
+        r_cells = _guarded_broadcast(r_cells, rk_df, "distance_join")
     pairs = l_cells.join(r_cells, "__cell").drop("__cell").dropDuplicates([lk, rk])
     pairs = pairs.where(P.s2_dwithin(F.col(left_geog), F.col(rgeog_out), float(meters)))
     drop = [c for c, synth in ((lk, lk_synth), (rk, rk_synth)) if synth]

@@ -702,13 +702,23 @@ def lsh_neardup_pairs(
     blocks: int = 4,
     seed: int = 7,
     dim: Optional[int] = None,
+    quantize: Optional[int] = None,
 ) -> DataFrame:
     """Embedding near-dup pairs the scalable way: hyperplane signature
     (Arrow-batched kernel) -> pigeonhole chunk equi-join (any pair
     within ``max_hamming`` < ``blocks`` shares an exact chunk) ->
     hamming refine (bit_count, JVM) -> exact cosine >= threshold
     (Arrow-batched pair kernel). No all-pairs stage; the brute-force
-    twin is embedding_neardup_pairs."""
+    twin is embedding_neardup_pairs.
+
+    ``quantize=q`` replaces the float ``cosine`` output with an integer
+    ``cosq`` = floor(raw_cosine * 10^q + 0.5) and applies the threshold
+    on that integer (``cosq >= round(threshold * 10^q)``). This is the
+    cross-engine-safe contract: ``F.round(c, 6)`` rounds Spark-side on
+    the shortest DECIMAL repr (HALF_UP) while other engines round the
+    BINARY double, so a float ``cosine`` at a decimal midpoint hashes
+    differently engine-to-engine; floor(c*10^q + 0.5) is identical
+    binary arithmetic everywhere."""
     assert max_hamming < blocks and n_planes % blocks == 0
     if dim is None:
         # inference costs a Spark job and needs a non-null first row —
@@ -748,6 +758,12 @@ def lsh_neardup_pairs(
         .where(ham <= max_hamming)
         .dropDuplicates(["key_a", "key_b"])
     )
+    if quantize is not None:
+        scale = 10**quantize
+        cosq = F.floor(cosine_pair("va", "vb") * scale + F.lit(0.5)).cast("long")
+        return pairs.select("key_a", "key_b", cosq.alias("cosq")).where(
+            F.col("cosq") >= int(round(threshold * scale))
+        )
     return pairs.select(
         "key_a", "key_b", F.round(cosine_pair("va", "vb"), 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)

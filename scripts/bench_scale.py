@@ -41,6 +41,13 @@ def main():
     print()
     print(f"total: {lo['value']:.2f}s -> {hi['value']:.2f}s "
           f"(x{hi['value'] / lo['value']:.2f} at x{ratio:.0f} rows)")
+    # the headline that survives the output-quadratic gates (VERDICT
+    # r10 item 3): at sf >= 1 those gates' wall is qualifying-pair
+    # volume, not engine work, so this is the round-comparable number
+    lo_x, hi_x = lo.get("value_excl_quadratic"), hi.get("value_excl_quadratic")
+    if lo_x and hi_x:
+        print(f"total_excl_quadratic: {lo_x:.2f}s -> {hi_x:.2f}s "
+              f"(x{hi_x / lo_x:.2f} at x{ratio:.0f} rows)")
     if worst:
         print("SUPER-LINEAR (alpha > 1.15 and t_hi > 0.5s):")
         for name, t_lo, t_hi, alpha in worst:

@@ -44,9 +44,10 @@ def main(sf_dir: str, only=None) -> int:
     for t in e.TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(path):
-            # subset replicas (.scale/sf10 carries only the tables its
-            # gates read) — a gate touching a missing table will fail
-            # loudly on its own
+            # subset replicas (.scale/sf100 carries only the tables its
+            # gates read) — a gate touching a missing table fails
+            # loudly on its own; its oracle SQL is built lazily below
+            # so the missing table can't crash the run at construction
             continue
         if os.path.isdir(path):  # Spark-written dataset directory
             path = f"{path}/*.parquet"
@@ -56,7 +57,11 @@ def main(sf_dir: str, only=None) -> int:
     # at sf0.01 (all knobs resolve to their defaults there), required
     # for full-value replays at sf1+ (see __spark_entry__._bounded_gates)
     os.environ["SPARK_GRAFT_BOUNDED_GATES"] = "1"
-    qs, osql = e.queries(), e.oracle_sql()
+    # lazy per-gate oracle build (r10 ADVICE): several oracles read
+    # parquet footers / trained artifacts at BUILD time, so building
+    # the full dict eagerly would crash a subset replica before any
+    # gate executes
+    qs, builders = e.queries(), e.oracle_sql_builders()
     if only:
         unknown = set(only) - set(qs)
         if unknown:
@@ -70,13 +75,13 @@ def main(sf_dir: str, only=None) -> int:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"[FAIL-spark] {name}: {ex}")
             continue
-        if name not in osql:
+        if name not in builders:
             print(f"[rows-only] {name}: {len(got)} rows")
             if len(got) == 0 and name != "noop":
                 failures.append((name, "0 rows"))
             continue
         try:
-            want = con.sql(osql[name]).df()
+            want = con.sql(builders[name]()).df()
         except Exception as ex:
             failures.append((name, f"ORACLE ERROR: {ex}"))
             print(f"[FAIL-oracle] {name}: {ex}")
