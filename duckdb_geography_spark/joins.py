@@ -22,6 +22,8 @@ Python).
 from __future__ import annotations
 
 import math
+import os
+import sys
 import warnings
 from typing import Optional
 
@@ -640,7 +642,12 @@ def knn_join(
     remaining = lk_df
     chunks = []
     radius = float(initial_meters)
+    # SPARK_GRAFT_KNN_TRACE=1: per-round radius/level/unresolved on
+    # stderr — the profiling hook for tuning the initial radius
+    trace = os.environ.get("SPARK_GRAFT_KNN_TRACE") == "1"
+    round_no = 0
     while True:
+        round_no += 1
         r_eff = min(radius, _HALF_CIRCUMFERENCE_M)
         last_round = radius >= _HALF_CIRCUMFERENCE_M
         # two levels FINER than the dwithin rule (cells ~ r/2 wide, so
@@ -654,6 +661,12 @@ def knn_join(
             if level is not None
             else min(14, level_for_radius_meters(r_eff) + 2)
         )
+        if trace:
+            print(
+                f"# knn_join round {round_no}: r={r_eff:.0f}m lev={lev}"
+                f" last={last_round}",
+                file=sys.stderr,
+            )
         radians = r_eff / gd.EARTH_RADIUS_METERS
 
         l_cells = remaining.withColumn(
@@ -752,6 +765,11 @@ def knn_join(
         if n_right is None:
             n_right = right.count()
         n_unresolved = remaining.count()
+        if trace:
+            print(
+                f"# knn_join round {round_no}: unresolved={n_unresolved}",
+                file=sys.stderr,
+            )
         if n_unresolved * max(n_right, 1) <= int(tail_pairs):
             # the whole remainder x right candidate set is bounded:
             # jump straight to the final full-sphere round instead of

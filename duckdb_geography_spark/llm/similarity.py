@@ -870,19 +870,40 @@ def int8_cosine_topk(
     qq = sum(c * c for c in qc)
     if qq == 0:
         raise ValueError("query vector is all zeros")
-    q_lit = F.array(*[F.lit(int(c)) for c in qc])
-    quant = quantize_int8(vec_col)
-    codes = quant["codes"]
-    dot_i = F.aggregate(
-        F.zip_with(codes, q_lit, lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    vv_i = F.aggregate(
-        F.transform(codes, lambda a: (a * a).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # the per-element work (quantize + integer dot + integer norm) runs
+    # as ONE Arrow-batched numpy kernel: the pure-Column HOF form
+    # (aggregate over zip_with/transform) is interpreted per row and
+    # measured 27k rows/s at sf10 — the kernel does the same exact
+    # IEEE-double divides and exact int64 sums at matmul speed. The
+    # integer outputs are bit-identical to the HOF path by construction
+    # (floor(x/scale + 0.5) on doubles, order-free integer sums), and
+    # the final score stays the same Column expression either way.
+    qarr = np.asarray(qc, dtype=np.int64)
+
+    @F.pandas_udf("struct<dot: long, vv: long>")
+    def _int8_dots(s: pd.Series) -> pd.DataFrame:
+        n = len(s)
+        dot = np.full(n, np.nan)
+        vv = np.full(n, np.nan)
+        good = [i for i, v in enumerate(s) if v is not None]
+        if good:
+            arr = np.asarray(
+                [np.asarray(s.iloc[i], dtype=np.float64) for i in good]
+            )
+            maxabs = np.max(np.abs(arr), axis=1, keepdims=True)
+            scale = np.where(maxabs == 0.0, 1.0, maxabs) / 127.0
+            codes = np.floor(arr / scale + 0.5).astype(np.int64)
+            codes[maxabs[:, 0] == 0.0] = 0
+            dot[good] = codes @ qarr
+            vv[good] = (codes * codes).sum(axis=1)
+        # values are exact small integers carried in float64 (NaN =
+        # null row); nullable Int64 converts NaN -> NULL for Arrow
+        return pd.DataFrame(
+            {"dot": pd.array(dot, dtype="Int64"), "vv": pd.array(vv, dtype="Int64")}
+        )
+
+    d = _int8_dots(F.col(vec_col))
+    dot_i, vv_i = d["dot"], d["vv"]
     score = F.when(vv_i == 0, F.lit(0.0)).otherwise(
         F.round(
             dot_i.cast("double")
