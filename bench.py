@@ -228,7 +228,15 @@ def main() -> None:
     # which would otherwise be billed to the first UDF query
     from duckdb_geography_spark.functions import cells as C
 
-    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    # subset replicas (.scale/sf100 carries only the tables its scan
+    # gates read) may not have nation — warm the JVM read path with
+    # whichever table is smallest among those present
+    import glob as _glob
+
+    _tables = sorted(_glob.glob(f"{SF_DIR}/*.parquet"), key=os.path.getsize)
+    if not _tables:
+        raise SystemExit(f"no parquet tables under {SF_DIR}")
+    spark.read.parquet(_tables[0]).count()
     ncpu = int(CPUS) if str(CPUS).isdigit() else os.cpu_count()
     spark.range(0, ncpu * 4, 1, ncpu * 4).select(
         C.s2_cellfromlonlat(F.lit(1.0), F.lit(2.0)).alias("c")

@@ -759,6 +759,14 @@ def lsh_neardup_pairs(
         .dropDuplicates(["key_a", "key_b"])
     )
     if quantize is not None:
+        # quantize is the DIGIT count, not the scale: cosq must fit a
+        # signed 64-bit long (|cosine| <= 1, so scale <= ~9.2e18)
+        if not 0 < quantize <= 18:
+            raise ValueError(
+                f"quantize={quantize} is the number of decimal digits and "
+                "must be in 1..18 (cosq = floor(cosine * 10^quantize + 0.5) "
+                "must fit a 64-bit long)"
+            )
         scale = 10**quantize
         cosq = F.floor(cosine_pair("va", "vb") * scale + F.lit(0.5)).cast("long")
         return pairs.select("key_a", "key_b", cosq.alias("cosq")).where(

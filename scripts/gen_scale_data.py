@@ -89,9 +89,28 @@ def main():
         )
         print(f"{t}: copied")
 
-    # one stride per key SPACE, from the max over every column bound to it
+    # one stride per key SPACE, from the max over every column bound to it.
+    # With SCALE_TABLES set, only the selected tables are read — a subset
+    # replica (e.g. the sf100 scan-gate stage, which carries only
+    # documents/embeddings/events) has no customer/orders parquet to probe.
+    # Safe because the subset's key spaces are self-contained; generating
+    # one HALF of a coupled space (orders without customer) through ONLY
+    # would desync FK shifts, so refuse that combination explicitly.
+    if ONLY:
+        selected = set(ONLY)
+        for col, space in KEY_SPACES.items():
+            owners = {tt for tt in SCALED for cc in KEY_COLS[tt] if KEY_SPACES[cc] == space}
+            if selected & owners and not owners <= selected:
+                missing = owners - selected
+                raise SystemExit(
+                    f"SCALE_TABLES includes {sorted(selected & owners)} but not "
+                    f"{sorted(missing)} — key space {space!r} spans both; "
+                    "shift them together or not at all"
+                )
     strides = {}
     for t in SCALED:
+        if ONLY and t not in ONLY:
+            continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         for c in KEY_COLS[t]:
             space = KEY_SPACES[c]

@@ -99,3 +99,15 @@ def test_embedding_sim_pairs_emits_integer_cosine(spark):
     assert isinstance(field, LongType)
     rows = df.limit(5).collect()
     assert rows and all(isinstance(r.cos4q, int) for r in rows)
+
+
+def test_lsh_neardup_quantize_rejects_out_of_range(spark):
+    """quantize is the decimal DIGIT count, not the scale: 10^q must fit
+    a 64-bit long or the literal blows the py4j long codec with a
+    4300-digit integer (found driving quantize=1_000_000 in r11)."""
+    from duckdb_geography_spark.llm.similarity import lsh_neardup_pairs
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    for bad in (0, -3, 19, 1_000_000):
+        with pytest.raises(ValueError, match="decimal digits"):
+            lsh_neardup_pairs(df, quantize=bad, dim=2)
