@@ -90,6 +90,44 @@ def _rows_at(sf_dir: str, table: str) -> int:
     return hit
 
 
+_QVEC_CACHE: dict = {}
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> list:
+    """Driver-side fetch of ONE query vector from embeddings.parquet —
+    a footer-pruned row-group read, no Spark job (r11, guide §1/§5:
+    eight ANN gates fetched vec_id 0's embedding through a
+    `.collect()`, paying a full scheduler round trip per bench pass
+    for a single-row dimension lookup; same driver-side pattern as
+    _nation_covering_df). Row-group statistics prune the read at any
+    scale; the memo is stamped like _ROWS_CACHE so a data regen
+    invalidates it. Returns the same Python floats Spark's collect()
+    produced (float32 -> double widening is exact)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    files = (
+        sorted(_glob.glob(f"{path}/*.parquet"))
+        if os.path.isdir(path)
+        else [path]
+    )
+    stamp = tuple((os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files)
+    key = (sf_dir, int(vec_id), stamp)
+    hit = _QVEC_CACHE.get(key)
+    if hit is None:
+        t = _pq.read_table(
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", int(vec_id))],
+        )
+        if t.num_rows == 0:
+            raise KeyError(f"vec_id {vec_id} not in {path}")
+        hit = _QVEC_CACHE[key] = [float(x) for x in t["embedding"][0].as_py()]
+    return list(hit)
+
+
 def _bounded_gates() -> bool:
     """Seven gates' ORACLES are output-quadratic by construction
     (all-pairs emission / recursive-CTE closure / full-chain replay),
@@ -1300,7 +1338,7 @@ def _q_embedding_topk(spark, sf_dir):
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = _query_vec(sf_dir)
     return cosine_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10)
 
 
@@ -1500,7 +1538,7 @@ def _q_lsh_topk(spark, sf_dir):
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = _query_vec(sf_dir)
     return lsh_topk(
         emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10, n_planes=12
     )
@@ -1544,7 +1582,7 @@ def _q_ivf_topk(spark, sf_dir):
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = _query_vec(sf_dir)
     return ivf_topk(
         emb.where(F.col("vec_id") != 0),
         [float(x) for x in q],
@@ -1613,7 +1651,7 @@ def _q_ivf_trained_topk(spark, sf_dir):
     cents = train_ivf_centroids(
         ivf_training_sample(base, sample_size=256), n_centroids=16, seed=11
     )
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = _query_vec(sf_dir)
     return ivf_topk(
         base, [float(x) for x in q], k=10, n_centroids=16, n_probe=4, centroids=cents
     )
@@ -4244,7 +4282,7 @@ def _q_pq_topk(spark, sf_dir):
         books = train_pq_codebooks(
             ivf_training_sample(base, sample_size=256), m=8, k=16, seed=7
         )
-        q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        q = _query_vec(sf_dir)
         hit = (books, [float(x) for x in q])
         if len(_PQ_CACHE) >= 8:
             _PQ_CACHE.clear()
@@ -5808,7 +5846,7 @@ def _q_int8_topk(spark, sf_dir):
     from duckdb_geography_spark.llm.similarity import int8_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = _query_vec(sf_dir)
     return int8_cosine_topk(
         emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10
     )
@@ -5868,7 +5906,7 @@ def _q_jl_topk(spark, sf_dir):
     from duckdb_geography_spark.llm.similarity import jl_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = _query_vec(sf_dir)
     return jl_topk(
         emb.where(F.col("vec_id") != 0),
         [float(x) for x in q],
@@ -6103,28 +6141,42 @@ def _q_ngram_nll(spark, sf_dir):
     complete outputs are hashed — n_words/n_trans normalize to
     ``n_terms`` (long) so the union schema is uniform. Replaces the
     unigram_nll / bigram_nll / trigram_nll gates (each r6-recorded)."""
-    from duckdb_geography_spark.llm.lm import bigram_nll, ngram_nll, unigram_nll
+    from duckdb_geography_spark.llm.lm import (
+        _words,
+        bigram_nll,
+        ngram_nll,
+        unigram_nll,
+    )
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
+    # tokenize ONCE, materialize, and feed all three models from the
+    # token arrays (r11, guide §2.4/§3.3): the previous form re-read
+    # and re-split the corpus in every model's every consumer — 32
+    # parquet scans / 84 Exchanges in one plan. The localCheckpoint is
+    # a lineage cut shared by all union branches; at scale it stores
+    # the tokenized corpus once instead of re-tokenizing it ~6x.
+    toks = docs.select(
+        "doc_id", _words(F.col("text")).alias("__w")
+    ).localCheckpoint(eager=False)
     # s_micro (the exact integer micronat sum) replaces the rounded
     # nats/term float in the gate: the float divides two exact
     # integers in doubles and a row CAN land on a 6dp rounding
     # boundary where independent engines disagree by one ulp (seen
     # once at sf1); the integer column is exact at any corpus size.
-    u = unigram_nll(docs, exact_micro=True).select(
+    u = unigram_nll(toks, exact_micro=True, tokens_col="__w").select(
         F.lit(1).alias("n"),
         "doc_id",
         F.col("n_words").cast("long").alias("n_terms"),
         "s_micro",
     )
-    b = bigram_nll(docs, exact_micro=True).select(
+    b = bigram_nll(toks, exact_micro=True, tokens_col="__w").select(
         F.lit(2).alias("n"),
         "doc_id",
         F.col("n_trans").cast("long").alias("n_terms"),
         "s_micro",
     )
-    t = ngram_nll(docs, 3, exact_micro=True).select(
+    t = ngram_nll(toks, 3, exact_micro=True, tokens_col="__w").select(
         F.lit(3).alias("n"),
         "doc_id",
         F.col("n_trans").cast("long").alias("n_terms"),
@@ -6251,7 +6303,7 @@ def _q_rrf_hybrid(spark, sf_dir):
     _prep(spark)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") != 0)
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = _query_vec(sf_dir)
     return hybrid_rrf_topk(
         docs,
         emb.where(F.col("vec_id") != 0),

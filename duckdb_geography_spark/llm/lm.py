@@ -42,14 +42,30 @@ def _words(text) -> Column:
     return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda x: x != "")
 
 
+def _tok(df: DataFrame, text_col: str, tokens_col: str | None) -> Column:
+    """The token-array expression: split ``text_col`` by default, or —
+    when ``tokens_col`` names a pre-split array column — reuse it
+    verbatim. Callers scoring SEVERAL models over one corpus (uni +
+    bi + trigram) tokenize once, materialize, and pass ``tokens_col``
+    so the regex split is not re-paid per model per consumer (r11:
+    the 3-model gate re-tokenized the corpus ~6x; guide §2.4/§3.3 —
+    share the common subtree instead of recomputing it)."""
+    if tokens_col is not None:
+        return _c(tokens_col)
+    return _words(text_col)
+
+
 def unigram_counts(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The trained model: corpus word counts ``(word, c)``. One
     explode + one map-side-combinable count. Persist this next to the
     corpus snapshot to score other datasets against it."""
     return (
-        df.select(F.explode(_words(text_col)).alias("word"))
+        df.select(F.explode(_tok(df, text_col, tokens_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -62,6 +78,7 @@ def unigram_nll(
     counts: DataFrame | None = None,
     alpha: int = 1,
     exact_micro: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean unigram negative log likelihood (nats/word)
     under the corpus unigram LM with add-``alpha`` smoothing:
@@ -82,7 +99,9 @@ def unigram_nll(
     if alpha < 1 or int(alpha) != alpha:
         raise ValueError("alpha must be a positive integer")
     if counts is None:
-        counts = unigram_counts(df, text_col=text_col, key_col=key_col)
+        counts = unigram_counts(
+            df, text_col=text_col, key_col=key_col, tokens_col=tokens_col
+        )
     # ln over integer arguments only; micronat rounding makes the
     # per-word value an exact long, so the doc sum is order-free:
     # sum_w (lnA - ln(c_w + a)) == n*lnA - sum(seen ln) - n_unseen*ln(a)
@@ -118,7 +137,8 @@ def unigram_nll(
         .alias("__lnc_micro"),
     )
     words = df.select(
-        _c(key_col).alias("__key"), F.explode(_words(text_col)).alias("word")
+        _c(key_col).alias("__key"),
+        F.explode(_tok(df, text_col, tokens_col)).alias("word"),
     )
     per_doc = (
         words.join(model, "word", "left")
@@ -163,7 +183,11 @@ def unigram_nll(
 
 
 def _transitions(
-    df: DataFrame, text_col: str, key_col: str, n: int = 2
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int = 2,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(key, prev, cur) word transitions within each document, where
     ``prev`` is the space-joined (n-1)-word context — an array-lambda
@@ -172,7 +196,9 @@ def _transitions(
     word."""
     if n < 2:
         raise ValueError("n must be >= 2 (use unigram_nll for n=1)")
-    words = df.select(_c(key_col).alias("__key"), _words(text_col).alias("__w"))
+    words = df.select(
+        _c(key_col).alias("__key"), _tok(df, text_col, tokens_col).alias("__w")
+    )
     pairs = F.expr(
         f"transform(slice(__w, 1, greatest(size(__w) - {n - 1}, 0)), "
         f"(x, i) -> struct(concat_ws(' ', slice(__w, i + 1, {n - 1})) AS prev, "
@@ -184,14 +210,18 @@ def _transitions(
 
 
 def ngram_counts(
-    df: DataFrame, n: int = 2, text_col: str = "text", key_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The trained n-gram model: corpus transition counts
     ``(prev, cur, c)`` with ``prev`` the (n-1)-word context — one
     explode + one map-side-combinable count (the same ingest-time
     shape as :func:`unigram_counts`)."""
     return (
-        _transitions(df, text_col, key_col, n)
+        _transitions(df, text_col, key_col, n, tokens_col=tokens_col)
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -212,6 +242,7 @@ def ngram_nll(
     counts: DataFrame | None = None,
     alpha: int = 1,
     exact_micro: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean n-gram negative log likelihood (nats per
     transition) under an add-``alpha`` n-gram LM with an (n-1)-word
@@ -237,7 +268,9 @@ def ngram_nll(
     if alpha < 1 or int(alpha) != alpha:
         raise ValueError("alpha must be a positive integer")
     if counts is None:
-        counts = ngram_counts(df, n, text_col=text_col, key_col=key_col)
+        counts = ngram_counts(
+            df, n, text_col=text_col, key_col=key_col, tokens_col=tokens_col
+        )
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("__cprev"))
     totals = counts.agg(
         F.coalesce(F.count_distinct("cur"), F.lit(0)).alias("__V"),
@@ -260,7 +293,7 @@ def ngram_nll(
         .cast("long")
         .alias("__lnc_micro"),
     )
-    trans = _transitions(df, text_col, key_col, n)
+    trans = _transitions(df, text_col, key_col, n, tokens_col=tokens_col)
     # ln(c(prev,·) + alpha*V) needs V per transition row; V is a corpus
     # constant, so attach it to the TRANSITIONS via the non-foldable
     # constant key before aggregating (one extra broadcast hash join on
@@ -323,9 +356,10 @@ def bigram_nll(
     counts: DataFrame | None = None,
     alpha: int = 1,
     exact_micro: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """:func:`ngram_nll` at n=2 (single-word context)."""
     return ngram_nll(
         df, 2, text_col=text_col, key_col=key_col, counts=counts, alpha=alpha,
-        exact_micro=exact_micro,
+        exact_micro=exact_micro, tokens_col=tokens_col,
     )

@@ -1,0 +1,104 @@
+"""Round-11 optimization regression tests.
+
+Each optimization that changed an operator's internals gets a focused
+identity test here: the optimized path must produce exactly the rows
+the original path produced.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def lm_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a c a b"),
+            (2, "x"),
+            (3, ""),
+            (4, None),
+            (5, "  padded   words  here  "),
+            (6, "a b a c a b"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_lm_tokens_col_path_is_identical(spark, lm_docs):
+    """unigram/bigram/trigram NLL over a pre-tokenized array column
+    must equal the text-splitting path row for row (the r11 ngram_nll
+    gate tokenizes once and feeds all three models)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.llm.lm import (
+        _words,
+        bigram_nll,
+        ngram_nll,
+        unigram_nll,
+    )
+
+    toks = lm_docs.select("doc_id", _words(F.col("text")).alias("__w"))
+    for fn, kw in (
+        (unigram_nll, {}),
+        (bigram_nll, {}),
+        (ngram_nll, {"n": 3}),
+    ):
+        via_text = _rows(fn(lm_docs, exact_micro=True, **kw))
+        via_toks = _rows(fn(toks, exact_micro=True, tokens_col="__w", **kw))
+        assert via_text == via_toks, fn.__name__
+
+
+def test_lm_tokens_col_counts_identical(spark, lm_docs):
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.llm.lm import (
+        _words,
+        ngram_counts,
+        unigram_counts,
+    )
+
+    toks = lm_docs.select("doc_id", _words(F.col("text")).alias("__w"))
+    assert _rows(unigram_counts(lm_docs)) == _rows(
+        unigram_counts(toks, tokens_col="__w")
+    )
+    assert _rows(ngram_counts(lm_docs, 2)) == _rows(
+        ngram_counts(toks, 2, tokens_col="__w")
+    )
+
+
+def test_query_vec_matches_spark_collect(spark):
+    """The driver-side parquet read of the ANN gates' query vector
+    must produce exactly the floats Spark's collect() produced."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    got = e._query_vec(SF_DIR)
+    ref = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    assert len(got) == len(ref)
+    assert all(isinstance(x, float) for x in got)
+    assert all(x == y for x, y in zip(got, ref))
+
+
+def test_query_vec_missing_id_raises(spark):
+    import __spark_entry__ as e
+
+    with pytest.raises(KeyError):
+        e._query_vec(SF_DIR, vec_id=10**12)
