@@ -4779,7 +4779,7 @@ def _q_weighted_stratified(spark, sf_dir):
     )
 
 
-def _q_token_budget(spark, sf_dir):
+def _q_token_budget(spark, sf_dir, base=None):
     """Per-stratum fill-to-TOKEN-budget sampling
     (llm/prep.py::sample_to_token_budget): Efraimidis-Spirakis-ranked
     documents kept while the running token total is under the budget
@@ -4790,13 +4790,18 @@ def _q_token_budget(spark, sf_dir):
     running sum."""
     from duckdb_geography_spark.llm.prep import sample_to_token_budget
 
-    docs = _t(spark, sf_dir, "documents")
-    wc = F.size(
-        F.filter(
-            F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+    if base is not None:
+        d = base.select("doc_id", "source", "wc")
+    else:
+        docs = _t(spark, sf_dir, "documents")
+        wc = F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+            )
         )
-    )
-    d = docs.select("doc_id", "source", wc.alias("wc")).where(F.col("wc") > 0)
+        d = docs.select("doc_id", "source", wc.alias("wc")).where(
+            F.col("wc") > 0
+        )
     out = sample_to_token_budget(
         d, "wc", 600, strata_col="source", key_col="doc_id", salt="tb"
     )
@@ -4805,7 +4810,7 @@ def _q_token_budget(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _q_token_budget_global(spark, sf_dir):
+def _q_token_budget_global(spark, sf_dir, base=None):
     """GLOBAL fill-to-token-budget sampling WITHOUT a global sort
     (llm/prep.py::sample_to_token_budget_global): a bounded
     priority-bucket histogram finds the crossing bucket, buckets
@@ -4814,13 +4819,16 @@ def _q_token_budget_global(spark, sf_dir):
     sort, which is exactly how the DuckDB oracle replays it."""
     from duckdb_geography_spark.llm.prep import sample_to_token_budget_global
 
-    docs = _t(spark, sf_dir, "documents")
-    wc = F.size(
-        F.filter(
-            F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+    if base is not None:
+        d = base.select("doc_id", "wc")
+    else:
+        docs = _t(spark, sf_dir, "documents")
+        wc = F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+            )
         )
-    )
-    d = docs.select("doc_id", wc.alias("wc")).where(F.col("wc") > 0)
+        d = docs.select("doc_id", wc.alias("wc")).where(F.col("wc") > 0)
     out = sample_to_token_budget_global(
         d, "wc", 6_000, key_col="doc_id", salt="tg"
     )
@@ -5652,11 +5660,30 @@ def _q_dsir_weights(spark, sf_dir):
     lang='en' slice as target (llm/dsir.py) — integer-micronat
     hashed-bigram log-ratios, md5-bucketed for oracle replay."""
     from duckdb_geography_spark.llm import dsir as D
+    from duckdb_geography_spark.llm.dsir import _feature_buckets
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    tc = D.hashed_feature_counts(target, buckets=1000)
-    return D.dsir_weights(docs, tc, buckets=1000).orderBy("doc_id")
+    # hash the n-grams ONCE (r11, guide §2.4): target model, raw model
+    # and per-doc features all derive from one materialized exploded
+    # frame instead of three independent tokenize+hash passes. The
+    # groupBys below are exactly hashed_feature_counts' aggregation,
+    # so the models are bit-identical (pinned by the oracle hash).
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            _feature_buckets(F.col("text"), (1, 2), 1000, "md5")
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    tc = (
+        grams.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rc = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    return D.dsir_weights(
+        docs, tc, raw_counts=rc, buckets=1000, features=grams
+    ).orderBy("doc_id")
 
 
 _DSIR_SQL = """
@@ -5786,7 +5813,16 @@ def _q_cms_counts(spark, sf_dir):
             F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
         ).alias("w")
     )
-    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    # tokenize ONCE and cut lineage at the vocab-sized count table
+    # (r11, guide §2.3 "aggregate before you shuffle"): the sketch is
+    # now built FROM the counts (weight_col) — identical integer cell
+    # sums, but the sketch aggregation shuffles vocab-many rows
+    # instead of re-exploding the corpus word stream a second time
+    exact = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint(eager=False)
+    )
     # bounded driver-side probe list (15 words) — same pattern as the
     # ANN gates' query vector; avoids joining `est` back into its own
     # lineage (plan-branch reuse can mis-resolve the join condition)
@@ -5795,7 +5831,9 @@ def _q_cms_counts(spark, sf_dir):
         for r in exact.orderBy(F.desc("exact"), "w").limit(15).collect()
     ] + [("zzz_absent_probe", 0)]
     probes = spark.createDataFrame(top, ["w", "exact"])
-    sk = cms_sketch(words, "w", depth=4, width=1024, hash_fn="md5")
+    sk = cms_sketch(
+        exact, "w", weight_col="exact", depth=4, width=1024, hash_fn="md5"
+    )
     est = cms_lookup(
         sk, probes.select("w"), "w", depth=4, width=1024, hash_fn="md5"
     )
@@ -6045,16 +6083,24 @@ def _q_bloom_prefilter(spark, sf_dir):
     from duckdb_geography_spark.llm.sketch import bloom_contains, bloom_sketch
 
     docs = _t(spark, sf_dir, "documents")
-
-    def words(df):
-        return df.select(
+    # tokenize ONCE (r11, guide §2.3/§2.4): the gate previously ran
+    # three independent tokenize passes (en-vocab for the sketch,
+    # en-vocab again for the exact column, full vocab for the probes).
+    # One pass aggregates to a vocab-sized (word, seen-in-en) table —
+    # map-side combinable — and both distinct sets project from it.
+    dl = (
+        docs.select(
+            (F.col("lang") == "en").cast("int").alias("__en"),
             F.explode(
                 F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
-            ).alias("w")
+            ).alias("w"),
         )
-
-    dim = words(docs.where(F.col("lang") == "en")).distinct()
-    vocab = words(docs).distinct()
+        .groupBy("w")
+        .agg(F.max("__en").alias("__en"))
+        .localCheckpoint(eager=False)
+    )
+    dim = dl.where(F.col("__en") == 1).select("w")
+    vocab = dl.select("w")
     sk = bloom_sketch(dim, "w", n_bits=4096, k=5, hash_fn="md5")
     maybe = bloom_contains(sk, vocab, "w", n_bits=4096, k=5, hash_fn="md5")
     exact = dim.select(F.col("w").alias("key"), F.lit(True).alias("exact"))
@@ -6251,8 +6297,24 @@ def _q_token_budget_gate(spark, sf_dir):
     gate, tagged by part. The global part has no stratum / running
     total in its contract — those columns are pinned ('' / -1) so the
     union schema is uniform. Replaces token_budget_sample /
-    token_budget_global (both r7-recorded)."""
-    s = _q_token_budget(spark, sf_dir).select(
+    token_budget_global (both r7-recorded).
+
+    r11: both parts derive from ONE materialized (doc_id, source, wc)
+    base — the word-count tokenize was previously re-paid per part
+    per consumer (the global variant alone consumes its input 3x:
+    histogram pass, whole-bucket leg, boundary-window leg)."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+        )
+    )
+    base = (
+        docs.select("doc_id", "source", wc.alias("wc"))
+        .where(F.col("wc") > 0)
+        .localCheckpoint(eager=False)
+    )
+    s = _q_token_budget(spark, sf_dir, base=base).select(
         F.lit("stratum").alias("part"),
         "doc_id",
         "source",
@@ -6260,7 +6322,7 @@ def _q_token_budget_gate(spark, sf_dir):
         F.col("tokens_before").cast("long").alias("tokens_before"),
         "__priority",
     )
-    g = _q_token_budget_global(spark, sf_dir).select(
+    g = _q_token_budget_global(spark, sf_dir, base=base).select(
         F.lit("global").alias("part"),
         "doc_id",
         F.lit("").alias("source"),
@@ -6359,22 +6421,36 @@ def _q_snapshot_diff(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") % 7 != 0)
-    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
-        "text",
-        F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
-            F.col("text")
-        ),
+    # lineage cuts (r11, guide §3.3): the gate consumes each snapshot
+    # 3x (fingerprint pass, payload attach, apply's anti-join) and the
+    # payload diff 3x (the diff part + apply's two legs) — without the
+    # cuts the union plan re-derived every subtree per consumer (26
+    # parquet scans / 44 Exchanges in one query). The diff part now
+    # projects from the SAME payload diff apply consumes: the payload
+    # attach is a 1:<=1 left join on the unique snapshot key, so the
+    # projected rows are exactly snapshot_diff(old, new)'s.
+    old = docs.where(F.col("doc_id") % 7 != 0).localCheckpoint(eager=False)
+    new = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     cols = ["text", "lang", "source", "n_chars"]
-    d = snapshot_diff(old, new, "doc_id", cols).select(
-        F.lit("diff").alias("part"), "doc_id", "change_type", "old_fp", "new_fp"
-    )
     # closure property, oracle-checked: apply(old, diff(old, new))
     # must rebuild new EXACTLY — the oracle's apply part is the new
     # snapshot's own fingerprints, so any reconstruction error
     # hash-mismatches
-    diff_pay = snapshot_diff(old, new, "doc_id", cols, include_payload=True)
+    diff_pay = snapshot_diff(
+        old, new, "doc_id", cols, include_payload=True
+    ).localCheckpoint(eager=False)
+    d = diff_pay.select(
+        F.lit("diff").alias("part"), "doc_id", "change_type", "old_fp", "new_fp"
+    )
     rebuilt = snapshot_apply(old, diff_pay, "doc_id", cols)
     a = rebuilt.select(
         F.lit("apply").alias("part"),
@@ -6567,10 +6643,13 @@ def _q_vocab_drift(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
+    # lineage cut (r11): the divergence table is consumed twice (the
+    # top-25 ranking and the total row) — without it the whole
+    # two-sided tokenize + full-outer join re-ran per branch
     d = vocab_divergence(
         docs.where(F.col("doc_id") % 2 == 0),
         docs.where(F.col("doc_id") % 2 == 1),
-    )
+    ).localCheckpoint(eager=False)
     top = d.orderBy(F.desc("contrib_micro"), "word").limit(25)
     tot = d.agg(
         F.sum("c_a").cast("long").alias("c_a"),

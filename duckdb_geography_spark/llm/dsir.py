@@ -108,6 +108,7 @@ def dsir_weights(
     orders: Sequence[int] = (1, 2),
     buckets: int = 10_000,
     hash_fn: str = "md5",
+    features: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document importance weight ``(key, n_feats, w_micro)`` of
     ``df`` (the raw pool) toward ``target_counts`` (a model from
@@ -119,6 +120,13 @@ def dsir_weights(
     Higher ``w_micro`` = more target-like. The weight is an exact
     integer micronat log-ratio (see module docstring), so ranking and
     thresholding are deterministic under any partitioning.
+
+    ``features`` (r11 optimization): a pre-exploded ``(key_col,
+    bucket)`` frame — one row per n-gram occurrence, exactly what
+    ``df.select(key, explode(_feature_buckets(text, ...)))`` yields.
+    Callers that also train models over slices of the same corpus
+    materialize the exploded frame once and pass it here, so the
+    n-gram hashing is not re-paid per consumer.
     """
     if raw_counts is None:
         raw_counts = hashed_feature_counts(
@@ -148,15 +156,17 @@ def dsir_weights(
     r_model = raw_counts.select(
         F.col("bucket"), _ln_micro(F.col("c") + 1).alias("__lnr")
     )
-    doc_feats = (
-        df.select(
+    if features is not None:
+        feats_src = features.select(_c(key_col).alias("__key"), "bucket")
+    else:
+        feats_src = df.select(
             _c(key_col).alias("__key"),
             F.explode(
                 _feature_buckets(_c(text_col), orders, buckets, hash_fn)
             ).alias("bucket"),
         )
-        .groupBy("__key", "bucket")
-        .agg(F.count(F.lit(1)).alias("__cd"))
+    doc_feats = feats_src.groupBy("__key", "bucket").agg(
+        F.count(F.lit(1)).alias("__cd")
     )
     per_doc = (
         doc_feats.join(F.broadcast(t_model), "bucket", "left")

@@ -267,14 +267,24 @@ def boilerplate_frac(
     gram-keyed equi-join against the (already df-filtered, much
     smaller) boilerplate table — broadcastable when min_df prunes
     hard, AQE decides."""
-    if grams is None:
-        grams = boilerplate_ngrams(
-            df, n=n, min_df=min_df, text_col=text_col, key_col=key_col
-        )
+    # build the per-doc distinct-gram table ONCE and cut lineage (r11,
+    # guide §2.4/§3.3): it feeds the hit join AND the totals aggregate,
+    # and — when no precomputed grams table is passed — the boilerplate
+    # table itself is its gram-frequency aggregate (bit-identical to
+    # boilerplate_ngrams: same explode, same dropDuplicates, same
+    # count). The explode + per-doc distinct was previously re-paid
+    # per consumer (3x with the default grams=None).
     per_doc = (
         df.select(_c(key_col).alias("__key"), F.explode(word_ngrams(text_col, n)).alias("gram"))
         .dropDuplicates(["__key", "gram"])
+        .localCheckpoint(eager=False)
     )
+    if grams is None:
+        grams = (
+            per_doc.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .where(F.col("doc_freq") >= min_df)
+        )
     hits = (
         per_doc.join(grams.select("gram"), "gram")
         .groupBy("__key")

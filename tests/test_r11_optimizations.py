@@ -102,3 +102,71 @@ def test_query_vec_missing_id_raises(spark):
 
     with pytest.raises(KeyError):
         e._query_vec(SF_DIR, vec_id=10**12)
+
+
+def test_dsir_features_param_is_identical(spark):
+    """dsir_weights over a pre-exploded feature frame must equal the
+    internal-explode path row for row."""
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.llm import dsir as D
+    from duckdb_geography_spark.llm.dsir import _feature_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta alpha"),
+            (2, "de", "gamma beta"),
+            (3, "en", ""),
+            (4, None, None),
+            (5, "en", "alpha gamma delta epsilon"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    tc = D.hashed_feature_counts(docs.where(F.col("lang") == "en"), buckets=97)
+    ref = _rows(D.dsir_weights(docs, tc, buckets=97))
+    grams = docs.select(
+        "doc_id",
+        F.explode(_feature_buckets(F.col("text"), (1, 2), 97, "md5")).alias(
+            "bucket"
+        ),
+    )
+    got = _rows(D.dsir_weights(docs, tc, buckets=97, features=grams))
+    assert ref == got
+
+
+def test_boilerplate_frac_shared_per_doc_matches_ngrams(spark):
+    """boilerplate_frac's internally derived boilerplate table (from
+    the shared per-doc frame) must match boilerplate_ngrams exactly."""
+    from duckdb_geography_spark.llm.repetition import (
+        boilerplate_frac,
+        boilerplate_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "the quick brown cat sits here now"),
+            (3, "the quick brown fox jumps over"),
+            (4, ""),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in boilerplate_frac(docs, n=3, min_df=2).collect()}
+    grams = {
+        r["gram"] for r in boilerplate_ngrams(docs, n=3, min_df=2).collect()
+    }
+    assert out[1]["n_boiler"] == sum(
+        1 for g in ["the quick brown", "quick brown fox", "brown fox jumps", "fox jumps over"] if g in grams
+    )
+    assert out[4]["n_grams"] == 0 and out[5]["n_grams"] == 0
+    # explicit grams table path still works and agrees
+    via_grams = {
+        r["doc_id"]: r
+        for r in boilerplate_frac(
+            docs, n=3, min_df=2, grams=boilerplate_ngrams(docs, n=3, min_df=2)
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in via_grams.items()
+    }
