@@ -296,14 +296,23 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prepared once, fact side untouched.
     level = 4
     r = F.broadcast(_nation_covering_df(spark, sf_dir, level, 0.07))
-    # one UDF evaluation on the big side: parent(leaf) composed inline.
-    # cache-mark the projection so Catalyst doesn't re-extract the UDF
-    # for the join key and the carried columns separately
-    p = cust.select(
+    # one UDF evaluation on the big side — via a TWO-STEP projection
+    # (r11, guide §4.4): s2_cell_parent references its argument ~11
+    # times (level/validity/bit math), and composing the Arrow UDF
+    # inline inlined the call per reference — the executed plan ran
+    # ArrowEvalPython with ELEVEN copies of the same _cellfromlonlat
+    # call (11x the Python-boundary work). Projecting the leaf into
+    # its own column first leaves exactly one evaluation:
+    # CollapseProject refuses to re-inline a non-cheap expression
+    # referenced more than once (plan-asserted in
+    # tests/test_r11_optimizations.py).
+    p = cust.withColumn(
+        "__leaf", C.s2_cellfromlonlat("lon", "lat")
+    ).select(
         "c_custkey",
         "lon",
         "lat",
-        C.s2_cell_parent(C.s2_cellfromlonlat("lon", "lat"), level).alias("__cell"),
+        C.s2_cell_parent("__leaf", level).alias("__cell"),
     )
     cand = p.join(F.broadcast(r), "__cell").drop("__cell")
     refined = cand.join(F.broadcast(nations), "n_nationkey").where(

@@ -576,9 +576,14 @@ def knn_join(
     # larger right side takes the radius-doubling rounds whose
     # per-left candidate cost is ~O(k).
     if allpairs_right_max > 0:
-        n_small = right.limit(int(allpairs_right_max) + 1).count()
-        if n_small <= int(allpairs_right_max):
-            rrows = r_renamed.collect()
+        # ONE bounded action instead of two (r11): collect limit(m+1)
+        # rows directly — len(rows) IS the probe, and when the right
+        # side is small the m+1-bounded result already holds every row
+        # (the plan is order-insensitive: ranking sorts by distance +
+        # key). A large right side pays one bounded m+1-row collect,
+        # same bound as the old count probe's scan.
+        rrows = r_renamed.limit(int(allpairs_right_max) + 1).collect()
+        if len(rrows) <= int(allpairs_right_max):
             out = _knn_broadcast_plan(
                 lk_df, r_renamed, k, left_geog, rgeog_out, rk, tie_decimals, rrows
             )

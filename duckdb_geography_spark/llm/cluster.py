@@ -169,9 +169,17 @@ def kmeans_fit(
     # rows before the exchange — the right shape at any scale, and
     # the exact same integer sums (centroids bit-identical,
     # test-pinned).
-    aggs = [
-        F.expr(f"sum(element_at(__qv, {i + 1})) AS __s{i}") for i in range(dim)
-    ]
+    # ONE array-of-sums aggregate instead of dim separate agg columns
+    # (r11): the same integer component sums in the same order, but a
+    # dim-wide flat agg paid ~2x the array form per iteration (wider
+    # codegen class compiled per fresh plan, dim py4j expression round
+    # trips); measured 1.89 s -> 0.92 s per Lloyd action at sf0.1,
+    # bit-identical sums (test-pinned).
+    agg = F.expr(
+        "array("
+        + ", ".join(f"sum(element_at(__qv, {i + 1}))" for i in range(dim))
+        + ") AS __sums"
+    )
     try:
         for _ in range(int(iters)):
             assigned = base.withColumn("__c", _assign_udf(cents)("__v"))
@@ -182,7 +190,7 @@ def kmeans_fit(
             rows = (
                 assigned.where(F.col("__c").isNotNull())
                 .groupBy("__c")
-                .agg(*aggs)
+                .agg(agg)
                 .collect()
             )
             # NULL component sums (a cluster whose members all have
@@ -192,8 +200,7 @@ def kmeans_fit(
             # are unchanged
             sums = {
                 int(r["__c"]): [
-                    int(v) if (v := r[f"__s{i}"]) is not None else 0
-                    for i in range(dim)
+                    int(v) if v is not None else 0 for v in r["__sums"]
                 ]
                 for r in rows
             }

@@ -602,18 +602,23 @@ def simhash_batch(
     # construction of ~180 Column expressions cost more wall time
     # (2.8 s) than executing the query (0.5 s).
     lvl1 = tok.groupBy("__key", "__h").agg(F.count(F.lit(1)).alias("__c"))
-    aggs = [
-        F.expr(f"sum(__c * (shiftrightunsigned(__h, {i}) & 1)) AS __o{i}")
-        for i in range(n_bits)
-    ]
-    votes = lvl1.groupBy("__key").agg(F.expr("sum(__c) AS __n"), *aggs)
+    # ONE array-of-sums vote aggregate instead of n_bits separate agg
+    # columns (r11, same reshape as kmeans_fit): identical integer
+    # sums in identical order, but the n_bits-wide flat agg paid ~2x
+    # per pass in plan/codegen width.
+    votes_arr = "array(" + ", ".join(
+        f"sum(__c * (shiftrightunsigned(__h, {i}) & 1))" for i in range(n_bits)
+    ) + ") AS __ov"
+    votes = lvl1.groupBy("__key").agg(
+        F.expr("sum(__c) AS __n"), F.expr(votes_arr)
+    )
     # bit weights as SIGNED two's-complement literals: 1 << 63 would
     # overflow the BIGINT cast (the Column form's shiftleft wrapped
     # to negative implicitly)
     sig_sql = " + ".join(
-        "(CASE WHEN 2*__o{i} > __n THEN CAST({v} AS BIGINT)"
+        "(CASE WHEN 2*element_at(__ov, {j}) > __n THEN CAST({v} AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END)".format(
-            i=i, v=(1 << i) if i < 63 else (1 << i) - (1 << 64)
+            j=i + 1, v=(1 << i) if i < 63 else (1 << i) - (1 << 64)
         )
         for i in range(n_bits)
     )

@@ -170,3 +170,17 @@ def test_boilerplate_frac_shared_per_doc_matches_ngrams(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in via_grams.items()
     }
+
+
+def test_pip_join_evaluates_cell_udf_once(spark):
+    """The flagship covering join projects the Arrow leaf-cell UDF into
+    its own column before the parent bit-math references it — the
+    executed plan must carry exactly ONE _cellfromlonlat evaluation
+    (the composed form inlined eleven)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["pip_covering_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_cellfromlonlat_udf(") == 1, plan.count(
+        "_cellfromlonlat_udf("
+    )
