@@ -5672,18 +5672,19 @@ def _q_dsir_weights(spark, sf_dir):
     from duckdb_geography_spark.llm.dsir import _feature_buckets
 
     docs = _t(spark, sf_dir, "documents")
-    # hash the n-grams ONCE (r11, guide §2.4): target model, raw model
-    # and per-doc features all derive from one materialized exploded
-    # frame instead of three independent tokenize+hash passes. The
-    # groupBys below are exactly hashed_feature_counts' aggregation,
-    # so the models are bit-identical (pinned by the oracle hash).
+    # hash the n-grams into ONE shared exploded expression (r11,
+    # guide §2.4): target model, raw model and per-doc features all
+    # derive from it instead of three independently built
+    # tokenize+hash trees. The groupBys below are exactly
+    # hashed_feature_counts' aggregation, so the models are
+    # bit-identical (pinned by the oracle hash).
     grams = docs.select(
         "doc_id",
         "lang",
         F.explode(
             _feature_buckets(F.col("text"), (1, 2), 1000, "md5")
         ).alias("bucket"),
-    ).localCheckpoint(eager=False)
+    )
     tc = (
         grams.where(F.col("lang") == "en")
         .groupBy("bucket")
@@ -5822,16 +5823,11 @@ def _q_cms_counts(spark, sf_dir):
             F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
         ).alias("w")
     )
-    # tokenize ONCE and cut lineage at the vocab-sized count table
-    # (r11, guide §2.3 "aggregate before you shuffle"): the sketch is
+    # aggregate before you shuffle (r11, guide §2.3): the sketch is
     # now built FROM the counts (weight_col) — identical integer cell
     # sums, but the sketch aggregation shuffles vocab-many rows
     # instead of re-exploding the corpus word stream a second time
-    exact = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("exact"))
-        .localCheckpoint(eager=False)
-    )
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
     # bounded driver-side probe list (15 words) — same pattern as the
     # ANN gates' query vector; avoids joining `est` back into its own
     # lineage (plan-branch reuse can mis-resolve the join condition)
@@ -6106,7 +6102,6 @@ def _q_bloom_prefilter(spark, sf_dir):
         )
         .groupBy("w")
         .agg(F.max("__en").alias("__en"))
-        .localCheckpoint(eager=False)
     )
     dim = dl.where(F.col("__en") == 1).select("w")
     vocab = dl.select("w")
@@ -6196,42 +6191,36 @@ def _q_ngram_nll(spark, sf_dir):
     complete outputs are hashed — n_words/n_trans normalize to
     ``n_terms`` (long) so the union schema is uniform. Replaces the
     unigram_nll / bigram_nll / trigram_nll gates (each r6-recorded)."""
-    from duckdb_geography_spark.llm.lm import (
-        _words,
-        bigram_nll,
-        ngram_nll,
-        unigram_nll,
-    )
+    from duckdb_geography_spark.llm.lm import bigram_nll, ngram_nll, unigram_nll
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    # tokenize ONCE, materialize, and feed all three models from the
-    # token arrays (r11, guide §2.4/§3.3): the previous form re-read
-    # and re-split the corpus in every model's every consumer — 32
-    # parquet scans / 84 Exchanges in one plan. The localCheckpoint is
-    # a lineage cut shared by all union branches; at scale it stores
-    # the tokenized corpus once instead of re-tokenizing it ~6x.
-    toks = docs.select(
-        "doc_id", _words(F.col("text")).alias("__w")
-    ).localCheckpoint(eager=False)
+    # r11 note (measure first, guide §1): a shared localCheckpointed
+    # token frame was tried here (tokenize once, feed all three
+    # models) and MEASURED SLOWER at sf1 (2.9-3.1 s vs 1.9-2.3 s):
+    # the static plan's 32 scans / 84 Exchanges mostly deduplicate at
+    # runtime via ReuseExchange, and the codegen'd re-tokenize is
+    # cheaper than materializing corpus-sized token arrays. The
+    # tokens_col fast path stays in lm.py for callers with an already
+    # materialized token table.
     # s_micro (the exact integer micronat sum) replaces the rounded
     # nats/term float in the gate: the float divides two exact
     # integers in doubles and a row CAN land on a 6dp rounding
     # boundary where independent engines disagree by one ulp (seen
     # once at sf1); the integer column is exact at any corpus size.
-    u = unigram_nll(toks, exact_micro=True, tokens_col="__w").select(
+    u = unigram_nll(docs, exact_micro=True).select(
         F.lit(1).alias("n"),
         "doc_id",
         F.col("n_words").cast("long").alias("n_terms"),
         "s_micro",
     )
-    b = bigram_nll(toks, exact_micro=True, tokens_col="__w").select(
+    b = bigram_nll(docs, exact_micro=True).select(
         F.lit(2).alias("n"),
         "doc_id",
         F.col("n_trans").cast("long").alias("n_terms"),
         "s_micro",
     )
-    t = ngram_nll(toks, 3, exact_micro=True, tokens_col="__w").select(
+    t = ngram_nll(docs, 3, exact_micro=True).select(
         F.lit(3).alias("n"),
         "doc_id",
         F.col("n_trans").cast("long").alias("n_terms"),
@@ -6308,20 +6297,18 @@ def _q_token_budget_gate(spark, sf_dir):
     union schema is uniform. Replaces token_budget_sample /
     token_budget_global (both r7-recorded).
 
-    r11: both parts derive from ONE materialized (doc_id, source, wc)
-    base — the word-count tokenize was previously re-paid per part
-    per consumer (the global variant alone consumes its input 3x:
-    histogram pass, whole-bucket leg, boundary-window leg)."""
+    r11: both parts derive from ONE shared (doc_id, source, wc) base
+    expression so identical subtrees reuse at runtime (a
+    localCheckpoint of the base was tried and measured neutral at sf1
+    — dropped)."""
     docs = _t(spark, sf_dir, "documents")
     wc = F.size(
         F.filter(
             F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
         )
     )
-    base = (
-        docs.select("doc_id", "source", wc.alias("wc"))
-        .where(F.col("wc") > 0)
-        .localCheckpoint(eager=False)
+    base = docs.select("doc_id", "source", wc.alias("wc")).where(
+        F.col("wc") > 0
     )
     s = _q_token_budget(spark, sf_dir, base=base).select(
         F.lit("stratum").alias("part"),
@@ -6430,33 +6417,27 @@ def _q_snapshot_diff(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    # lineage cuts (r11, guide §3.3): the gate consumes each snapshot
-    # 3x (fingerprint pass, payload attach, apply's anti-join) and the
-    # payload diff 3x (the diff part + apply's two legs) — without the
-    # cuts the union plan re-derived every subtree per consumer (26
-    # parquet scans / 44 Exchanges in one query). The diff part now
-    # projects from the SAME payload diff apply consumes: the payload
+    # r11: ONE payload diff serves both union branches — the diff part
+    # projects from the SAME payload diff apply consumes (the payload
     # attach is a 1:<=1 left join on the unique snapshot key, so the
-    # projected rows are exactly snapshot_diff(old, new)'s.
-    old = docs.where(F.col("doc_id") % 7 != 0).localCheckpoint(eager=False)
-    new = (
-        docs.where(F.col("doc_id") % 5 != 0)
-        .withColumn(
-            "text",
-            F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
-                F.col("text")
-            ),
-        )
-        .localCheckpoint(eager=False)
+    # projected rows are exactly snapshot_diff(old, new)'s), and the
+    # shared expression tree lets runtime ReuseExchange dedup the
+    # full-outer fingerprint join's input shuffles. localCheckpoints
+    # of old/new/diff_pay were tried and measured neutral-to-slower at
+    # sf1 (materialization vs reused exchanges) — left out.
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
     )
     cols = ["text", "lang", "source", "n_chars"]
     # closure property, oracle-checked: apply(old, diff(old, new))
     # must rebuild new EXACTLY — the oracle's apply part is the new
     # snapshot's own fingerprints, so any reconstruction error
     # hash-mismatches
-    diff_pay = snapshot_diff(
-        old, new, "doc_id", cols, include_payload=True
-    ).localCheckpoint(eager=False)
+    diff_pay = snapshot_diff(old, new, "doc_id", cols, include_payload=True)
     d = diff_pay.select(
         F.lit("diff").alias("part"), "doc_id", "change_type", "old_fp", "new_fp"
     )
@@ -6652,13 +6633,14 @@ def _q_vocab_drift(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    # lineage cut (r11): the divergence table is consumed twice (the
-    # top-25 ranking and the total row) — without it the whole
-    # two-sided tokenize + full-outer join re-ran per branch
+    # the divergence table is consumed twice (top-25 ranking + total
+    # row); its full-outer join's input shuffles reuse at runtime, and
+    # a localCheckpoint was measured neutral-to-slower at sf1 (r11) —
+    # shared expression only
     d = vocab_divergence(
         docs.where(F.col("doc_id") % 2 == 0),
         docs.where(F.col("doc_id") % 2 == 1),
-    ).localCheckpoint(eager=False)
+    )
     top = d.orderBy(F.desc("contrib_micro"), "word").limit(25)
     tot = d.agg(
         F.sum("c_a").cast("long").alias("c_a"),

@@ -459,15 +459,12 @@ def dedup_lines(
     and one key-keyed reassembly groupBy. Order restoration is an
     in-aggregate ``array_sort`` over (pos, line) structs — no window,
     no second sort shuffle."""
-    # lineage cut (r11, guide §3.3): the exploded line table feeds both
-    # the frequency aggregate and the anti-join probe side; without the
-    # cut the split + posexplode re-ran per consumer
     lines = df.select(
         _c(key_col).alias("__key"),
         F.posexplode(F.split(_c(text_col), _regex_literal(sep))).alias(
             "__pos", "__line"
         ),
-    ).localCheckpoint(eager=False)
+    )
     frequent = (
         lines.where(F.length("__line") >= min_line_chars)
         .groupBy("__line")

@@ -267,17 +267,19 @@ def boilerplate_frac(
     gram-keyed equi-join against the (already df-filtered, much
     smaller) boilerplate table — broadcastable when min_df prunes
     hard, AQE decides."""
-    # build the per-doc distinct-gram table ONCE and cut lineage (r11,
-    # guide §2.4/§3.3): it feeds the hit join AND the totals aggregate,
-    # and — when no precomputed grams table is passed — the boilerplate
-    # table itself is its gram-frequency aggregate (bit-identical to
+    # build the per-doc distinct-gram table ONCE: it feeds the hit
+    # join, the totals aggregate, and — when no precomputed grams
+    # table is passed — the boilerplate table itself (bit-identical to
     # boilerplate_ngrams: same explode, same dropDuplicates, same
-    # count). The explode + per-doc distinct was previously re-paid
-    # per consumer (3x with the default grams=None).
+    # count). Sharing ONE expression tree lets runtime ReuseExchange
+    # dedup the explode + per-doc-distinct shuffle across all three
+    # consumers. Do NOT localCheckpoint here: measured at sf1, the
+    # checkpoint materialization of the corpus-sized gram table ran
+    # 4-7x SLOWER than the reused exchange (r11, guide §1: a fresh
+    # "ideal" plan is often slower because of a gotcha).
     per_doc = (
         df.select(_c(key_col).alias("__key"), F.explode(word_ngrams(text_col, n)).alias("gram"))
         .dropDuplicates(["__key", "gram"])
-        .localCheckpoint(eager=False)
     )
     if grams is None:
         grams = (
