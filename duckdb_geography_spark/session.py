@@ -29,16 +29,16 @@ def get_spark(app_name: str = "duckdb_geography_spark", cpus: str | int = "*",
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
-        # merge post-shuffle partitions by the advisory BYTE size
-        # instead of stopping at default parallelism (the Spark docs'
-        # own recommendation): a suite query runs dozens of small
-        # exchanges, and parallelismFirst=true schedules
-        # cores-many near-empty reduce tasks for each (32 tasks per
-        # KB-sized shuffle here; measured 8-15% off exchange-heavy
-        # queries). Scale-adaptive by construction — partitions merge
-        # toward advisoryPartitionSizeInBytes (64 MB default), so big
-        # shuffles keep their parallelism at any data size.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # r11 note: coalescePartitions.parallelismFirst=false (merge
+        # post-shuffle partitions by advisory byte size) was tried and
+        # measured BOTH ways: ~10% faster on the sf0.1 fixture (32
+        # near-empty reduce tasks per KB-sized exchange go away) but
+        # 1.5-2x SLOWER on several sf10 queries — size-based
+        # coalescing collapses parallelism for stages whose per-row
+        # compute (Python scoring, explodes, windows) is heavy
+        # relative to their shuffle bytes. A small-fixture-only win
+        # that regresses at scale is the wrong trade; the default
+        # (parallelism first) stays.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # local mode runs driver and executors in ONE JVM whose default
