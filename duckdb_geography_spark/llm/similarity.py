@@ -232,6 +232,58 @@ def ivf_assign_udf(dim: int, n_centroids: int = 16, seed: int = 11, centroids=No
     return _assign
 
 
+def ivf_assign_score_udf(
+    query_vec: Sequence[float],
+    n_centroids: int = 16,
+    seed: int = 11,
+    centroids=None,
+):
+    """Fused IVF kernel: one Arrow batch pass computing BOTH the
+    1-based argmax-centroid assignment and the cosine score against
+    ``query_vec`` — struct<cent:int, score:double>. Exactly the
+    composition of :func:`ivf_assign_udf` and :func:`cosine_score_udf`
+    (same _seq_dot fold order, same first-wins argmax, same
+    0-for-zero-norm rule, NULL for null/ragged vectors), collapsed
+    into a single Python-boundary crossing (guide §4)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(np.cumsum(q * q)[-1])) if len(q) else 0.0
+    dim = len(q)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _ivf_centroids(dim, n_centroids, seed)
+    )
+    n_cents = len(cents)
+
+    @pandas_udf("struct<cent: int, score: double>")
+    def _assign_score(v: pd.Series) -> pd.DataFrame:
+        mask = _valid_mask(v, dim)
+        cent = np.full(len(v), None, dtype=object)
+        score = np.full(len(v), np.nan)
+        V = _stack_valid(v, mask, dim)
+        if V.shape[0]:
+            D = np.empty((V.shape[0], n_cents), dtype=np.float64)
+            for j in range(n_cents):
+                D[:, j] = _seq_dot(V, cents[j])
+            cent[mask] = (np.argmax(D, axis=1) + 1).astype(np.int32)
+            d = _seq_dot(V, q)
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score[mask] = np.where(
+                    (nv == 0.0) | (qn == 0.0), 0.0, d / (nv * qn)
+                )
+        return pd.DataFrame({"cent": cent, "score": score})
+
+    # guide §4.4: the probe filter references `cent` while the final
+    # projection references `score`, and the optimizer pushes the
+    # filter below the projection by DUPLICATING the UDF evaluation
+    # (one ArrowEvalPython under the filter, another above). The
+    # function is genuinely deterministic; the marking only forbids
+    # the optimizer from duplicating/reordering it, leaving one
+    # evaluation (plan-asserted in tests).
+    return _assign_score.asNondeterministic()
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -646,14 +698,24 @@ def ivf_topk(
     cartesian anywhere."""
     dim = len(query_vec)
     probe = probe_cells(query_vec, n_centroids, n_probe, seed, centroids)
-    cand = (
-        df.withColumn(
-            "__cent", ivf_assign_udf(dim, n_centroids, seed, centroids)(F.col(vec_col))
-        )
-        .where(F.col("__cent").isin(probe))
-        .drop("__cent")
+    # ONE fused Arrow kernel computes (assigned centroid, cosine
+    # score) per batch (r11, guide §4): the assign-then-score form ran
+    # TWO ArrowEvalPython stages with a filter between them — the
+    # vectors crossed the JVM/Python boundary twice. Scoring the
+    # non-probed rows too costs one extra vectorized dot per row,
+    # far cheaper than a second Arrow transfer of the probed slice.
+    # Values are bit-identical: the kernel reuses the exact _seq_dot /
+    # norm / argmax paths of ivf_assign_udf + cosine_score_udf
+    # (identity test in tests/test_r11_optimizations.py; at ingest-
+    # partitioned scale the assign column is the partition key and
+    # this in-query assignment disappears entirely — see ivf_search).
+    fused = ivf_assign_score_udf(query_vec, n_centroids, seed, centroids)
+    scored = (
+        df.select(F.col(key_col), fused(F.col(vec_col)).alias("__as"))
+        .where(F.col("__as.cent").isin(probe))
+        .select(F.col(key_col), F.round(F.col("__as.score"), 6).alias("score"))
     )
-    return cosine_topk(cand, query_vec, k, vec_col, key_col)
+    return scored.orderBy(F.desc("score"), F.col(key_col)).limit(k)
 
 
 def lsh_signature(

@@ -184,3 +184,33 @@ def test_pip_join_evaluates_cell_udf_once(spark):
     assert plan.count("_cellfromlonlat_udf(") == 1, plan.count(
         "_cellfromlonlat_udf("
     )
+
+
+def test_ivf_fused_kernel_identical(spark):
+    """ivf_topk's fused assign+score kernel must produce exactly the
+    rows of the two-stage assign-then-score composition."""
+    from pyspark.sql import functions as F
+
+    from duckdb_geography_spark.llm import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    base = emb.where(F.col("vec_id") != 0)
+    got = _rows(S.ivf_topk(base, q, k=10, n_centroids=8, n_probe=3))
+    # reference: the pre-fusion composition
+    probe = S.probe_cells(q, 8, 3, 11, None)
+    ref_cand = (
+        base.withColumn("__cent", S.ivf_assign_udf(len(q), 8, 11, None)(F.col("embedding")))
+        .where(F.col("__cent").isin(probe))
+        .drop("__cent")
+    )
+    ref = _rows(S.cosine_topk(ref_cand, q, 10))
+    assert got == ref
+    # plan: exactly ONE Python eval stage
+    plan = (
+        S.ivf_topk(base, q, k=10, n_centroids=8, n_probe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
