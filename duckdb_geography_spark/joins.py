@@ -576,14 +576,16 @@ def knn_join(
     # larger right side takes the radius-doubling rounds whose
     # per-left candidate cost is ~O(k).
     if allpairs_right_max > 0:
-        # ONE bounded action instead of two (r11): collect limit(m+1)
-        # rows directly — len(rows) IS the probe, and when the right
-        # side is small the m+1-bounded result already holds every row
-        # (the plan is order-insensitive: ranking sorts by distance +
-        # key). A large right side pays one bounded m+1-row collect,
-        # same bound as the old count probe's scan.
-        rrows = r_renamed.limit(int(allpairs_right_max) + 1).collect()
-        if len(rrows) <= int(allpairs_right_max):
+        # r11 note: merging this probe into one limit(m+1).collect()
+        # on r_renamed was tried and MEASURED SLOWER (knn gate 1.3->2.5s,
+        # order-independent A/B): the per-partition partial limits
+        # evaluate the geog UDF chain on up to m+1 rows PER PARTITION
+        # before the global gather, while this count probe is a
+        # column-pruned scan with no UDF at all and the collect below
+        # then evaluates exactly the n_small matching rows.
+        n_small = right.limit(int(allpairs_right_max) + 1).count()
+        if n_small <= int(allpairs_right_max):
+            rrows = r_renamed.collect()
             out = _knn_broadcast_plan(
                 lk_df, r_renamed, k, left_geog, rgeog_out, rk, tie_decimals, rrows
             )
