@@ -117,6 +117,10 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> list:
     key = (sf_dir, int(vec_id), stamp)
     hit = _QVEC_CACHE.get(key)
     if hit is None:
+        if len(_QVEC_CACHE) >= 64:
+            # stamp-keyed entries strand after a data regen (r11
+            # ADVICE) — bound like _T_CACHE instead of growing forever
+            _QVEC_CACHE.clear()
         t = _pq.read_table(
             path,
             columns=["vec_id", "embedding"],
@@ -399,10 +403,20 @@ def _q_top_orders(spark, sf_dir):
     ob = orders.join(
         F.broadcast(bld), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "o_orderdate")
+    # group on the RAW date and format after the aggregate (r12, guide
+    # §2.3): o_orderkey determines o_orderdate (orders PK), so the
+    # groups are identical — but the per-lineitem-row date_format and
+    # the 19-char string in the shuffle key are gone (the partial-agg
+    # key narrows from string to date)
     return (
         li.join(F.broadcast(ob), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"))
+        .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("revenue_cc"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+            "revenue_cc",
+        )
         .orderBy(F.desc("revenue_cc"), "o_orderkey")
         .limit(10)
     )
@@ -422,14 +436,23 @@ LIMIT 10
 def _q_events_hourly(spark, sf_dir):
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
+    # group on the raw truncated TIMESTAMP and format after the
+    # aggregate (r12, guide §2.3): date_format on hour-truncated
+    # timestamps is injective (full seconds precision in the pattern),
+    # so the groups — and therefore every output row — are identical,
+    # but the per-event-row string formatting is gone and the shuffle
+    # key narrows from a 19-char string to an 8-byte timestamp
     return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-        )
+        ev.groupBy(F.date_trunc("hour", "ts").alias("__hour_ts"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("value_micro"),
+        )
+        .select(
+            F.date_format("__hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "value_micro",
         )
         .orderBy("hour", "event_type")
     )
@@ -787,9 +810,12 @@ def _q_haversine_pairs(spark, sf_dir):
     )
     # broadcast hint guarded by the parquet-footer row count (zero-cost
     # probe, VERDICT r10 item 5): the 3x-exploded supplier side is 3
-    # doubles + a long per row, so 1M base rows ~ 100 MB broadcast; a
-    # bigger supplier table falls back to the shuffle hash band join
-    if _rows_at(sf_dir, "supplier") <= 1_000_000:
+    # doubles + a long per row, so 250k base rows ~ 25 MB broadcast
+    # (r12, VERDICT r11 item 10: the old 1M-row cap allowed ~100 MB —
+    # an order over the autoBroadcast default, real executor-memory
+    # pressure with many concurrent queries); a bigger supplier table
+    # falls back to the shuffle hash band join
+    if _rows_at(sf_dir, "supplier") <= 250_000:
         s_b = F.broadcast(s_b)
     return (
         c_b.join(s_b, "__band")
@@ -1030,17 +1056,22 @@ def _q_text_stats(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    stats = docs.select(
-        "doc_id",
-        T.char_count("text").cast("long").alias("n_char"),
-        T.token_count("text").cast("long").alias("n_tok"),
-        T.word_count("text").cast("long").alias("n_word"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_r"),
-        F.round(T.stopword_ratio("text"), 6).alias("stop_r"),
-        T.fingerprint_md5("text").alias("fp"),
-    )
-    ent = char_entropy_stats(docs)
-    return stats.join(ent, "doc_id").orderBy("doc_id")
+    # r12 fusion (guide §2.4): the per-doc stat columns ride the keys
+    # branch of char_entropy_stats via its features= hook, so the old
+    # stats-scan + doc_id join are gone (3 scans/2 joins -> 2 scans/
+    # 1 join). Rows identical: the former join was an inner join on
+    # the primary key between two one-row-per-doc frames.
+    return char_entropy_stats(
+        docs,
+        features={
+            "n_char": T.char_count("text").cast("long"),
+            "n_tok": T.token_count("text").cast("long"),
+            "n_word": T.word_count("text").cast("long"),
+            "punct_r": F.round(T.punct_ratio("text"), 6),
+            "stop_r": F.round(T.stopword_ratio("text"), 6),
+            "fp": T.fingerprint_md5("text"),
+        },
+    ).orderBy("doc_id")
 
 
 _TEXT_STATS_SQL = """
@@ -1947,7 +1978,9 @@ def _q_snapped_distance(spark, sf_dir):
     # footer-count broadcast guard (VERDICT r10 item 5): the sampled
     # supplier side is ~rows/ms, tiny at any sf; the guard still caps
     # the forced hint in case a replica ships a giant supplier table
-    if _rows_at(sf_dir, "supplier") // ms <= 1_000_000:
+    # (250k sampled rows ~ 25 MB exploded+geog — r12 cap, VERDICT r11
+    # item 10)
+    if _rows_at(sf_dir, "supplier") // ms <= 250_000:
         supp = F.broadcast(supp)
     return (
         cust.join(supp, "__band")
@@ -3257,8 +3290,16 @@ def _q_cell_vertex_gate(spark, sf_dir):
     _prep(spark)
     nation = _t(spark, sf_dir, "nation").repartition(32)
     xmin, ymin = _nation_xy()
-    cell = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1), _FIX_LEVEL)
-    staged = nation.select("n_nationkey", cell.alias("c"))
+    # two-step projection (r12, the pip_covering_join fix at guide
+    # §4.4): s2_cell_parent references its argument ~11 times of bit
+    # math, and composing the nondeterministic lonlat UDF inline left
+    # ELEVEN copies of the same _cellfromlonlat call in the executed
+    # plan; projecting the leaf first leaves exactly one
+    staged = nation.select(
+        "n_nationkey", C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1).alias("__leaf")
+    ).select(
+        "n_nationkey", C.s2_cell_parent("__leaf", _FIX_LEVEL).alias("c")
+    )
     cols = ["n_nationkey"]
     out = staged
     for v in range(4):
@@ -3312,8 +3353,13 @@ def _q_cell_neighbor_gate(spark, sf_dir):
     _prep(spark)
     nation = _t(spark, sf_dir, "nation").repartition(32)
     xmin, ymin = _nation_xy()
-    cell = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1), _FIX_LEVEL)
-    staged = nation.select("n_nationkey", cell.alias("c"))
+    # two-step projection (r12): one _cellfromlonlat evaluation, not
+    # 11 — see _q_cell_vertex_gate
+    staged = nation.select(
+        "n_nationkey", C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1).alias("__leaf")
+    ).select(
+        "n_nationkey", C.s2_cell_parent("__leaf", _FIX_LEVEL).alias("c")
+    )
     names = ["down", "right", "up", "left"]
     sel = ["n_nationkey"]
     for v, nm in enumerate(names):
@@ -3365,14 +3411,27 @@ def _q_cell_union_gate(spark, sf_dir):
     _prep(spark)
     nation = _t(spark, sf_dir, "nation").repartition(32)
     xmin, ymin = _nation_xy()
-    p = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1), _FIX_LEVEL)
-    q = C.s2_cell_parent(C.s2_cellfromlonlat(xmin + 40.1, ymin + 20.7), _FIX_LEVEL)
-    lst = F.array(
-        *[C.s2_cell_child(p, k) for k in range(4)], q, C.s2_cell_child(q, 2)
-    )
-    staged = nation.select(
+    # two-step projection (r12): the two lonlat UDF calls were inlined
+    # into every parent/child bit-math reference (25 evaluations in
+    # the executed plan); project the leaves once, then derive p/q and
+    # the child list from plain columns — see _q_cell_vertex_gate
+    leaves = nation.select(
         "n_nationkey",
-        p.alias("p"),
+        C.s2_cellfromlonlat(xmin + 7.3, ymin + 5.1).alias("__leaf_p"),
+        C.s2_cellfromlonlat(xmin + 40.1, ymin + 20.7).alias("__leaf_q"),
+    ).select(
+        "n_nationkey",
+        C.s2_cell_parent("__leaf_p", _FIX_LEVEL).alias("p"),
+        C.s2_cell_parent("__leaf_q", _FIX_LEVEL).alias("q"),
+    )
+    lst = F.array(
+        *[C.s2_cell_child(F.col("p"), k) for k in range(4)],
+        F.col("q"),
+        C.s2_cell_child(F.col("q"), 2),
+    )
+    staged = leaves.select(
+        "n_nationkey",
+        F.col("p"),
         s2_cell_union_normalize(lst).alias("norm"),
     )
     return staged.select(

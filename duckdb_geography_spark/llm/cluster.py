@@ -134,6 +134,64 @@ def _init_centroids(
     return train_ivf_centroids(sample, n_centroids=k, seed=seed, iters=0)
 
 
+def _lloyd_partials_kernel(cents: np.ndarray, quant: int = _Q):
+    """mapInArrow kernel for ONE Lloyd iteration: assign every vector
+    to its argmax centroid and accumulate the per-cluster quantized
+    component sums ACROSS the whole task, emitting <= k tiny rows
+    (cluster, sums) per task — the r12 fusion of ``_assign_udf`` +
+    the ``sum(element_at(__qv, i))`` aggregate into a single Python
+    stage (guide §4.2, the ivf_assign_score_udf template).
+
+    Exactness contract (test-pinned by the fit-vs-replay identity):
+    - assignment = ``np.argmax(X @ C.T, axis=1)`` — the *same* call on
+      the same Arrow batch slices as ``_assign_udf`` (first max wins);
+    - quantization replays ``_quant_col`` bit-for-bit: ``np.cumsum``
+      is the sequential left-to-right fold of ``F.aggregate`` (and
+      ``_seq_norm``), then ``floor(x / norm * Q + 0.5)`` in float64;
+    - the component sums are int64 additions — exact and order-free,
+      so per-task partials summed on the driver equal the one global
+      aggregate the JVM form computed;
+    - NULL vectors get no assignment (the old NULL-cluster rows were
+      dropped before the aggregate)."""
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+    k, dim = C.shape
+    fquant = float(quant)
+
+    def _fn(batches):
+        import pyarrow as pa
+
+        sums = np.zeros((k, dim), dtype=np.int64)
+        seen = np.zeros(k, dtype=bool)
+        for batch in batches:
+            s = batch.column(0).to_pandas()
+            mask = s.notna().to_numpy()
+            if not mask.any():
+                continue
+            X = np.stack(s[mask].to_numpy()).astype(np.float64)
+            assign = np.argmax(X @ C.T, axis=1)
+            norm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            Q = np.zeros(X.shape, dtype=np.int64)
+            nz = norm != 0.0
+            if nz.any():
+                Q[nz] = np.floor(
+                    X[nz] / norm[nz, None] * fquant + 0.5
+                ).astype(np.int64)
+            for j in np.unique(assign):
+                sums[j] += Q[assign == j].sum(axis=0)
+                seen[j] = True
+        idx = np.nonzero(seen)[0]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "__c": pa.array(idx.astype("int32"), type=pa.int32()),
+                "__sums": pa.array(
+                    [sums[j].tolist() for j in idx], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    return _fn
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -145,8 +203,8 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Run ``iters`` distributed Lloyd's iterations and return the
     (k, dim) unit centroids. See the module docstring for the per-
-    iteration plan shape. ``df`` is cached with the quantized column
-    for the duration of the loop."""
+    iteration plan shape. ``df`` is cached (raw vectors only) for the
+    duration of the loop."""
     from .similarity import ivf_training_sample
 
     if k < 1:
@@ -158,52 +216,28 @@ def kmeans_fit(
     )
     cents = _init_centroids(sample, k, seed)
     dim = cents.shape[1]
-    base = df.select(
-        F.col(vec_col).alias("__v"), _quant_col(vec_col).alias("__qv")
-    ).persist()
-    # per-iteration update: ONE aggregate with dim component sums per
-    # cluster (expr strings — see simhash_batch for the py4j
-    # rationale), emitting k rows of dim columns. The earlier
-    # posexplode form shuffled n x dim (cluster, pos, value) rows per
-    # iteration; partial aggregation here reduces each partition to k
-    # rows before the exchange — the right shape at any scale, and
-    # the exact same integer sums (centroids bit-identical,
-    # test-pinned).
-    # ONE array-of-sums aggregate instead of dim separate agg columns
-    # (r11): the same integer component sums in the same order, but a
-    # dim-wide flat agg paid ~2x the array form per iteration (wider
-    # codegen class compiled per fresh plan, dim py4j expression round
-    # trips); measured 1.89 s -> 0.92 s per Lloyd action at sf0.1,
-    # bit-identical sums (test-pinned).
-    agg = F.expr(
-        "array("
-        + ", ".join(f"sum(element_at(__qv, {i + 1}))" for i in range(dim))
-        + ") AS __sums"
-    )
+    # the cache carries ONLY the raw vector: quantization moved into
+    # the iteration kernel (r12), so the cached footprint halved and
+    # the quantize expressions are no longer evaluated while caching
+    base = df.select(F.col(vec_col).alias("__v")).persist()
+    # per-iteration update (r12): ONE mapInArrow stage computes the
+    # assignment AND the per-cluster integer component sums, emitting
+    # <= k rows per task; the driver sums the tiny partials. The r11
+    # form paid an ArrowEvalPython (assign) + a k-row JVM aggregate +
+    # an exchange per iteration; this is one Python stage and zero
+    # exchanges per iteration, with bit-identical integer sums
+    # (order-free int64 addition; fit-vs-replay test-pinned).
     try:
         for _ in range(int(iters)):
-            assigned = base.withColumn("__c", _assign_udf(cents)("__v"))
-            # NULL embeddings assign to a NULL cluster (the _assign_udf
-            # contract); drop that group before aggregating — the
-            # posexplode form emitted no rows for NULL __qv, and
-            # int(None) on the group key would crash
-            rows = (
-                assigned.where(F.col("__c").isNotNull())
-                .groupBy("__c")
-                .agg(agg)
-                .collect()
-            )
-            # NULL component sums (a cluster whose members all have
-            # NULL/short __qv) map to 0 — the posexplode form emitted
-            # no rows for them, and _update_centroids keeps the
-            # previous centroid for an all-zero sum, so the semantics
-            # are unchanged
-            sums = {
-                int(r["__c"]): [
-                    int(v) if v is not None else 0 for v in r["__sums"]
-                ]
-                for r in rows
-            }
+            rows = base.mapInArrow(
+                _lloyd_partials_kernel(cents), "__c int, __sums array<long>"
+            ).collect()
+            acc: dict = {}
+            for r in rows:
+                c = int(r["__c"])
+                vec = np.asarray(r["__sums"], dtype=np.int64)
+                acc[c] = vec if c not in acc else acc[c] + vec
+            sums = {c: v.tolist() for c, v in acc.items()}
             cents = _update_centroids(cents, sums, dim)
     finally:
         base.unpersist()

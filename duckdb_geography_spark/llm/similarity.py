@@ -244,7 +244,16 @@ def ivf_assign_score_udf(
     composition of :func:`ivf_assign_udf` and :func:`cosine_score_udf`
     (same _seq_dot fold order, same first-wins argmax, same
     0-for-zero-norm rule, NULL for null/ragged vectors), collapsed
-    into a single Python-boundary crossing (guide §4)."""
+    into a single Python-boundary crossing (guide §4).
+
+    CONTRACT (r11 ADVICE): the returned UDF is marked
+    ``asNondeterministic()`` even though the function is genuinely
+    deterministic — the marking exists ONLY to stop the optimizer
+    duplicating the evaluation around a pushed filter (guide §4.4);
+    callers composing it into joins or multi-consumer plans should
+    know duplication-prevention, not semantics, is the reason, and
+    that the marking also blocks legitimate reorderings (e.g.
+    pushing other filters past it)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt(np.cumsum(q * q)[-1])) if len(q) else 0.0
     dim = len(q)

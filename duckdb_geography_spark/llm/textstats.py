@@ -246,17 +246,32 @@ def char_entropy(text) -> Column:
 
 
 def char_entropy_stats(
-    df, text_col: str = "text", key_col: str = "doc_id"
+    df, text_col: str = "text", key_col: str = "doc_id", features=None
 ):
     """:func:`char_entropy` as a distributed aggregate — the corpus-
     scan form: one character explode + two map-side-combinable hash
     aggregates, ln only over integer counts (JVM expressions, zero
     Python, zero interpreted lambdas — the pure-Column form evaluates
     O(n * distinct) interpreted comparisons per row and is only for
-    ad-hoc short strings). Returns ``(key, h_char)``; ''/NULL -> 0.0."""
+    ad-hoc short strings). Returns ``(key, *features, h_char)``;
+    ''/NULL -> 0.0.
+
+    ``features`` (r12, the dsir_weights pattern): an optional mapping
+    of output name -> Column computed from the SAME scan. The columns
+    ride the per-key branch of the plan (never the character explode),
+    so a caller that previously joined its own projection onto this
+    result on the primary key gets one scan and one join fewer —
+    identical rows by construction (both sides keyed by ``key_col``,
+    one row per key on each)."""
+    features = dict(features or {})
     key = _c(key_col).alias("__key")
     t = _c(text_col)
-    base = df.select(key, F.coalesce(F.length(t), F.lit(0)).alias("__n"), t.alias("__t"))
+    base = df.select(
+        key,
+        F.coalesce(F.length(t), F.lit(0)).alias("__n"),
+        t.alias("__t"),
+        *[c.alias(f"__f_{name}") for name, c in features.items()],
+    )
     chars = base.where(F.col("__n") > 0).select(
         "__key",
         "__n",
@@ -276,9 +291,12 @@ def char_entropy_stats(
             * F.round(F.log(F.col("__c").cast("double")) * 1e6).cast("long")
         ).alias("__s")
     )
-    keys = base.select("__key", "__n")
+    keys = base.select(
+        "__key", "__n", *[f"__f_{name}" for name in features]
+    )
     return keys.join(per, ["__key", "__n"], "left").select(
         F.col("__key").alias(key_col),
+        *[F.col(f"__f_{name}").alias(name) for name in features],
         F.when(F.col("__n") == 0, F.lit(0.0))
         .otherwise(
             F.round(

@@ -94,7 +94,9 @@ def main() -> None:
         _warm(p)
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
