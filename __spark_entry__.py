@@ -5107,14 +5107,14 @@ _URL_SYNTH_SQL = """
 """
 
 
-def _q_url_ops(spark, sf_dir):
-    """URL parse + canonicalization over synthesized messy URLs (see
-    _url_synth_col). Pure Column regex chains (llm/web.py) whose
-    patterns stay inside the Java-regex/RE2 common subset so the
-    DuckDB twin replays them verbatim."""
+def _web_parts(spark, sf_dir):
+    """The ONE url parse/canonicalize projection both web operators
+    derive from (r12): doc_id, url, host, domain, path, norm — pure
+    Column regex chains (llm/web.py) whose patterns stay inside the
+    Java-regex/RE2 common subset so the DuckDB twin replays them
+    verbatim."""
     from duckdb_geography_spark.llm import web as W
 
-    _prep(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     u = docs.withColumn("url", _url_synth_col())
     return u.select(
@@ -5124,7 +5124,14 @@ def _q_url_ops(spark, sf_dir):
         W.registered_domain(W.url_host("url")).alias("domain"),
         W.url_path("url").alias("path"),
         W.normalize_url("url").alias("norm"),
-    ).orderBy("doc_id")
+    )
+
+
+def _q_url_ops(spark, sf_dir):
+    """URL parse + canonicalization over synthesized messy URLs (see
+    _url_synth_col / _web_parts)."""
+    _prep(spark)
+    return _web_parts(spark, sf_dir).orderBy("doc_id")
 
 
 _URL_OPS_SQL = f"""
@@ -5156,16 +5163,22 @@ ORDER BY doc_id
 """
 
 
+def _host_rollup(parts):
+    """host_stats over an already-parsed _web_parts frame — the same
+    aggregate llm/web.py::host_stats computes (count + distinct paths
+    per host), expressed over the shared projection's columns."""
+    return parts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("path").alias("n_paths"),
+    )
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host rollup of the synthesized corpus URLs: doc count and
     distinct paths (the boilerplate/mirror diversity signal) — ONE
     uniformly-hashed groupBy on the host key (llm/web.py::host_stats)."""
-    from duckdb_geography_spark.llm import web as W
-
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    u = docs.withColumn("url", _url_synth_col())
-    return W.host_stats(u, url_col="url").orderBy("host")
+    return _host_rollup(_web_parts(spark, sf_dir)).orderBy("host")
 
 
 _HOST_STATS_SQL = f"""
@@ -6550,8 +6563,20 @@ def _q_web_suite(spark, sf_dir):
     """Consolidated web-analytics gate (r8 registry diet, VERDICT r7
     item 7 follow-through): url_ops (parse/canonicalize) and
     host_stats (per-host rollup) as one 2-part union — both operators
-    keep full-value oracle coverage under one driver slot."""
-    u = _q_url_ops(spark, sf_dir).select(
+    keep full-value oracle coverage under one driver slot.
+
+    r12: both parts project from ONE parsed frame behind a
+    repartition("host") exchange that ReuseExchange dedups, so the
+    ~15-regex parse forest runs once instead of once per branch
+    (executed plan: 1 ReusedExchange, 1 documents scan; interleaved
+    sf1 A/B 2.41s -> 1.24s noop). The full-row host shuffle this adds
+    replaces the host-keyed aggregate exchange the rollup paid anyway;
+    a pathologically hot host concentrates its rows on one task, but
+    the per-row work there is only union/sort forwarding plus an
+    O(distinct-path) aggregate probe."""
+    _prep(spark)
+    parts = _web_parts(spark, sf_dir).repartition("host")
+    u = parts.select(
         F.lit("url").alias("part"),
         "doc_id",
         "url",
@@ -6562,7 +6587,7 @@ def _q_web_suite(spark, sf_dir):
         F.lit(-1).cast("long").alias("n_docs"),
         F.lit(-1).cast("long").alias("n_paths"),
     )
-    h = _q_host_stats(spark, sf_dir).select(
+    h = _host_rollup(parts).select(
         F.lit("host").alias("part"),
         F.lit(-1).cast("long").alias("doc_id"),
         F.lit("").alias("url"),
